@@ -1,0 +1,280 @@
+"""NMF initialization: NNDSVD family, random, smart_random, PMI-coherence.
+
+TPU-native equivalent of the reference's ``initialization.py``
+(/root/reference/src/rri_nmf/initialization.py). The NNDSVD
+positive/negative section split (Boutsidis & Gallopoulos 2008; reference
+``initialization.py:104-157``) is re-derived here as a fully vectorized
+computation over all components at once (the reference loops per component,
+``initialization.py:113-138``).
+
+Two SVD backends:
+
+- ``svd_backend='sklearn'`` (default on host input): calls
+  ``sklearn.utils.extmath.randomized_svd`` so the byte-exact NNDSVD goldens
+  pinned by the reference test suite (``tests/conftest.py:12-18``,
+  ``tests/test_nmf.py:13-19``) reproduce identically. Initialization runs
+  once per fit; doing it host-side costs nothing at scale.
+- ``svd_backend='jax'``: a jittable randomized range-finder SVD
+  (Halko-Martinsson-Tropp) that runs on device and shards under GSPMD, for
+  matrices that never touch the host.
+
+Also provides ``masked_svd_init`` — the BIRSVD-style elementwise-weighted
+SVD initialization the reference lists as TODO #1 for recommender systems
+(reference ``README.md:18``) and never implemented.
+"""
+
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# randomized SVD backends
+# ---------------------------------------------------------------------------
+
+def _randomized_svd_sklearn(X, k, random_state):
+    """Exact-parity host backend (the reference calls the same function at
+    ``initialization.py:105``)."""
+    from sklearn.utils.extmath import randomized_svd
+    return randomized_svd(np.asarray(X), k, random_state=random_state)
+
+
+def randomized_svd_jax(X, k, key, n_oversamples=10, n_iter=4):
+    """Jittable randomized SVD (Halko et al. 2011) returning (U, S, Vt).
+
+    Range-finder with power iterations and QR re-orthonormalization; all ops
+    (GEMMs + thin QR/SVD on (k+p)-sized panels) lower to XLA and shard under
+    GSPMD — the big GEMMs against X carry the sharding, the small panel
+    factorizations replicate.
+    """
+    X = jnp.asarray(X)
+    n, d = X.shape
+    p = min(k + n_oversamples, min(n, d))
+    Omega = jax.random.normal(key, (d, p), dtype=X.dtype)
+    Y = X @ Omega
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(n_iter):
+        Z, _ = jnp.linalg.qr(X.T @ Q)
+        Q, _ = jnp.linalg.qr(X @ Z)
+    B = Q.T @ X                      # (p, d)
+    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = Q @ Ub
+    return U[:, :k], S[:k], Vt[:k, :]
+
+
+# ---------------------------------------------------------------------------
+# NNDSVD (vectorized)
+# ---------------------------------------------------------------------------
+
+def _nndsvd_from_svd(U, S, Vt, eps):
+    """Boutsidis-Gallopoulos NNDSVD section split, vectorized over all
+    components (reference loops per component, ``initialization.py:110-141``).
+
+    Works on NumPy or JAX arrays; returns arrays of the same family.
+    """
+    xp = jnp if isinstance(U, jnp.ndarray) else np
+    k = S.shape[0]
+
+    # leading singular triplet is already non-negative (Perron-Frobenius)
+    W0 = xp.sqrt(S[0]) * xp.abs(U[:, 0])
+    H0 = xp.sqrt(S[0]) * xp.abs(Vt[0, :])
+
+    Xc = U[:, 1:]                    # (n, k-1)
+    Yc = Vt[1:, :]                   # (k-1, d)
+    x_p, y_p = xp.maximum(Xc, 0), xp.maximum(Yc, 0)
+    x_n, y_n = xp.abs(xp.minimum(Xc, 0)), xp.abs(xp.minimum(Yc, 0))
+
+    x_p_nrm = xp.sqrt(xp.sum(x_p ** 2, axis=0))      # (k-1,)
+    y_p_nrm = xp.sqrt(xp.sum(y_p ** 2, axis=1))
+    x_n_nrm = xp.sqrt(xp.sum(x_n ** 2, axis=0))
+    y_n_nrm = xp.sqrt(xp.sum(y_n ** 2, axis=1))
+
+    m_p = x_p_nrm * y_p_nrm
+    m_n = x_n_nrm * y_n_nrm
+    pick_p = m_p > m_n
+
+    def _safe(nrm):
+        return xp.where(nrm == 0, 1.0, nrm)
+
+    u = xp.where(pick_p[None, :], x_p / _safe(x_p_nrm)[None, :],
+                 x_n / _safe(x_n_nrm)[None, :])
+    v = xp.where(pick_p[:, None], y_p / _safe(y_p_nrm)[:, None],
+                 y_n / _safe(y_n_nrm)[:, None])
+    sigma = xp.where(pick_p, m_p, m_n)
+    lbd = xp.sqrt(S[1:] * sigma)
+
+    if xp is jnp:
+        W = jnp.concatenate([W0[:, None], lbd[None, :] * u], axis=1)
+        H = jnp.concatenate([H0[None, :], lbd[:, None] * v], axis=0)
+        W = jnp.where(W < eps, 0.0, W)
+        H = jnp.where(H < eps, 0.0, H)
+    else:
+        W = np.concatenate([W0[:, None], lbd[None, :] * u], axis=1)
+        H = np.concatenate([H0[None, :], lbd[:, None] * v], axis=0)
+        W[W < eps] = 0
+        H[H < eps] = 0
+    return W, H
+
+
+# ---------------------------------------------------------------------------
+# public dispatch
+# ---------------------------------------------------------------------------
+
+def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
+                   row_normalize=False, n_words_beam=20, svd_backend='sklearn'):
+    """Compute an initial (W, H) guess for ``X ≈ W H``.
+
+    Mirrors the reference dispatch (``initialization.py:9-163``) including
+    its default rule (``nndsvd`` when ``n_components < n_features`` else
+    ``random``), the random/smart_random NumPy RNG streams (exact parity via
+    ``np.random.RandomState``), the nndsvd/nndsvda/nndsvdar family, and
+    row normalization of H. Additionally makes ``init='coherence_pmi'``
+    actually reachable — the reference documents it (``nmf.py:206-208``) but
+    its dispatcher raises ValueError for it (``initialization.py:154-157``).
+    """
+    from rri_nmf_tpu.matrixops import normalize
+
+    n_samples, n_features = np.shape(X)
+
+    if init is None:
+        init = 'nndsvd' if n_components < n_features else 'random'
+
+    if init == 'random':
+        rng = np.random.RandomState(random_state) \
+            if not isinstance(random_state, np.random.RandomState) \
+            else random_state
+        T = rng.rand(n_components, n_features)
+        W = rng.rand(n_samples, n_components)
+        if row_normalize:
+            T = np.asarray(normalize(T))
+        return W, T
+
+    if init == 'smart_random':
+        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
+        avg = np.sqrt(X_host.mean() / n_components)
+        rng = np.random.RandomState(random_state) \
+            if not isinstance(random_state, np.random.RandomState) \
+            else random_state
+        H = np.abs(avg * rng.randn(n_components, n_features))
+        W = np.abs(avg * rng.randn(n_samples, n_components))
+        if row_normalize:
+            H = np.asarray(normalize(H))
+        return W, H
+
+    if init == 'coherence_pmi':
+        return init_coherence_beam_search(X, n_components,
+                                          n_words_beam=n_words_beam)
+
+    if init not in ('nndsvd', 'nndsvda', 'nndsvdar'):
+        raise ValueError(
+            'Invalid init parameter: got %r instead of one of %r' % (
+                init, (None, 'random', 'smart_random', 'nndsvd', 'nndsvda',
+                       'nndsvdar', 'coherence_pmi')))
+
+    if svd_backend == 'jax':
+        key = jax.random.PRNGKey(0 if random_state is None else random_state)
+        U, S, Vt = randomized_svd_jax(X, n_components, key)
+        U, S, Vt = np.asarray(U), np.asarray(S), np.asarray(Vt)
+    else:
+        U, S, Vt = _randomized_svd_sklearn(X, n_components, random_state)
+
+    W, H = _nndsvd_from_svd(U, S, Vt, eps)
+
+    X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
+    if init == 'nndsvda':
+        avg = X_host.mean()
+        W[W == 0] = avg
+        H[H == 0] = avg
+    elif init == 'nndsvdar':
+        rng = np.random.RandomState(random_state) \
+            if not isinstance(random_state, np.random.RandomState) \
+            else random_state
+        avg = X_host.mean()
+        W[W == 0] = np.abs(avg * rng.randn(len(W[W == 0])) / 100)
+        H[H == 0] = np.abs(avg * rng.randn(len(H[H == 0])) / 100)
+
+    if row_normalize:
+        from rri_nmf_tpu.matrixops import normalize as _normalize
+        H = np.asarray(_normalize(H))
+
+    return W, H
+
+
+def masked_svd_init(X, W_mat, n_components, random_state=None, n_iter=10,
+                    eps=1e-6):
+    """Elementwise-weighted (masked) SVD initialization for WRRI.
+
+    The BIRSVD-style init the reference lists as an unimplemented TODO
+    (``README.md:18``): iterative SVD imputation — fill unobserved entries
+    with the current low-rank reconstruction, re-factorize, repeat — then the
+    NNDSVD section split of the final factorization. All iterations are
+    dense GEMM + randomized SVD, so they run on device and shard.
+    """
+    X = jnp.asarray(X, dtype=jnp.result_type(float))
+    M = jnp.asarray(W_mat, dtype=X.dtype)
+    key = jax.random.PRNGKey(0 if random_state is None else random_state)
+    obs_mean = jnp.sum(M * X) / jnp.maximum(jnp.sum(M), 1.0)
+    Xf = M * X + (1 - M) * obs_mean
+    for i in range(n_iter):
+        key, sub = jax.random.split(key)
+        U, S, Vt = randomized_svd_jax(Xf, n_components, sub)
+        recon = (U * S) @ Vt
+        Xf = M * X + (1 - M) * recon
+    W, H = _nndsvd_from_svd(U, S, Vt, eps)
+    return np.asarray(W), np.asarray(H)
+
+
+def init_coherence_beam_search(X, n_components, n_words_beam=20):
+    """PMI-coherence greedy beam search topic initialization.
+
+    Re-derivation of the reference's ``init_coherence_beam_search``
+    (``initialization.py:166-208``) with the O(k · n_words · d · |topic|)
+    inner scoring loop replaced by an incremental score accumulator
+    (O(k · n_words · d) total): adding word ``c`` to a topic adds
+    ``P_ij[:, c] - P_i - P_i[c]`` to every candidate's score.
+    """
+    from rri_nmf_tpu.matrixops import normalize, tfidf
+
+    X = np.asarray(normalize(tfidf(np.asarray(
+        X.toarray() if hasattr(X, 'toarray') else X))))
+    C = X.T @ X
+    k = n_components
+    n, d = X.shape
+
+    P_i = np.log(C.sum(1) + np.spacing(1))
+    P_ij = np.log(C + np.spacing(1))
+
+    xs = X.sum(0).astype(float).copy()
+    topics = []
+    for t in range(k):
+        j = int(np.argmax(xs))
+        xs[j] = 0
+        tpc = [j]
+        # incremental PMI score of each candidate vs the current topic
+        scores = P_ij[:, j] - P_i - P_i[j]
+        for _ in range(1, n_words_beam):
+            avail = xs > 0
+            masked_scores = np.where(avail, scores, -np.inf)
+            best = int(np.argmax(masked_scores))
+            tpc.append(best)
+            xs[best] = 0
+            scores = scores + P_ij[:, best] - P_i - P_i[best]
+        topics.append(tpc)
+
+    xs = X.sum(0)
+    T = np.zeros((k, d))
+    for t, tpc in enumerate(topics):
+        # weight of a word in a topic proportional to its global importance
+        T[t, tpc] = xs[tpc]
+
+    T = np.asarray(normalize(T))
+    W = np.asarray(normalize(np.maximum(X @ T.T, 0)))
+    return W, T
+
+
+def _norm(x):
+    """Euclidean norm via dot product (reference ``initialization.py:211-215``)."""
+    x = np.asarray(x).ravel()
+    return sqrt(float(np.dot(x, x)))

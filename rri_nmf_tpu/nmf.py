@@ -1,0 +1,449 @@
+"""The ``nmf()`` driver: RRI/WRRI training orchestration.
+
+TPU-native re-design of the reference driver
+(/root/reference/src/rri_nmf/nmf.py, ``nmf()`` at ``nmf.py:98-560``). The
+reference's mutable in-place per-topic Python loop with global state
+(``OBJ``, ``n_resets_remaining``, ``**locals()`` plumbing) becomes:
+
+- a **static** :class:`rri_nmf_tpu.ops.SweepConfig` capturing every
+  compile-time choice (one jitted sweep per distinct config, cached);
+- a **pure jitted sweep** (:mod:`rri_nmf_tpu.ops.sweep_xla`) executing all k
+  Gauss-Seidel topic updates on device in one XLA computation;
+- a thin **host outer loop** here for everything that is genuinely
+  host-side in the reference too: history-dependent stopping
+  (``nmf.py:510``), early-stop snapshot/rollback (``nmf.py:381-407``),
+  wall-clock budget (``nmf.py:506-508``), user diagnostics callbacks
+  (``nmf.py:495-500``), and the recursive row-weighted W re-fit
+  (``nmf.py:531-539``).
+
+The public signature, kwarg names, semantics, and returned-dict contract are
+preserved 1:1 from the reference so estimators and tests port unchanged.
+Randomness is explicit (``jax.random`` keys derived from ``random_state``)
+instead of global NumPy seeding.
+"""
+
+import logging
+import time
+from math import log as _ln, sqrt as _sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rri_nmf_tpu.initialization import initialize_nmf
+from rri_nmf_tpu.matrixops import (
+    euclidean_proj_simplex, normalize, proj_mat_to_simplex, stack_matrices,
+)
+from rri_nmf_tpu.optimization import universal_stopping_condition
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_objective, make_sweep
+
+# logger levels follow the reference convention (nmf.py:36-48):
+# WARNING — only warn about unbounded objectives
+# INFO — per-iteration summaries
+# DEBUG — objective deltas; forces compute_obj_each_iter
+logger = logging.getLogger(__name__)
+
+eps_div_by_zero = float(np.spacing(10))  # reference nmf.py:52
+
+
+class TrueObjComputer(object):
+    """Full-objective calculator returned as ``rtv['obj_calculator']``.
+
+    API parity with the reference's ``TrueObjComputer`` (``nmf.py:58-94``):
+    holds references to W/T (updated by the driver each iteration) and
+    computes ``0.5||M ⊙ (X - WT)||^2`` + regularizers via a jitted kernel.
+    Note the reference evaluates the row weights ``wr`` against the already
+    ``sqrt(w_row)``-scaled X (``nmf.py:338,369``); that behavior is kept.
+    """
+
+    def __init__(self, X, W, T, reg_w_l2, reg_t_l2, reg_w_l1, reg_t_l1,
+                 Wm, wr):
+        self.X = X
+        self.W = W
+        self.T = T
+        self.reg_w_l2 = reg_w_l2
+        self.reg_t_l2 = reg_t_l2
+        self.reg_t_l1 = reg_t_l1
+        self.reg_w_l1 = reg_w_l1
+        self.Wm = Wm
+        self.wr = wr
+        self.obj = np.inf
+        self._fn = make_objective(
+            masked=Wm is not None, row_weighted=wr is not None,
+            reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
+            reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
+
+    def true_objective(self):
+        extras = []
+        if self.Wm is not None:
+            extras.append(self.Wm)
+        if self.wr is not None:
+            extras.append(self.wr)
+        self.obj = float(self._fn(jnp.asarray(self.X), jnp.asarray(self.W),
+                                  jnp.asarray(self.T), *extras))
+        return self.obj
+
+
+def _default_float():
+    return jnp.asarray(0.0).dtype
+
+
+def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
+        random_state=None, init='nndsvd', T_in=[], W_in=[], max_iter=200,
+        max_time=600, eps_stop=1e-4, compute_obj_each_iter=False,
+        project_W_each_iter=False, w_row_sum=None,
+        do_final_project_W=True, project_T_each_iter=False,
+        t_row_sum=None, early_stop=None,
+        reset_topic_method='max_resid_document', fix_reset_seed=False,
+        n_resets=23,
+        reg_w_l2=0, reg_t_l2=0, reg_w_l1=0, reg_t_l1=0,
+        diagnostics=[], store_gradients=False,
+        ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
+        dtype=None):
+    """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
+
+    minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
+    row-weighted by ``w_row``) + L1/L2 regularizers on both factors, by
+    rank-one residue iterations (Ho's thesis Algs. 7 & 10).
+
+    Parameters, defaults, and the returned dict match the reference
+    ``nmf()`` (``nmf.py:98-560``) exactly — see that docstring for the full
+    parameter semantics. Additional parameter:
+
+    dtype : optional
+        Compute dtype. Defaults to ``X.dtype`` for float inputs, else the
+        JAX default float (float64 under ``jax_enable_x64``, float32 on
+        TPU). The reference is float64-only.
+
+    Returns
+    -------
+    dict with keys ``'W'``, ``'T'``, ``'iter_cputime'``, ``'random_state'``,
+    plus ``'obj_history'``/``'obj_calculator'`` when
+    ``compute_obj_each_iter``, ``'diagnostics'`` when diagnostics given, and
+    ``'numer_W'``/``'denom_W'`` when ``store_gradients``.
+    """
+    rtv = {}
+
+    # ---- host-side input normalization -----------------------------------
+    if hasattr(X, 'toarray'):
+        X = X.toarray()
+    X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
+        np.asarray(X).dtype, np.floating) else None)
+    X = np.asarray(X)
+    n, d = X.shape
+    if dtype is None:
+        dtype = X.dtype if np.issubdtype(X.dtype, np.floating) else None
+        if dtype is None or (dtype == np.float64 and
+                             not jax.config.jax_enable_x64):
+            dtype = _default_float()
+    dtype = jnp.dtype(dtype)
+
+    # ---- configuration validation (reference nmf.py:280-315) -------------
+    if project_T_each_iter and np.any([reg_w_l1, reg_t_l1]):
+        logger.warning(
+            'This implementation can not solve project_T_each_iter=True '
+            'with regularization, because WT is no longer scale invariant. '
+            'Setting project_T_each_iter to False.')
+        project_T_each_iter = False
+    if project_W_each_iter and reg_w_l2 < 0:
+        logger.warning(
+            'project_W_each_iter=%s and reg_w_l2=%s<0 doesnt converge with '
+            'the current implementation.', project_W_each_iter, reg_w_l2)
+
+    if (not project_T_each_iter and not t_row_sum) and (reg_t_l1 < 0 or
+                                                        reg_t_l2 < 0):
+        logger.error(
+            'Unbounded objective. reg_t_l1=%s, reg_t_l2=%s but '
+            'project_T_each_iter=%s and t_row_sum=%s.',
+            reg_t_l1, reg_t_l2, project_T_each_iter, t_row_sum)
+        return {'W': np.ones((n, k)), 'T': np.ones((k, d)) * 1e6,
+                'obj_history': [-np.inf], 'iter_cputime': [0]}
+    if (not project_W_each_iter and not w_row_sum) and (reg_w_l1 < 0 or
+                                                        reg_w_l2 < 0):
+        logger.error(
+            'Unbounded objective. reg_w_l1=%s, reg_w_l2=%s but '
+            'project_W_each_iter=%s and w_row_sum=%s.',
+            reg_w_l1, reg_w_l2, project_W_each_iter, w_row_sum)
+        return {'W': np.ones((n, k)) * 1e6, 'T': np.ones((k, d)),
+                'obj_history': [-np.inf], 'iter_cputime': [0]}
+
+    if type(diagnostics) is not list:
+        diagnostics = [diagnostics]
+    if len(diagnostics) > 0:
+        rtv['diagnostics'] = {}
+        for func in diagnostics:
+            rtv['diagnostics'][func.__name__] = []
+
+    if store_gradients:
+        rtv['numer_W'] = {}
+        rtv['denom_W'] = {}
+
+    if random_state is None:
+        random_state = int(time.time()) % 4294967296
+
+    t_global_start = time.time()
+    max_time = max_time - 10  # reserve time for the final W projection
+
+    # ---- row weighting: pre-scale X by sqrt(w_row) (nmf.py:335-344) ------
+    X_orig = None
+    if w_row is not None:
+        X_orig = X.copy()
+        w_row = np.asarray(w_row, dtype=float).reshape(n, 1)
+        X = np.sqrt(w_row) * X
+
+    w_row_sum_is_vector = (w_row_sum is not None
+                           and not np.isscalar(w_row_sum))
+    if w_row_sum_is_vector:
+        w_row_sum = np.asarray(w_row_sum, dtype=float)
+        w_row_sum = w_row_sum.reshape((w_row_sum.size, 1))
+        if w_row is not None:
+            # rows of X are scaled by sqrt(w_row), so rows of W must sum to
+            # the sqrt as well (nmf.py:340-344)
+            w_row_sum = np.sqrt(w_row_sum)
+
+    if n <= k:
+        init = 'random'
+
+    start_time = time.perf_counter()
+
+    W, T = _initialize_and_validate(
+        W_in=W_in, T_in=T_in, W_mat=W_mat, X=X, k=k, init=init,
+        random_state=random_state, project_T_each_iter=project_T_each_iter,
+        project_W_each_iter=project_W_each_iter, w_row_sum=w_row_sum,
+        t_row_sum=t_row_sum, fix_W=fix_W, fix_T=fix_T, n=n, d=d)
+
+    iter_cputime = []
+
+    masked = W_mat is not None
+    if masked:
+        logger.info('W_mat path: fused masked sweep, O(ndk) per sweep '
+                    '(the reference is O(ndk^2), nmf.py:355-356).')
+
+    # ---- differential privacy noise scale (reference nmf.py:422-435) -----
+    dp_sigma = None
+    if eps_gauss_t and delta_gauss_t:
+        c2 = 2 * _ln(1.25 / float(delta_gauss_t)) + 0.001
+        df2 = 1000.0  # upper bound on the l2 sensitivity (nmf.py:428)
+        dp_sigma = _sqrt(c2 * df2 ** 2 * (1.0 / float(eps_gauss_t)) ** 2)
+
+    # ---- device state -----------------------------------------------------
+    X_dev = jnp.asarray(X, dtype=dtype)
+    W_dev = jnp.asarray(W, dtype=dtype)
+    T_dev = jnp.asarray(T, dtype=dtype)
+    extras = []
+    obj_extras = []
+    if masked:
+        Wm_dev = jnp.asarray(W_mat, dtype=dtype)
+        extras.append(Wm_dev)
+        obj_extras.append(Wm_dev)
+    if w_row is not None:
+        obj_extras.append(jnp.asarray(w_row, dtype=dtype))
+    if w_row_sum_is_vector:
+        extras.append(jnp.asarray(w_row_sum, dtype=dtype))
+
+    cfg = SweepConfig(
+        k=k, fix_W=fix_W, fix_T=fix_T, masked=masked,
+        project_T_each_iter=project_T_each_iter,
+        project_W_each_iter=project_W_each_iter,
+        t_row_sum=float(t_row_sum) if t_row_sum is not None else None,
+        w_row_sum=(float(w_row_sum) if (w_row_sum is not None and
+                                        not w_row_sum_is_vector) else None),
+        w_row_sum_is_vector=w_row_sum_is_vector,
+        reg_w_l2=float(reg_w_l2), reg_t_l2=float(reg_t_l2),
+        reg_w_l1=float(reg_w_l1), reg_t_l1=float(reg_t_l1),
+        reset_topic_method=reset_topic_method,
+        fix_reset_seed=bool(fix_reset_seed),
+        dp_sigma=dp_sigma,
+        store_gradients=bool(store_gradients),
+        store_rows=(tuple(int(i) for i in ind_rows_to_store)
+                    if (store_gradients and ind_rows_to_store is not None)
+                    else None))
+    sweep_fn = make_sweep(cfg)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(random_state), 0)
+    reset_key = jax.random.PRNGKey(random_state)
+    resets_left = jnp.asarray(n_resets, dtype=jnp.int32)
+
+    # ---- early stopping state (reference nmf.py:360-363) ------------------
+    if early_stop:
+        last_score = np.inf
+        W_prev = np.array(W_dev)
+        T_prev = np.array(T_dev)
+
+    obj_history = []
+    if logger.getEffectiveLevel() <= logging.DEBUG:
+        compute_obj_each_iter = True
+    OBJ = None
+    if compute_obj_each_iter:
+        OBJ = TrueObjComputer(X_dev, W_dev, T_dev, reg_w_l1=reg_w_l1,
+                              reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
+                              reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row)
+
+    if len(diagnostics) > 0:
+        for func in diagnostics:
+            rtv['diagnostics'][func.__name__].append(
+                func(np.asarray(X), np.array(W_dev), np.array(T_dev)))
+
+    # ---- outer iteration loop (reference nmf.py:377-514) ------------------
+    for iter_no in range(max_iter):
+        logger.info('Iteration %d', iter_no)
+
+        if early_stop:
+            if callable(early_stop):
+                this_score = early_stop(np.asarray(X), np.array(W_dev),
+                                        np.array(T_dev))
+            else:
+                if compute_obj_each_iter and len(obj_history) > 0:
+                    this_score = obj_history[-1]
+                else:
+                    this_score = np.inf
+            logger.info('Iter %d stopping score %.3f', iter_no, this_score)
+            if this_score > last_score:  # STOP EARLY (nmf.py:391-403)
+                logger.info('Stopping early at iter %d', iter_no)
+                W_dev = jnp.asarray(W_prev)
+                T_dev = jnp.asarray(T_prev)
+                obj_history = obj_history[:-1]
+                iter_cputime = iter_cputime[:-1]
+                if len(diagnostics) > 0:
+                    for func in diagnostics:
+                        rtv['diagnostics'][func.__name__] = \
+                            rtv['diagnostics'][func.__name__][:-1]
+                break
+            last_score = this_score
+            W_prev = np.array(W_dev)
+            T_prev = np.array(T_dev)
+
+        it_start_time = time.time()
+
+        out = sweep_fn(X_dev, W_dev, T_dev, key, resets_left, reset_key,
+                       *extras)
+        if store_gradients:
+            W_dev, T_dev, key, resets_left, numer_s, denom_s = out
+            rtv['numer_W'][iter_no] = np.array(numer_s)
+            rtv['denom_W'][iter_no] = np.array(denom_s)
+        else:
+            W_dev, T_dev, key, resets_left = out
+
+        if compute_obj_each_iter:
+            OBJ.W, OBJ.T = W_dev, T_dev
+            obj_history.append(OBJ.true_objective())
+            logger.info('\tObj: %3.3e', obj_history[-1])
+        else:
+            # keep host clock honest under async dispatch
+            W_dev.block_until_ready()
+
+        iter_cputime.append(time.perf_counter())
+
+        if len(diagnostics) > 0:
+            for func in diagnostics:
+                dval = func(np.asarray(X), np.array(W_dev), np.array(T_dev))
+                rtv['diagnostics'][func.__name__].append(dval)
+                logger.info('\t%s: %s', func.__name__, dval)
+
+        logger.info('\tTime: %.3fsec', time.time() - it_start_time)
+
+        if time.time() - t_global_start >= max_time:
+            logger.info('STOPPING because max_time after iter %d', iter_no)
+            break
+
+        if compute_obj_each_iter and universal_stopping_condition(
+                obj_history, eps_stop=eps_stop):
+            logger.info('STOPPING because obj_history after iter %d', iter_no)
+            break
+
+    iter_cputime = [x - start_time for x in iter_cputime]
+
+    # ---- final W projection (reference nmf.py:519-529) --------------------
+    if (not project_W_each_iter and w_row_sum is not None and not fix_W
+            and do_final_project_W):
+        logger.info('Post completion W row projection')
+        W_dev = jnp.asarray(
+            proj_mat_to_simplex(W_dev, w_row_sum if not w_row_sum_is_vector
+                                else np.asarray(w_row_sum).reshape(-1)))
+
+    W = np.array(W_dev)
+    T = np.array(T_dev)
+
+    # ---- row-weighted post-solve: re-fit W on unscaled X (nmf.py:531-539) -
+    if w_row is not None:
+        sub = nmf(X_orig, k, T_in=T, fix_T=True, max_iter=10,
+                  w_row_sum=w_row_sum, project_W_each_iter=True,
+                  compute_obj_each_iter=compute_obj_each_iter)
+        for oh in sub.get('obj_history', []):
+            obj_history.append(oh)
+        for itc in sub['iter_cputime']:
+            iter_cputime.append(itc)
+        W = sub['W']
+
+    if store_gradients:
+        for itno in rtv['numer_W']:
+            rtv['numer_W'][itno] = stack_matrices(
+                list(rtv['numer_W'][itno]),
+                transform=lambda row: row.reshape(1, row.size))
+        for itno in rtv['denom_W']:
+            rtv['denom_W'][itno] = stack_matrices(
+                list(rtv['denom_W'][itno]),
+                transform=lambda row: row.reshape(1, row.size))
+
+    rtv['W'] = W
+    rtv['T'] = T
+    if compute_obj_each_iter:
+        rtv['obj_history'] = obj_history
+        if OBJ is not None:
+            OBJ.W, OBJ.T = W, T
+        rtv['obj_calculator'] = OBJ
+    rtv['iter_cputime'] = iter_cputime
+    rtv['random_state'] = random_state
+    return rtv
+
+
+def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
+                             project_T_each_iter, project_W_each_iter,
+                             w_row_sum, t_row_sum, fix_W, fix_T, n, d):
+    """Initialize W, T or validate user-provided warm starts.
+
+    Reference ``_initialize_and_validate`` (``nmf.py:819-880``): fresh init
+    runs on the masked matrix ``W_mat * X`` when masked, row sums are scaled
+    to ``t_row_sum``/``w_row_sum``, warm starts are shape-checked, negatives
+    clipped, and initial simplex projections applied when per-iteration
+    projection is on.
+    """
+    W = T = None
+    if np.prod(np.shape(W_in)) == 0 or np.prod(np.shape(T_in)) == 0:
+        X_init = W_mat * X if W_mat is not None else X
+        W, T = initialize_nmf(X_init, k, init, random_state=random_state,
+                              row_normalize=False)
+        W = np.asarray(W)
+        T = np.asarray(T)
+        if t_row_sum is not None:
+            T = np.asarray(normalize(T)) * t_row_sum
+        if w_row_sum is not None:
+            W = np.asarray(normalize(W)) * w_row_sum
+
+    if np.prod(np.shape(W_in)) > 0:
+        if not np.shape(W_in) == (n, k):
+            raise ValueError('W_in has wrong dimensions, must be n*k')
+        W = W_in
+    if np.prod(np.shape(T_in)) > 0:
+        if not np.shape(T_in) == (k, d):
+            raise ValueError('T_in has wrong dimensions, must be k*d')
+        T = T_in
+
+    if hasattr(W, 'toarray'):
+        W = W.toarray()
+    if hasattr(T, 'toarray'):
+        T = T.toarray()
+
+    W = np.maximum(np.asarray(W, dtype=float), 0)
+    T = np.maximum(np.asarray(T, dtype=float), 0)
+
+    if project_W_each_iter and not fix_W and w_row_sum is not None:
+        logger.debug('Projecting W rows after initialization')
+        s = w_row_sum if np.isscalar(w_row_sum) \
+            else np.asarray(w_row_sum).reshape(-1)
+        W = np.asarray(proj_mat_to_simplex(W, s))
+    if project_T_each_iter and not fix_T and t_row_sum is not None:
+        logger.debug('Projecting T rows after initialization')
+        T = np.asarray(proj_mat_to_simplex(T, t_row_sum))
+
+    return W, T

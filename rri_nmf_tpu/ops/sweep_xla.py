@@ -1,0 +1,443 @@
+"""The RRI / WRRI sweep as a single jitted XLA computation.
+
+This is the TPU-native re-design of the reference's per-topic Python loop
+(reference ``nmf.py:415-478`` with helpers ``_compute_update_T``
+``nmf.py:633-715``, ``_compute_update_W`` ``nmf.py:718-747``,
+``_project_and_check_reset_t`` ``nmf.py:750-783``, ``_check_reset_W``
+``nmf.py:786-816``). One call = one full sweep over all k topics, compiled
+once; the topic loop is a ``lax.fori_loop`` that preserves the reference's
+Gauss-Seidel ordering exactly (each topic's update sees all earlier topics'
+updates within the same sweep — required for the monotone-descent tests).
+
+TPU-first design decisions (none of these exist in the reference):
+
+1. **T-phase GEMM batching (unweighted RRI).** The reference computes
+   ``wX = W[:,t]^T X`` as k separate GEMVs per sweep (``nmf.py:672``). But
+   each column ``W[:,t]`` is only modified during its *own* topic's phases
+   (scale transfer ``nmf.py:450-452``, the W-update ``nmf.py:469``, resets),
+   so at the time topic t reads it, ``W[:,t]`` still holds its value from
+   the start of the sweep. Hence all k numerators come from ONE
+   ``W^T X`` GEMM (MXU-friendly, one HBM read of X instead of k), and all k
+   denominators ``||W[:,t]||^2`` from one column-norm pass. This halves the
+   sweep's HBM traffic and moves half its FLOPs from GEMV to GEMM.
+
+2. **Incremental residual for the masked WRRI path.** The reference
+   rebuilds the full ``R_t = X - W_{-t} T`` per topic — an O(ndk) GEMM per
+   topic, O(ndk^2) per sweep, the documented "k times slower" path
+   (``nmf.py:355-356,687-693``). Here ``R = X - W T`` is maintained with
+   rank-one updates (as 2-column GEMMs for the MXU), and the per-topic
+   quantities follow from the identities::
+
+       numer_T = w^T (M ⊙ (R + w t^T)) = w^T (M ⊙ R) + t ⊙ ((w²)^T M)
+       numer_W = (M ⊙ (R + w t^T)) t  = (M ⊙ R) t + w ⊙ (M t²)
+
+   so each topic costs O(nd) and a sweep is O(ndk) — the asymptotic fix the
+   reference's README wishes for from a Cython kernel (``README.md:19``).
+   R is refreshed from (X, W, T) at the start of every sweep, bounding
+   floating-point drift to one sweep.
+
+3. **Sharding-transparent.** Everything is plain matmuls, reductions, and
+   row-local projections; under a ``jax.sharding.Mesh`` with X/W row-sharded
+   and T replicated (or X column-sharded too), GSPMD auto-inserts the
+   ``psum``s over ICI for the per-topic inner products. See
+   ``rri_nmf_tpu.parallel``.
+
+4. **Explicit randomness.** The reference's global
+   ``np.random.seed(t + argmax(T[t]))`` reset trick (``nmf.py:780,812-813``)
+   becomes ``jax.random.fold_in`` on a dedicated reset key, so resets are
+   deterministic and agree across shards.
+"""
+
+import dataclasses
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from rri_nmf_tpu.optimization import qf_min_scalar_c, qf_min_vector_c
+from rri_nmf_tpu.matrixops import _proj_simplex_core
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Static (compile-time) configuration of one sweep.
+
+    Field names mirror the reference ``nmf()`` kwargs (``nmf.py:98-108``).
+    ``w_row_sum``/``t_row_sum`` are static floats here; a per-row vector
+    ``w_row_sum`` is passed as a traced array instead (``w_row_sum_is_vector``).
+    """
+    k: int
+    fix_W: bool = False
+    fix_T: bool = False
+    masked: bool = False
+    project_T_each_iter: bool = False
+    project_W_each_iter: bool = False
+    t_row_sum: Optional[float] = None
+    w_row_sum: Optional[float] = None
+    w_row_sum_is_vector: bool = False
+    reg_w_l2: float = 0.0
+    reg_t_l2: float = 0.0
+    reg_w_l1: float = 0.0
+    reg_t_l1: float = 0.0
+    reset_topic_method: Optional[str] = 'max_resid_document'
+    fix_reset_seed: bool = False
+    dp_sigma: Optional[float] = None   # Gaussian-mechanism noise std, or None
+    store_gradients: bool = False
+    store_rows: Optional[Tuple[int, ...]] = None
+
+    @property
+    def scale_transfer(self) -> bool:
+        """Diagonal scale-invariance transfer ``W[:,t] *= ||t_new||_1`` is
+        only valid when the objective is scale invariant, i.e. all four
+        regularizers are zero (reference ``nmf.py:449-452``)."""
+        return (abs(self.reg_w_l1) + abs(self.reg_w_l2) +
+                abs(self.reg_t_l1) + abs(self.reg_t_l2)) == 0
+
+    @property
+    def t_update_s(self):
+        """Sum constraint passed to the T-row subproblem
+        (reference ``nmf.py:442-445``)."""
+        return self.t_row_sum if self.project_T_each_iter else None
+
+
+def _w_ub(cfg, w_row_sum_vec):
+    """Upper bound argument for the W-column subproblem."""
+    if cfg.w_row_sum_is_vector:
+        return w_row_sum_vec
+    return cfg.w_row_sum
+
+
+def make_objective(masked: bool, row_weighted: bool,
+                   reg_w_l2=0.0, reg_t_l2=0.0, reg_w_l1=0.0, reg_t_l1=0.0):
+    """Build the jitted full-objective function.
+
+    Mirrors ``TrueObjComputer.true_objective`` (reference ``nmf.py:71-94``):
+    ``0.5 ||M ⊙ (X - WT)||_F^2`` (entrywise- and/or row-weighted) plus the
+    four regularization terms. Extra args (mask / row weights) exist only
+    when the corresponding flag is set, keeping the jit signature tight.
+    """
+    def objective(X, W, T, *extras):
+        i = 0
+        R = (X - W @ T) ** 2
+        if masked:
+            R = extras[i] * R
+            i += 1
+        if row_weighted:
+            R = extras[i] * R
+            i += 1
+        obj = 0.5 * jnp.sum(R)
+        obj = obj + 0.5 * reg_w_l2 * jnp.sum(W ** 2)
+        obj = obj + 0.5 * reg_t_l2 * jnp.sum(T ** 2)
+        obj = obj + reg_t_l1 * jnp.sum(jnp.abs(T))
+        obj = obj + reg_w_l1 * jnp.sum(jnp.abs(W))
+        return obj
+
+    return jax.jit(objective)
+
+
+@lru_cache(maxsize=64)
+def make_sweep(cfg: SweepConfig):
+    """Build the jitted one-sweep function for a static config.
+
+    Returned callable signature::
+
+        sweep(X, W, T, key, resets_left, reset_key, *extras)
+            -> (W, T, key, resets_left [, numer_store, denom_store])
+
+    where ``extras`` is ``(W_mat,)`` if ``cfg.masked`` and additionally
+    ``(w_row_sum_vec,)`` if ``cfg.w_row_sum_is_vector`` (in that order).
+    ``resets_left`` is the global finite reset budget carried across
+    iterations (reference ``nmf.py:192-193,765-769``).
+    """
+    k = cfg.k
+    method = cfg.reset_topic_method
+
+    # ----- shared pieces -------------------------------------------------
+
+    def _maybe_reproject_t_row(T, t):
+        """Re-project T[t] if it drifted off the simplex
+        (reference ``nmf.py:759-761``; threshold 1e-15)."""
+        if not (cfg.t_row_sum and cfg.project_T_each_iter):
+            return T
+        trs = cfg.t_row_sum
+
+        def _proj(T):
+            row = _proj_simplex_core(T[t], jnp.asarray(trs, dtype=T.dtype))
+            return T.at[t].set(row)
+
+        return lax.cond(jnp.abs(jnp.sum(T[t]) - trs) > 1e-15,
+                        _proj, lambda T: T, T)
+
+    def _reset_factors(X, W, T, t, key, reset_key):
+        """Shared topic-reset: sets T[t] and W[:,t]
+        (reference ``nmf.py:770-783`` and ``nmf.py:804-816``; the
+        reference's 'random' T-branch has an undefined-``n`` bug at
+        ``nmf.py:783`` which is fixed here)."""
+        n, d = X.shape
+        if method == 'max_resid_document':
+            Rt = jnp.maximum(X - W @ T, 0.0)
+            Rts = jnp.sum(Rt * Rt, axis=1)
+            mi = jnp.argmax(Rts)
+            T = T.at[t].set(Rt[mi])
+            W = W.at[:, t].set(0.0).at[mi, t].set(1.0)
+            return W, T, key
+        elif method == 'random':
+            if cfg.fix_reset_seed:
+                # deterministic analog of np.random.seed(t + argmax(T[t]))
+                # (reference nmf.py:780): same key on every shard/run.
+                rk = jax.random.fold_in(
+                    reset_key, t + jnp.argmax(T[t]).astype(jnp.int32))
+            else:
+                key, rk = jax.random.split(key)
+            k1, k2 = jax.random.split(rk)
+            trow = jax.random.uniform(k1, (d,), dtype=T.dtype)
+            T = T.at[t].set(trow / jnp.sum(trow))
+            W = W.at[:, t].set(jax.random.uniform(k2, (n,), dtype=W.dtype))
+            return W, T, key
+        else:
+            raise ValueError('unknown reset_topic_method %r' % (method,))
+
+    def _project_and_check_reset_t(X, W, T, R, t, key, resets_left,
+                                   reset_key):
+        """Reference ``nmf.py:750-783``. Also refreshes the masked residual
+        when a reset rewrites a factor."""
+        if method is None:
+            # `nt1 > 1e-10 or reset_topic_method is None` always takes the
+            # projection branch (reference nmf.py:758)
+            return W, T, R, key, resets_left
+
+        def _alive(ops):
+            W, T, R, key, resets_left = ops
+            return _maybe_reproject_t_row(T, t), W, R, key, resets_left
+
+        def _dead(ops):
+            W, T, R, key, resets_left = ops
+
+            def _do(ops):
+                W, T, R, key, resets_left = ops
+                W, T, key = _reset_factors(X, W, T, t, key, reset_key)
+                if cfg.masked:
+                    R = X - W @ T  # rank-one bookkeeping invalidated
+                return T, W, R, key, resets_left - 1
+
+            def _skip(ops):
+                W, T, R, key, resets_left = ops
+                return T, W, R, key, resets_left
+
+            return lax.cond(resets_left > 0, _do, _skip,
+                            (W, T, R, key, resets_left))
+
+        T, W, R, key, resets_left = lax.cond(
+            jnp.sum(T[t]) > 1e-10, _alive, _dead,
+            (W, T, R, key, resets_left))
+        return W, T, R, key, resets_left
+
+    def _check_reset_W(X, W, T, R, t, key, resets_left, reset_key):
+        """Reference ``nmf.py:786-816``."""
+        if method is None:
+            return W, T, R, key, resets_left
+
+        def _alive(ops):
+            W, T, R, key, resets_left = ops
+            return T, W, R, key, resets_left
+
+        def _dead(ops):
+            W, T, R, key, resets_left = ops
+
+            def _do(ops):
+                W, T, R, key, resets_left = ops
+                W, T, key = _reset_factors(X, W, T, t, key, reset_key)
+                if cfg.masked:
+                    R = X - W @ T
+                return T, W, R, key, resets_left - 1
+
+            def _skip(ops):
+                W, T, R, key, resets_left = ops
+                return T, W, R, key, resets_left
+
+            return lax.cond(resets_left > 0, _do, _skip,
+                            (W, T, R, key, resets_left))
+
+        T, W, R, key, resets_left = lax.cond(
+            jnp.sum(W[:, t]) > 1e-10, _alive, _dead,
+            (W, T, R, key, resets_left))
+        return W, T, R, key, resets_left
+
+    def _dp_noise(key, wR, nw):
+        """Gaussian-mechanism noise on the T-update numerator/denominator
+        (reference ``nmf.py:422-435``)."""
+        key, k1, k2 = jax.random.split(key, 3)
+        wR = wR + cfg.dp_sigma * jax.random.normal(k1, wR.shape, wR.dtype)
+        noise_nw = cfg.dp_sigma * jax.random.normal(
+            k2, jnp.shape(nw), wR.dtype)
+        nw = jnp.maximum(nw + noise_nw, 0.0)
+        return key, wR, nw
+
+    # ----- the sweep -----------------------------------------------------
+
+    def sweep(X, W, T, key, resets_left, reset_key, *extras):
+        i = 0
+        if cfg.masked:
+            W_mat = extras[i]; i += 1
+        else:
+            W_mat = None
+        if cfg.w_row_sum_is_vector:
+            w_row_sum_vec = extras[i].reshape(-1); i += 1
+        else:
+            w_row_sum_vec = None
+
+        n, d = X.shape
+        dtype = X.dtype
+
+        if cfg.masked:
+            R = X - W @ T          # refreshed residual, kept rank-one-updated
+            WX_pre = None
+            Wcoln_pre = None
+        else:
+            R = jnp.zeros((0, 0), dtype=dtype)
+            # One GEMM replaces k GEMVs: every column W[:,t] is untouched
+            # until its own topic's phases (see module docstring, point 1).
+            WX_pre = W.T @ X       # (k, d)
+            Wcoln_pre = jnp.sum(W * W, axis=0)   # (k,)
+
+        if cfg.store_gradients:
+            numer_store = jnp.zeros((k, d), dtype=dtype)
+            denom_store = jnp.zeros((k, d if cfg.masked else 1), dtype=dtype)
+            if cfg.store_rows is not None:
+                rows = jnp.asarray(np.asarray(cfg.store_rows, dtype=np.int32))
+                X_rows = X[rows]
+                M_rows = W_mat[rows] if cfg.masked else None
+            else:
+                rows = None
+        else:
+            numer_store = jnp.zeros((0, 0), dtype=dtype)
+            denom_store = jnp.zeros((0, 0), dtype=dtype)
+
+        def topic_body(t, carry):
+            W, T, R, key, resets_left, numer_store, denom_store = carry
+
+            # ---------------- T-phase (reference nmf.py:417-458) ---------
+            if not cfg.fix_T:
+                w = W[:, t]
+                if cfg.masked:
+                    MR = W_mat * R
+                    nw = (w * w) @ W_mat            # (d,) vector denominator
+                    wR = w @ MR + T[t] * nw         # (d,)
+                else:
+                    wW = w @ W                      # (k,) uses current W
+                    wW = wW.at[t].set(0.0)
+                    wR = WX_pre[t] - wW @ T         # (d,)
+                    nw = Wcoln_pre[t]               # scalar
+
+                if cfg.store_gradients:
+                    if rows is None:
+                        numer_store = numer_store.at[t].set(wR)
+                        denom_store = denom_store.at[t].set(
+                            jnp.broadcast_to(nw, denom_store.shape[1:]))
+                    else:
+                        ws = W[rows, t]
+                        if cfg.masked:
+                            Rt_rows = M_rows * (R[rows] +
+                                                jnp.outer(w[rows], T[t]))
+                            wR_s = ws @ Rt_rows
+                            nw_s = (ws * ws) @ M_rows
+                        else:
+                            wXs = ws @ X_rows
+                            wWs = ws @ W[rows]
+                            wWs = wWs.at[t].set(0.0)
+                            wR_s = wXs - wWs @ T
+                            nw_s = jnp.sum(ws * ws)
+                        numer_store = numer_store.at[t].set(wR_s)
+                        denom_store = denom_store.at[t].set(
+                            jnp.broadcast_to(nw_s, denom_store.shape[1:]))
+
+                if cfg.dp_sigma is not None:
+                    key, wR, nw = _dp_noise(key, wR, nw)
+
+                numer = wR - cfg.reg_t_l1
+                denom = nw + cfg.reg_t_l2
+
+                if cfg.masked:
+                    t_new, nt1 = qf_min_vector_c(
+                        -numer, denom, s=cfg.t_update_s, ub=cfg.t_row_sum)
+                else:
+                    t_new, nt1 = qf_min_scalar_c(
+                        -numer, denom, s=cfg.t_update_s, ub=cfg.t_row_sum)
+
+                t_old = T[t]
+                if cfg.scale_transfer:
+                    # diagonal scale-invariance transfer (nmf.py:450-452)
+                    W = W.at[:, t].multiply(nt1)
+                    w_eff = w * nt1
+                else:
+                    w_eff = w
+                T = T.at[t].set(t_new)
+
+                if cfg.masked:
+                    # R <- R + w_old t_old^T - w_eff t_new^T as one (n,2)x(2,d)
+                    # GEMM so the rank-one updates ride the MXU.
+                    U2 = jnp.stack([w, -w_eff], axis=1)
+                    V2 = jnp.stack([t_old, t_new], axis=0)
+                    R = R + U2 @ V2
+
+                W, T, R, key, resets_left = _project_and_check_reset_t(
+                    X, W, T, R, t, key, resets_left, reset_key)
+
+            # ---------------- W-phase (reference nmf.py:460-476) ---------
+            if not cfg.fix_W:
+                trow = T[t]
+                w_old = W[:, t]
+                if cfg.masked:
+                    MR = W_mat * R                 # residual updated above
+                    mt2 = W_mat @ (trow * trow)    # (n,) vector denominator
+                    Rt = MR @ trow + w_old * mt2
+                    nt = mt2
+                else:
+                    Xt = X @ trow
+                    Tt = T @ trow
+                    Tt = Tt.at[t].set(0.0)
+                    Rt = Xt - W @ Tt
+                    nt = jnp.sum(trow * trow)
+
+                numer = Rt - cfg.reg_w_l1
+                denom = nt + cfg.reg_w_l2
+
+                if cfg.masked:
+                    w_new, _nw1 = qf_min_vector_c(
+                        -numer, denom, s=None,
+                        ub=_w_ub(cfg, w_row_sum_vec))
+                else:
+                    w_new, _nw1 = qf_min_scalar_c(
+                        -numer, denom, s=None,
+                        ub=_w_ub(cfg, w_row_sum_vec))
+
+                W = W.at[:, t].set(w_new)
+                if cfg.masked:
+                    R = R + jnp.outer(w_old - w_new, trow)
+
+                W, T, R, key, resets_left = _check_reset_W(
+                    X, W, T, R, t, key, resets_left, reset_key)
+
+            return W, T, R, key, resets_left, numer_store, denom_store
+
+        carry = (W, T, R, key, resets_left, numer_store, denom_store)
+        W, T, R, key, resets_left, numer_store, denom_store = lax.fori_loop(
+            0, k, topic_body, carry)
+
+        # per-iteration W row projection (reference nmf.py:481-484)
+        if (cfg.project_W_each_iter and not cfg.fix_W
+                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
+            if cfg.w_row_sum_is_vector:
+                s_vec = w_row_sum_vec.astype(W.dtype)
+            else:
+                s_vec = jnp.full((W.shape[0],), cfg.w_row_sum, dtype=W.dtype)
+            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+
+        if cfg.store_gradients:
+            return W, T, key, resets_left, numer_store, denom_store
+        return W, T, key, resets_left
+
+    return jax.jit(sweep)

@@ -1,0 +1,84 @@
+"""Test fixtures, ported from the reference suite (tests/conftest.py there).
+
+Environment: tests run on CPU with float64 enabled (the reference is
+float64 NumPy; the monotone-descent and 1e-13 feasibility tolerances need
+it) and 8 virtual XLA host devices so the GSPMD sharding tests exercise a
+real multi-device mesh without TPU hardware.
+
+The golden W/T values for the NNDSVD init test are the reference's byte
+blobs (`tests/conftest.py:12-18` there, Python-2 ``np.fromstring``) decoded
+to float64 literals. The .npz data files are the reference's own fixtures
+(data, not code).
+"""
+
+import os
+
+# Force CPU: the ambient environment may point JAX at a remote TPU tunnel
+# (and its plugin overrides the JAX_PLATFORMS env var); the parity tests need
+# local float64 and 8 virtual host devices, so set the config directly.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import scipy.sparse  # noqa: E402
+
+from rri_nmf_tpu.matrixops import normalize, tfidf  # noqa: E402
+
+DATA_DIR = Path(__file__).parent / 'data'
+
+
+@pytest.fixture(scope='session')
+def small_X_W_T():
+    X = np.array([[1.0, 0.0],
+                  [0.5, 0.5],
+                  [0.25, 0.75]])
+    # decoded from the reference's np.fromstring golden bytes
+    Wt = np.frombuffer(
+        b'\xb9X\x18pb\xbd\xe8?\x00\x00\x00\x00\x00\x00\x00\x00\x114#('
+        b'e\x8c\xe3?%\x86\x8c"D\x08\xcd?\xbd\xa1('
+        b'\x84\xe6\xf3\xe0?\xbc\xad\x84\xb3f\xec\xe4?',
+        dtype=np.float64).reshape(3, 2)
+    Tt = np.frombuffer(
+        b'\x04\x89=\x03\x95\xf6\xee?v)\xdfe\xf9\xf7\xe1?\x00\x00\x00\x00'
+        b'\x00\x00\x00\x00l\x8d.\xd8\x84%\xe6?',
+        dtype=np.float64).reshape(2, 2)
+    return X, Wt, Tt
+
+
+def _tm_xform(X):
+    return np.asarray(normalize(tfidf(X)))
+
+
+@pytest.fixture(scope='session')
+def text_train():
+    X = scipy.sparse.load_npz(DATA_DIR / 'text_data_train.npz')
+    return _tm_xform(X.toarray())
+
+
+@pytest.fixture(scope='session')
+def text_test():
+    X = scipy.sparse.load_npz(DATA_DIR / 'text_data_test.npz')
+    return _tm_xform(X.toarray())
+
+
+@pytest.fixture(scope='session')
+def recsys_train():
+    X = scipy.sparse.load_npz(DATA_DIR / 'recsys_data_train.npz')
+    return X.toarray()
+
+
+@pytest.fixture(scope='session')
+def recsys_test():
+    X = scipy.sparse.load_npz(DATA_DIR / 'recsys_data_test.npz')
+    return X.toarray()

@@ -1,0 +1,148 @@
+"""Benchmark: dense RRI sweep throughput on one chip vs the NumPy reference.
+
+Prints ONE JSON line::
+
+    {"metric": "rri_sweep_gflops_per_chip", "value": <GFLOP/s>,
+     "unit": "GFLOP/s", "vs_baseline": <speedup over NumPy reference>}
+
+Metric definition (BASELINE.md): RRI sweep GFLOP/s/chip. One unweighted
+Gauss-Seidel sweep over all k topics costs ~4ndk FLOPs (the reference's cost
+model, SURVEY.md §3.1: per topic two O(nd) contractions for the T-row and
+W-column updates, plus O(nk + kd) corrections).
+
+``vs_baseline`` is wall-clock speedup over a faithful NumPy/BLAS
+implementation of the reference's per-topic update loop
+(reference ``nmf.py:415-478,633-747``) running the same math on this host —
+the reference publishes no numbers of its own (BASELINE.md), so its own
+implementation is the baseline to beat.
+
+Measurement notes (tunnel-hosted TPU):
+- Problem data is generated ON DEVICE (host->device transfers through the
+  tunnel run at ~45 MB/s and would dominate).
+- Synchronization is via a scalar host readback: on the axon backend
+  ``block_until_ready`` returns before execution completes, so timing must
+  close over a value fetch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+EPS = float(np.spacing(10))
+
+
+def numpy_reference_sweep(X, W, T):
+    """One unweighted RRI sweep exactly as the reference computes it
+    (per-topic GEMVs, Gauss-Seidel, scale transfer; no projections/regs)."""
+    k = W.shape[1]
+    for t in range(k):
+        w = W[:, t]
+        wX = w @ X
+        wW = w @ W
+        wW[t] = 0.0
+        wR = wX - wW @ T
+        nw = w @ w
+        t_new = np.maximum(wR, 0.0) / (nw + EPS)
+        W[:, t] *= t_new.sum()          # scale-invariance transfer
+        T[t, :] = t_new
+        trow = T[t, :]
+        Xt = X @ trow
+        Tt = T @ trow
+        Tt[t] = 0.0
+        Rt = Xt - W @ Tt
+        nt = trow @ trow
+        W[:, t] = np.maximum(Rt, 0.0) / (nt + EPS)
+    return W, T
+
+
+def bench_jax(n, d, k, n_warmup=2, n_timed=8):
+    import jax
+    import jax.numpy as jnp
+
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
+    cfg = SweepConfig(k=k, reset_topic_method=None)
+    sweep = make_sweep(cfg)
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        X = jax.random.uniform(k1, (n, d), jnp.float32)
+        W = jax.random.uniform(k2, (n, k), jnp.float32)
+        T = jax.random.uniform(k3, (k, d), jnp.float32)
+        return X, W, T
+
+    key = jax.random.PRNGKey(0)
+    X, W, T = gen(key)
+    reset_key = jax.random.PRNGKey(0)
+    resets = jnp.asarray(0, dtype=jnp.int32)
+
+    for _ in range(n_warmup):
+        W, T, key, resets = sweep(X, W, T, key, resets, reset_key)
+    # scalar readback = the only reliable sync on the tunnel backend
+    sync = float(jnp.sum(W)) + float(jnp.sum(T))
+    assert np.isfinite(sync)
+
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        W, T, key, resets = sweep(X, W, T, key, resets, reset_key)
+    sync = float(jnp.sum(W)) + float(jnp.sum(T))
+    dt = (time.perf_counter() - t0) / n_timed
+    assert np.isfinite(sync)
+    return dt
+
+
+def bench_numpy(n, d, k, n_timed=2):
+    rng = np.random.RandomState(0)
+    X = rng.rand(n, d).astype(np.float32)
+    W0 = rng.rand(n, k).astype(np.float32)
+    T0 = rng.rand(k, d).astype(np.float32)
+    W, T = W0.copy(), T0.copy()
+    numpy_reference_sweep(X, W, T)  # warmup (BLAS thread spin-up)
+    W, T = W0.copy(), T0.copy()
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        W, T = numpy_reference_sweep(X, W, T)
+    return (time.perf_counter() - t0) / n_timed
+
+
+def main():
+    sizes = [(16384, 8192, 128), (8192, 4096, 128), (2048, 2048, 64)]
+
+    jax_dt = None
+    for (n, d, k) in sizes:
+        try:
+            jax_dt = bench_jax(n, d, k)
+            break
+        except Exception as e:
+            print('config (%d,%d,%d) failed: %s' % (n, d, k, e),
+                  file=sys.stderr)
+            continue
+    if jax_dt is None:
+        print(json.dumps({'metric': 'rri_sweep_gflops_per_chip', 'value': 0,
+                          'unit': 'GFLOP/s', 'vs_baseline': 0}))
+        return
+
+    flops = 4.0 * n * d * k
+
+    # NumPy baseline: same math on this host. Cap the row count to keep the
+    # baseline run short; sweep cost is linear in n (two O(nd) GEMVs per
+    # topic dominate), so extrapolate — this favors the baseline if anything
+    # (smaller problems are more cache-friendly).
+    nb = min(n, 4096)
+    np_dt = bench_numpy(nb, d, k) * (n / nb)
+
+    gflops = flops / jax_dt / 1e9
+    vs_baseline = np_dt / jax_dt
+    print(json.dumps({
+        'metric': 'rri_sweep_gflops_per_chip',
+        'value': round(gflops, 2),
+        'unit': 'GFLOP/s',
+        'vs_baseline': round(vs_baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

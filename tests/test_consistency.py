@@ -1,0 +1,192 @@
+"""Cross-path consistency tests the reference never had (SURVEY.md §4):
+
+- masked path with an all-ones mask must track the unweighted path's
+  objective trajectory (same fixed-point family; per-topic subproblems agree
+  since a ones-mask vector denominator equals the scalar denominator);
+- row-weighted fit with unit weights equals the unweighted fit;
+- the incremental masked residual must not drift from the definitional
+  residual; DP noise with huge epsilon (≈ no noise) behaves like no DP.
+"""
+
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.nmf import nmf
+
+
+def _problem(n=30, d=20, k=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.abs(rng.rand(n, k) @ rng.rand(k, d) +
+                  0.01 * rng.rand(n, d))
+
+
+def test_all_ones_mask_equals_unweighted_updates():
+    """A W_mat of all ones and the unweighted path solve the same per-topic
+    subproblems; with identical inits the factors must match closely.
+
+    (The masked path's vector denominator is then constant = the scalar
+    denominator, and qf_min's vector branch with s=None, ub=None reduces to
+    the scalar branch's division.)
+    """
+    X = _problem()
+    n, d = X.shape
+    common = dict(k=4, max_iter=8, random_state=0, reset_topic_method=None,
+                  compute_obj_each_iter=True, project_T_each_iter=False,
+                  project_W_each_iter=False, w_row_sum=None, t_row_sum=None,
+                  early_stop=False)
+    s_unw = nmf(X, **common)
+    s_msk = nmf(X, W_mat=np.ones_like(X), **common)
+    assert np.allclose(s_unw['W'], s_msk['W'], atol=1e-8)
+    assert np.allclose(s_unw['T'], s_msk['T'], atol=1e-8)
+    assert np.allclose(s_unw['obj_history'], s_msk['obj_history'], atol=1e-8)
+
+
+def test_unit_w_row_matches_unweighted_factor_quality():
+    """w_row of all ones must give the same solution as no weighting, up to
+    the reference's extra post-solve W re-fit (nmf.py:531-539)."""
+    X = _problem()
+    base = nmf(X, k=3, max_iter=6, random_state=0, w_row_sum=1.0,
+               project_W_each_iter=True, compute_obj_each_iter=True,
+               early_stop=False)
+    weighted = nmf(X, k=3, max_iter=6, random_state=0, w_row_sum=1.0,
+                   w_row=np.ones((X.shape[0], 1)),
+                   project_W_each_iter=True, compute_obj_each_iter=True,
+                   early_stop=False)
+    # trajectories agree over the shared iterations
+    m = min(len(base['obj_history']), 6)
+    assert np.allclose(base['obj_history'][:m],
+                       weighted['obj_history'][:m], rtol=1e-10)
+    assert np.allclose(base['T'], weighted['T'], atol=1e-8)
+
+
+def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0):
+    """Definitional WRRI sweep: the per-topic residual is recomputed from
+    scratch (reference nmf.py:687-714,735-746 semantics), NOT maintained
+    incrementally. Oracle for the jitted kernel's rank-one bookkeeping."""
+    eps = np.spacing(10)
+    k = W.shape[1]
+    for t in range(k):
+        w = W[:, t].copy()
+        Wz = W.copy()
+        Wz[:, t] = 0
+        Rt = M * (X - Wz @ T)
+        wR = w @ Rt
+        nw = (w * w) @ M
+        x = np.where(nw > 0, np.maximum(wR, 0) / (nw + eps), 0.0)
+        if t_row_sum is not None:
+            x = np.minimum(x, t_row_sum)
+        nt1 = x.sum()
+        W[:, t] *= nt1                      # scale transfer (regs all zero)
+        T[t, :] = x
+        Wz = W.copy()
+        Wz[:, t] = 0
+        Rt = M * (X - Wz @ T)
+        Rw = Rt @ T[t]
+        nt = M @ (T[t] ** 2)
+        W[:, t] = np.where(nt > 0, np.maximum(Rw, 0) / (nt + eps), 0.0)
+    return W, T
+
+
+def test_masked_incremental_residual_matches_definitional_sweep():
+    """The jitted masked sweep maintains R = X - WT by rank-one updates; it
+    must match a from-scratch residual recomputation sweep-for-sweep (this
+    is exactly the O(ndk) vs O(ndk^2) redesign, SURVEY.md §3.2)."""
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    import jax
+    import jax.numpy as jnp
+
+    X = _problem(seed=1)
+    M = (np.random.RandomState(2).rand(*X.shape) < 0.6).astype(float)
+    rng = np.random.RandomState(3)
+    W = np.abs(rng.rand(X.shape[0], 3))
+    T = np.abs(rng.rand(3, X.shape[1]))
+
+    cfg = SweepConfig(k=3, masked=True, reset_topic_method=None,
+                      t_row_sum=1.0)
+    sweep = make_sweep(cfg)
+    Wj, Tj = jnp.asarray(W), jnp.asarray(T)
+    key = jax.random.PRNGKey(0)
+    resets = jnp.asarray(0, jnp.int32)
+    Wn, Tn = W.copy(), T.copy()
+    for it in range(5):
+        Wj, Tj, key, resets = sweep(jnp.asarray(X), Wj, Tj, key, resets,
+                                    key, jnp.asarray(M))
+        Wn, Tn = _numpy_masked_sweep(X, M, Wn, Tn)
+        assert np.allclose(np.array(Wj), Wn, atol=1e-10), 'sweep %d' % it
+        assert np.allclose(np.array(Tj), Tn, atol=1e-10), 'sweep %d' % it
+
+
+def test_dp_noise_large_eps_close_to_clean():
+    """With epsilon huge the Gaussian mechanism's sigma ~ 0 and the fit
+    matches the noiseless one (reference nmf.py:422-435)."""
+    X = _problem()
+    clean = nmf(X, k=3, max_iter=5, random_state=0, early_stop=False,
+                compute_obj_each_iter=True)
+    dp = nmf(X, k=3, max_iter=5, random_state=0, early_stop=False,
+             compute_obj_each_iter=True,
+             eps_gauss_t=1e12, delta_gauss_t=0.5)
+    assert np.allclose(clean['T'], dp['T'], atol=1e-5)
+
+
+def test_dp_noise_actually_perturbs():
+    X = _problem()
+    clean = nmf(X, k=3, max_iter=3, random_state=0, early_stop=False)
+    dp = nmf(X, k=3, max_iter=3, random_state=0, early_stop=False,
+             eps_gauss_t=1e3, delta_gauss_t=1e-3)
+    assert not np.allclose(clean['T'], dp['T'], atol=1e-8)
+
+
+def test_store_gradients_match_manual_computation():
+    """Stored T-update numerators must equal the Gauss-Seidel-consistent
+    values (reference nmf.py:653-660,677-686): recompute iteration 0's
+    first-topic gradient from the initial factors."""
+    X = _problem()
+    from rri_nmf_tpu.initialization import initialize_nmf
+    W0, T0 = initialize_nmf(X, 3, 'nndsvd', random_state=0)
+    soln = nmf(X, k=3, max_iter=2, random_state=0, early_stop=False,
+               store_gradients=True, W_in=np.maximum(W0, 0),
+               T_in=np.maximum(T0, 0), reset_topic_method=None)
+    numer = soln['numer_W'][0]
+    assert numer.shape == (3, X.shape[1])
+    w = np.maximum(W0, 0)[:, 0]
+    wX = w @ X
+    wW = w @ np.maximum(W0, 0)
+    wW[0] = 0
+    expected_first = wX - wW @ np.maximum(T0, 0)
+    assert np.allclose(numer[0], expected_first, atol=1e-10)
+    # row-subset capture
+    soln_sub = nmf(X, k=3, max_iter=1, random_state=0, early_stop=False,
+                   store_gradients=True, ind_rows_to_store=[0, 1, 2, 3],
+                   W_in=np.maximum(W0, 0), T_in=np.maximum(T0, 0),
+                   reset_topic_method=None)
+    ws = np.maximum(W0, 0)[:4, 0]
+    wXs = ws @ X[:4]
+    wWs = ws @ np.maximum(W0, 0)[:4]
+    wWs[0] = 0
+    assert np.allclose(soln_sub['numer_W'][0][0],
+                       wXs - wWs @ np.maximum(T0, 0), atol=1e-10)
+
+
+def test_topic_reset_budget_respected():
+    """Resets must stop after n_resets (reference nmf.py:765-769)."""
+    # a rank-1 matrix with k=4 forces dead topics -> resets fire
+    rng = np.random.RandomState(0)
+    X = np.outer(np.abs(rng.rand(20)), np.abs(rng.rand(15)))
+    soln = nmf(X, k=4, max_iter=10, random_state=0, n_resets=2,
+               reset_topic_method='max_resid_document',
+               compute_obj_each_iter=True, early_stop=False)
+    assert np.all(np.isfinite(soln['W']))
+    assert np.all(np.isfinite(soln['T']))
+
+
+def test_fix_reset_seed_deterministic():
+    """fix_reset_seed makes 'random' resets reproducible across runs
+    (reference nmf.py:233-235,780)."""
+    rng = np.random.RandomState(0)
+    X = np.outer(np.abs(rng.rand(20)), np.abs(rng.rand(15)))
+    kw = dict(k=4, max_iter=6, random_state=0, reset_topic_method='random',
+              fix_reset_seed=True, early_stop=False)
+    s1 = nmf(X, **kw)
+    s2 = nmf(X, **kw)
+    assert np.allclose(s1['W'], s2['W'])
+    assert np.allclose(s1['T'], s2['T'])

@@ -1,0 +1,119 @@
+"""Property tests for the qf_min subproblem solver.
+
+Beyond the reference's coverage (which only exercises qf_min indirectly):
+checks each branch against a brute-force / scipy QP oracle and pins the
+norm-return contract that the RRI scale transfer depends on.
+"""
+
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.optimization import (
+    first_last_stopping_condition, qf_min, universal_stopping_condition,
+)
+
+
+def _objective(x, w, c):
+    return float(np.sum(w * x) + 0.5 * np.sum(c * x * x))
+
+
+def _oracle_scalar_simplex(w, c, s):
+    """Brute-force oracle via scipy SLSQP for min w'x + c/2 x'x on the
+    simplex of radius s."""
+    from scipy.optimize import minimize
+    d = w.size
+    res = minimize(
+        lambda x: np.sum(w * x) + 0.5 * c * np.sum(x * x),
+        np.full(d, s / d),
+        jac=lambda x: w + c * x,
+        bounds=[(0, s)] * d,
+        constraints=[{'type': 'eq', 'fun': lambda x: np.sum(x) - s}],
+        method='SLSQP', options={'maxiter': 200, 'ftol': 1e-14})
+    return res.x
+
+
+@pytest.mark.parametrize('seed', range(5))
+def test_qf_min_scalar_positive_vs_oracle(seed):
+    rng = np.random.RandomState(seed)
+    d = 12
+    w = rng.randn(d)
+    c = float(rng.rand() + 0.1)
+    x, nx = qf_min(w, c, s=1.0, ub=1.0)
+    x = np.asarray(x)
+    # feasibility
+    assert abs(x.sum() - 1.0) < 1e-12
+    assert np.all(x >= -1e-15)
+    # optimality vs oracle
+    x_star = _oracle_scalar_simplex(w, c, 1.0)
+    assert _objective(x, w, c) <= _objective(x_star, w, c) + 1e-9
+    # norm contract: pre-projection l1 norm of the unconstrained solution
+    assert abs(float(nx) - (np.maximum(-w, 0) / (c + np.spacing(10))).sum()) \
+        < 1e-12
+
+
+def test_qf_min_scalar_nonpositive_vertex():
+    """Concave objective on the simplex: vertex at argmin(w)
+    (reference ``optimization.py:60-74``)."""
+    w = np.array([0.3, -0.5, 0.1, -0.2])
+    x, nx = qf_min(w, -1.0, s=1.0, ub=1.0)
+    x = np.asarray(x)
+    expected = np.zeros(4)
+    expected[1] = 1.0
+    assert np.allclose(x, expected)
+    assert float(nx) == 1.0
+
+
+def test_qf_min_scalar_nonpositive_no_sum():
+    """c <= 0 with no sum constraint: saturate violating coords at ub."""
+    w = np.array([0.5, -2.0, 0.3])
+    x, nx = qf_min(w, -1.0, s=None, ub=2.0)
+    x = np.asarray(x)
+    # w + c < 0 at indices 0 (0.5-1=-0.5), 1 (-3), 2 (-0.7) -> all at ub
+    assert np.allclose(x, [2.0, 2.0, 2.0])
+
+
+def test_qf_min_scalar_unbounded_raises():
+    with pytest.raises(ValueError):
+        qf_min(np.array([-1.0, 0.5]), -1.0, s=None, ub=None)
+
+
+def test_qf_min_vector_branch():
+    """Vector-c (WRRI) branch: solve on c>0 coords, clip, rescale — NOT a
+    simplex projection (reference ``optimization.py:75-88``)."""
+    w = np.array([-2.0, -1.0, -4.0, 1.0])
+    c = np.array([1.0, 0.0, 2.0, 1.0])
+    x, nx = qf_min(w, c, s=None, ub=None)
+    x = np.asarray(x)
+    assert np.allclose(x, [2.0, 0.0, 2.0, 0.0], atol=1e-10)
+    assert abs(float(nx) - 4.0) < 1e-9
+
+    # with ub clip and rescale to s
+    x, nx = qf_min(w, c, s=1.0, ub=1.5)
+    x = np.asarray(x)
+    # raw [2,0,2,0] -> ub=min(1.5, s=1.0)=1.0 -> clip [1,0,1,0], nx=2,
+    # rescale to sum 1
+    assert abs(x.sum() - 1.0) < 1e-12
+    assert np.allclose(x, [0.5, 0.0, 0.5, 0.0], atol=1e-10)
+    assert abs(float(nx) - 2.0) < 1e-9
+
+
+def test_qf_min_vector_zero_sum_guard():
+    """Dead-row rescale must not NaN (fixes reference quirk at
+    ``optimization.py:86``)."""
+    w = np.array([1.0, 2.0])      # -w all negative -> x = 0
+    c = np.array([1.0, 1.0])
+    x, nx = qf_min(w, c, s=1.0, ub=1.0)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_qf_min_vector_unbounded_raises():
+    with pytest.raises(ValueError):
+        qf_min(np.array([1.0, -1.0]), np.array([-1.0, 1.0]), s=None, ub=None)
+
+
+def test_stopping_conditions():
+    assert not universal_stopping_condition([10.0])
+    assert universal_stopping_condition([10.0, 5.0, 4.9995], eps_stop=1e-3)
+    assert not universal_stopping_condition([10.0, 5.0, 4.0], eps_stop=1e-3)
+    assert not first_last_stopping_condition([10.0])
+    assert first_last_stopping_condition([10.0, 0.0005], eps_stop=1e-4)

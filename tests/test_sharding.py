@@ -1,0 +1,102 @@
+"""GSPMD sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+"multi-chip tests (GSPMD sharded vs single-chip bitwise/tolerance parity)
+runnable on CPU via device mesh emulation")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+from rri_nmf_tpu.parallel import (
+    make_mesh, make_sharded_training_step, shard_problem,
+)
+
+
+def _problem(n=64, d=32, k=6, seed=0):
+    rng = np.random.RandomState(seed)
+    X = np.abs(rng.rand(n, d))
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    return X, W0, T0
+
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 virtual devices')
+
+
+@requires_8_devices
+def test_sharded_equals_single_device_tm():
+    """Sharded (4x2 dp,tp) sweep+objective == single-device to ~1e-12."""
+    X, W0, T0 = _problem()
+    cfg = SweepConfig(k=6, project_T_each_iter=True,
+                      project_W_each_iter=True,
+                      t_row_sum=1.0, w_row_sum=1.0)
+    mesh = make_mesh(8)
+    step = make_sharded_training_step(cfg, mesh)
+    Xs, Ws, Ts = shard_problem(mesh, X, W0, T0)
+    key = jax.random.PRNGKey(0)
+    rk = jax.random.PRNGKey(0)
+    resets = jnp.asarray(23, jnp.int32)
+
+    W1, T1, key1, r1, obj1 = step(Xs, Ws, Ts, key, resets, rk)
+    W2, T2, _, _, obj2 = step(Xs, W1, T1, key1, r1, rk)
+    assert float(obj2) <= float(obj1)
+
+    sweep = make_sweep(cfg)
+    Wd, Td, kd, rd = sweep(jnp.asarray(X), jnp.asarray(W0), jnp.asarray(T0),
+                           key, resets, rk)
+    Wd2, Td2, _, _ = sweep(jnp.asarray(X), Wd, Td, kd, rd, rk)
+    assert np.allclose(np.array(W2), np.array(Wd2), atol=1e-12)
+    assert np.allclose(np.array(T2), np.array(Td2), atol=1e-12)
+
+
+@requires_8_devices
+def test_sharded_equals_single_device_masked():
+    """Masked WRRI sweep parity under sharding (mask shards like X)."""
+    X, W0, T0 = _problem(seed=3)
+    M = (np.random.RandomState(1).rand(*X.shape) < 0.5).astype(float)
+    cfg = SweepConfig(k=6, masked=True, reset_topic_method=None,
+                      t_row_sum=1.0)
+    mesh = make_mesh(8)
+    step = make_sharded_training_step(cfg, mesh)
+    Xs, Ws, Ts, Ms = shard_problem(mesh, X, W0, T0, W_mat=M)
+    key = jax.random.PRNGKey(0)
+    rk = jax.random.PRNGKey(0)
+    resets = jnp.asarray(23, jnp.int32)
+    W1, T1, _, _, obj1 = step(Xs, Ws, Ts, key, resets, rk, Ms)
+
+    sweep = make_sweep(cfg)
+    Wd, Td, _, _ = sweep(jnp.asarray(X), jnp.asarray(W0), jnp.asarray(T0),
+                         key, resets, rk, jnp.asarray(M))
+    assert np.allclose(np.array(W1), np.array(Wd), atol=1e-11)
+    assert np.allclose(np.array(T1), np.array(Td), atol=1e-11)
+
+
+@requires_8_devices
+def test_row_only_mesh():
+    """Pure dp sharding (tp=1): the common topic-modeling layout (n >> d)."""
+    X, W0, T0 = _problem(n=80)
+    cfg = SweepConfig(k=6, reset_topic_method=None)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    step = make_sharded_training_step(cfg, mesh)
+    Xs, Ws, Ts = shard_problem(mesh, X, W0, T0)
+    key = jax.random.PRNGKey(0)
+    W1, T1, _, _, obj = step(Xs, Ws, Ts, key, jnp.asarray(0, jnp.int32), key)
+    assert np.isfinite(float(obj))
+    sweep = make_sweep(cfg)
+    Wd, Td, _, _ = sweep(jnp.asarray(X), jnp.asarray(W0), jnp.asarray(T0),
+                         key, jnp.asarray(0, jnp.int32), key)
+    assert np.allclose(np.array(W1), np.array(Wd), atol=1e-12)
+
+
+@requires_8_devices
+def test_driver_dryrun_entrypoints():
+    """The driver-facing entry points execute."""
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+    fn, args = __graft_entry__.entry()
+    out = fn(*args)
+    assert np.all(np.isfinite(np.array(out[0])))

@@ -1,0 +1,108 @@
+"""Checkpoint / resume for long (sharded) NMF runs.
+
+The reference has no file checkpointing at all — resume is purely in-memory
+via ``W_in``/``T_in`` warm starts and estimator-held factors (reference
+``nmf.py:852-859``, ``sklearn_interface.py:104-112,253-261``, and the
+``one_iter`` stepping contract pinned by ``tests/test_nmf.py:97-110``).
+Those are preserved exactly in :func:`rri_nmf_tpu.nmf.nmf`. This module
+adds what SURVEY.md §5.4 specifies for the TPU rebuild: orbax
+checkpointing of the full training state — (W, T, iteration, objective
+history, PRNG key, reset budget) — so multi-chip runs recover from
+preemption by restart-from-checkpoint (SURVEY.md §5.3).
+
+Orbax natively handles sharded ``jax.Array``s: each host writes its own
+shards, and on restore arrays are laid out back onto the mesh via the
+provided shardings.
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class NMFState:
+    """The complete resumable state of an ``nmf()`` run."""
+    W: Any
+    T: Any
+    iteration: int
+    obj_history: list
+    key: Any
+    resets_left: int
+    random_state: int
+
+    def tree(self):
+        return {
+            'W': self.W,
+            'T': self.T,
+            'iteration': np.asarray(self.iteration, np.int64),
+            'obj_history': np.asarray(self.obj_history, np.float64),
+            'key': jax.random.key_data(self.key)
+            if hasattr(jax.random, 'key_data') else self.key,
+            'resets_left': np.asarray(self.resets_left, np.int32),
+            'random_state': np.asarray(self.random_state, np.int64),
+        }
+
+    @classmethod
+    def from_tree(cls, tree):
+        key = tree['key']
+        key = jax.numpy.asarray(np.asarray(key, dtype=np.uint32))
+        return cls(
+            W=tree['W'], T=tree['T'],
+            iteration=int(tree['iteration']),
+            obj_history=list(np.asarray(tree['obj_history'])),
+            key=key,
+            resets_left=int(tree['resets_left']),
+            random_state=int(tree['random_state']))
+
+
+class NMFCheckpointer:
+    """Orbax-backed checkpoint manager for NMF training state.
+
+    Usage::
+
+        ckpt = NMFCheckpointer('/path/to/ckpts', keep=3)
+        ckpt.save(step, state)            # async-capable orbax save
+        state = ckpt.restore()            # latest, or restore(step)
+        soln = nmf(X, k, W_in=state.W, T_in=state.T, ...)  # warm resume
+    """
+
+    def __init__(self, directory, keep=3):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.directory = str(directory)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True))
+
+    def save(self, step: int, state: NMFState, wait: bool = False):
+        self.manager.save(step, args=self._ocp.args.StandardSave(
+            state.tree()))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, step: Optional[int] = None,
+                shardings: Optional[dict] = None) -> Optional[NMFState]:
+        """Restore a step (default: latest). Pass ``shardings`` (a dict with
+        'W'/'T' -> jax.sharding.Sharding) to lay factors back onto a mesh."""
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            return None
+        restored = dict(self.manager.restore(step))
+        if shardings:
+            for name in ('W', 'T'):
+                if name in shardings:
+                    restored[name] = jax.device_put(
+                        np.asarray(restored[name]), shardings[name])
+        return NMFState.from_tree(restored)
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

@@ -99,7 +99,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         reg_w_l2=0, reg_t_l2=0, reg_w_l1=0, reg_t_l1=0,
         diagnostics=[], store_gradients=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
-        dtype=None):
+        dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
+        debug_checks=False):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -114,6 +115,21 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         Compute dtype. Defaults to ``X.dtype`` for float inputs, else the
         JAX default float (float64 under ``jax_enable_x64``, float32 on
         TPU). The reference is float64-only.
+    use_pallas : optional
+        Masked-path kernel selection: ``None`` (auto — fused Pallas sweep on
+        TPU when the config supports it), ``True``/``False`` to force, or
+        ``'interpret'`` for the Pallas interpreter (testing on CPU).
+    checkpoint : optional
+        A :class:`rri_nmf_tpu.checkpoint.NMFCheckpointer` or a directory
+        path. When set, training resumes from the latest checkpoint (if
+        any) and saves state every ``checkpoint_every`` iterations. The
+        reference has no file checkpointing (SURVEY.md §5.4); in-memory
+        warm starts via ``W_in``/``T_in`` are preserved independently.
+    debug_checks : bool, optional
+        Validate factor invariants (non-negativity, finiteness, row-sum
+        feasibility) after every iteration — the jit-compatible analog of
+        the reference's in-loop asserts (``nmf.py:475-476``). Off by
+        default (forces a device sync per iteration).
 
     Returns
     -------
@@ -258,11 +274,43 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         store_rows=(tuple(int(i) for i in ind_rows_to_store)
                     if (store_gradients and ind_rows_to_store is not None)
                     else None))
-    sweep_fn = make_sweep(cfg)
+
+    from rri_nmf_tpu.ops.sweep_pallas import (
+        make_masked_sweep_pallas, supports_pallas)
+    pallas_ok = supports_pallas(cfg)
+    if use_pallas is None:
+        use_pallas = pallas_ok and jax.default_backend() not in ('cpu',)
+    if use_pallas and not pallas_ok:
+        logger.warning('use_pallas requested but config unsupported by the '
+                       'fused kernel; falling back to the XLA sweep.')
+        use_pallas = False
+    if use_pallas:
+        sweep_fn = make_masked_sweep_pallas(
+            cfg, interpret=(use_pallas == 'interpret'))
+    else:
+        sweep_fn = make_sweep(cfg)
 
     key = jax.random.fold_in(jax.random.PRNGKey(random_state), 0)
     reset_key = jax.random.PRNGKey(random_state)
     resets_left = jnp.asarray(n_resets, dtype=jnp.int32)
+
+    # ---- optional checkpoint/resume (SURVEY.md §5.4) -----------------------
+    ckpt = None
+    start_iter = 0
+    _resumed = None
+    if checkpoint is not None:
+        from rri_nmf_tpu.checkpoint import NMFCheckpointer
+        ckpt = checkpoint if isinstance(checkpoint, NMFCheckpointer) \
+            else NMFCheckpointer(checkpoint)
+        _resumed = ckpt.restore()
+        if _resumed is not None:
+            logger.info('Resuming from checkpoint step %d',
+                        _resumed.iteration)
+            W_dev = jnp.asarray(np.asarray(_resumed.W), dtype=dtype)
+            T_dev = jnp.asarray(np.asarray(_resumed.T), dtype=dtype)
+            key = _resumed.key
+            resets_left = jnp.asarray(_resumed.resets_left, dtype=jnp.int32)
+            start_iter = _resumed.iteration
 
     # ---- early stopping state (reference nmf.py:360-363) ------------------
     if early_stop:
@@ -284,8 +332,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             rtv['diagnostics'][func.__name__].append(
                 func(np.asarray(X), np.array(W_dev), np.array(T_dev)))
 
+    if _resumed is not None:
+        # restored run: rebuild history so stopping conditions see it
+        obj_history = list(_resumed.obj_history)
+
     # ---- outer iteration loop (reference nmf.py:377-514) ------------------
-    for iter_no in range(max_iter):
+    for iter_no in range(start_iter, max_iter):
         logger.info('Iteration %d', iter_no)
 
         if early_stop:
@@ -324,6 +376,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         else:
             W_dev, T_dev, key, resets_left = out
 
+        if debug_checks:
+            from rri_nmf_tpu.utils.debug import validate_factors
+            validate_factors(W_dev, T_dev, w_row_sum=w_row_sum,
+                             t_row_sum=t_row_sum,
+                             project_W_each_iter=project_W_each_iter,
+                             project_T_each_iter=project_T_each_iter)
+
         if compute_obj_each_iter:
             OBJ.W, OBJ.T = W_dev, T_dev
             obj_history.append(OBJ.true_objective())
@@ -341,6 +400,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 logger.info('\t%s: %s', func.__name__, dval)
 
         logger.info('\tTime: %.3fsec', time.time() - it_start_time)
+
+        if ckpt is not None and checkpoint_every > 0 and \
+                (iter_no + 1) % checkpoint_every == 0:
+            from rri_nmf_tpu.checkpoint import NMFState
+            ckpt.save(iter_no + 1, NMFState(
+                W=np.array(W_dev), T=np.array(T_dev),
+                iteration=iter_no + 1, obj_history=list(obj_history),
+                key=key, resets_left=int(resets_left),
+                random_state=random_state))
 
         if time.time() - t_global_start >= max_time:
             logger.info('STOPPING because max_time after iter %d', iter_no)

@@ -1,0 +1,300 @@
+"""Fused Pallas TPU kernels for the masked WRRI sweep.
+
+The north-star centerpiece (BASELINE.json): the reference's masked path
+rebuilds the full ``n×d`` residual per topic with a GEMM and several
+elementwise materializations (reference ``nmf.py:687-714,735-746`` — the
+"k times slower" path, ``nmf.py:355-356``; its README wishes for a Cython
+kernel, ``README.md:19``). The XLA redesign in :mod:`sweep_xla` already
+fixes the asymptotics to O(ndk) by maintaining ``R = X - WT`` with rank-one
+updates; these Pallas kernels additionally fuse the bookkeeping with the
+reductions so each topic phase makes exactly ONE streaming pass over the
+residual:
+
+- **Kernel A′** (T-phase): for each VMEM tile of R it (a) applies the
+  *pending* rank-one update left over from the previous topic's W-phase
+  (``R += dw · t_prevᵀ``), writes the tile back (in-place via
+  ``input_output_aliases``), and (b) accumulates both T-phase reductions
+  ``wR0 = wᵀ(M ⊙ R)`` and ``nw = (w²)ᵀ M`` on the fly. One read + one write
+  of R, one read of M — where the unfused path needs ~3× that.
+- **Kernel B** (W-phase): applies the T-phase rank-one update
+  (``R += w·t_oldᵀ − w_eff·t_newᵀ``) and accumulates the W-phase reductions
+  ``(M ⊙ R) t_new`` and ``M t_new²`` in the same pass.
+
+The W-phase's own rank-one update is *deferred* — it becomes the next
+topic's "pending" update in kernel A′, so it costs no extra pass at all.
+R is refreshed from (X, W, T) at the start of every sweep (one GEMM), so
+the final pending update needs no flush and float drift is bounded to one
+sweep.
+
+Both reductions ride the MXU as (1×bn)·(bn×bd) / (bn×bd)·(bd×1) contractions
+per tile. Inputs are zero-padded to tile multiples once per sweep; padded
+mask entries are zero so they contribute nothing to any reduction.
+
+Restrictions (the driver falls back to the XLA sweep otherwise): masked
+configs with ``reset_topic_method=None`` (the recommender preset,
+``sklearn_interface.py:116-123``), no store_gradients, no DP noise.
+"""
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rri_nmf_tpu.optimization import qf_min_vector_c
+
+# tile sizes: (BN, BD) f32 tiles of R and M live in VMEM simultaneously
+# (2 · 256·512·4B = 1 MB) plus small vector tiles — comfortably inside the
+# ~16 MB VMEM budget with double buffering.
+BN = 256
+BD = 512
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _phase_a_kernel(R_ref, M_ref, dw_ref, tprev_ref, w_ref,
+                    R_out_ref, wR0_ref, nw_ref):
+    """Apply pending rank-one update; accumulate T-phase reductions.
+
+    Grid: (d_blocks, n_blocks) — n innermost so the (1, BD) accumulator
+    tiles stay resident while row tiles stream.
+    """
+    i = pl.program_id(1)  # row-block index (innermost)
+
+    Rblk = R_ref[:] + dw_ref[:] * tprev_ref[:]          # (BN, BD) rank-one
+    R_out_ref[:] = Rblk
+    MR = M_ref[:] * Rblk
+
+    w = w_ref[:]                                        # (BN, 1)
+    acc_t = MR.dtype  # float32 on TPU; float64 under CPU interpret tests
+    part_wR0 = jax.lax.dot_general(
+        w, MR, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t)                   # (1, BD)
+    part_nw = jax.lax.dot_general(
+        w * w, M_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_t)
+
+    @pl.when(i == 0)
+    def _():
+        wR0_ref[:] = part_wR0
+        nw_ref[:] = part_nw
+
+    @pl.when(i > 0)
+    def _():
+        wR0_ref[:] = wR0_ref[:] + part_wR0
+        nw_ref[:] = nw_ref[:] + part_nw
+
+
+def _phase_b_kernel(R_ref, M_ref, w_ref, weff_ref, told_ref, tnew_ref,
+                    R_out_ref, Rt_ref, mt2_ref):
+    """Apply the T-phase rank-one update; accumulate W-phase reductions.
+
+    Grid: (n_blocks, d_blocks) — d innermost so the (BN, 1) accumulator
+    tiles stay resident while column tiles stream.
+    """
+    j = pl.program_id(1)  # column-block index (innermost)
+
+    Rblk = R_ref[:] + w_ref[:] * told_ref[:] - weff_ref[:] * tnew_ref[:]
+    R_out_ref[:] = Rblk
+    MR = M_ref[:] * Rblk
+
+    tn = tnew_ref[:]                                    # (1, BD)
+    acc_t = MR.dtype  # float32 on TPU; float64 under CPU interpret tests
+    part_Rt = jax.lax.dot_general(
+        MR, tn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t)                   # (BN, 1)
+    part_mt2 = jax.lax.dot_general(
+        M_ref[:], tn * tn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t)
+
+    @pl.when(j == 0)
+    def _():
+        Rt_ref[:] = part_Rt
+        mt2_ref[:] = part_mt2
+
+    @pl.when(j > 0)
+    def _():
+        Rt_ref[:] = Rt_ref[:] + part_Rt
+        mt2_ref[:] = mt2_ref[:] + part_mt2
+
+
+def _phase_a(R, M, dw, t_prev, w, interpret):
+    npad, dpad = R.shape
+    gn, gd = npad // BN, dpad // BD
+    dtype = R.dtype
+    return pl.pallas_call(
+        _phase_a_kernel,
+        grid=(gd, gn),
+        in_specs=[
+            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),       # R
+            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),       # M
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),       # dw
+            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),       # t_prev
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),       # w
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),       # R out (aliased)
+            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),       # wR0
+            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),       # nw
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, dpad), dtype),
+            jax.ShapeDtypeStruct((1, dpad), dtype),
+            jax.ShapeDtypeStruct((1, dpad), dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * npad * dpad,
+            bytes_accessed=3 * npad * dpad * R.dtype.itemsize,
+            transcendentals=0),
+    )(R, M, dw.reshape(-1, 1), t_prev.reshape(1, -1), w.reshape(-1, 1))
+
+
+def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
+    npad, dpad = R.shape
+    gn, gd = npad // BN, dpad // BD
+    dtype = R.dtype
+    return pl.pallas_call(
+        _phase_b_kernel,
+        grid=(gn, gd),
+        in_specs=[
+            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),       # R
+            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),       # M
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),       # w (old col)
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),       # w_eff
+            pl.BlockSpec((1, BD), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),       # t_old
+            pl.BlockSpec((1, BD), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),       # t_new
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),       # R out (aliased)
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),       # Rt
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),       # mt2
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, dpad), dtype),
+            jax.ShapeDtypeStruct((npad, 1), dtype),
+            jax.ShapeDtypeStruct((npad, 1), dtype),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * npad * dpad,
+            bytes_accessed=3 * npad * dpad * R.dtype.itemsize,
+            transcendentals=0),
+    )(R, M, w.reshape(-1, 1), w_eff.reshape(-1, 1),
+      t_old.reshape(1, -1), t_new.reshape(1, -1))
+
+
+def supports_pallas(cfg) -> bool:
+    """Whether the fused kernel covers this config (else: XLA sweep)."""
+    return (cfg.masked
+            and cfg.reset_topic_method is None
+            and not cfg.store_gradients
+            and cfg.dp_sigma is None
+            and not cfg.fix_T and not cfg.fix_W)
+
+
+@lru_cache(maxsize=16)
+def make_masked_sweep_pallas(cfg, interpret=False):
+    """Build the fused Pallas masked sweep with the same call signature as
+    :func:`rri_nmf_tpu.ops.sweep_xla.make_sweep` for masked configs::
+
+        sweep(X, W, T, key, resets_left, reset_key, W_mat[, w_row_sum_vec])
+            -> (W, T, key, resets_left)
+    """
+    assert supports_pallas(cfg), 'config not supported by the Pallas sweep'
+    k = cfg.k
+
+    def sweep(X, W, T, key, resets_left, reset_key, *extras):
+        W_mat = extras[0]
+        w_row_sum_vec = (extras[1].reshape(-1)
+                         if cfg.w_row_sum_is_vector else None)
+        n, d = X.shape
+        npad, dpad = _round_up(n, BN), _round_up(d, BD)
+        dtype = X.dtype
+
+        Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
+        Mp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(W_mat)
+        Wp = jnp.zeros((npad, k), dtype).at[:n].set(W)
+        Tp = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
+        if cfg.w_row_sum_is_vector:
+            ubp = jnp.zeros((npad,), dtype).at[:n].set(
+                w_row_sum_vec.astype(dtype))
+        else:
+            ubp = None
+
+        R = Xp - Wp @ Tp   # fresh residual each sweep bounds float drift
+
+        pend_dw = jnp.zeros((npad,), dtype)
+        pend_t = jnp.zeros((dpad,), dtype)
+
+        def topic_body(t, carry):
+            Wp, Tp, R, pend_dw, pend_t = carry
+            w = Wp[:, t]
+
+            # ---- T-phase: one fused pass (pending update + reductions)
+            R, wR0, nw = _phase_a(R, Mp, pend_dw, pend_t, w, interpret)
+            wR0 = wR0.reshape(-1)
+            nw = nw.reshape(-1)
+            wR = wR0 + Tp[t] * nw      # rank-one restore, vector identity
+
+            numer = wR - cfg.reg_t_l1
+            denom = nw + cfg.reg_t_l2
+            t_new, nt1 = qf_min_vector_c(-numer, denom,
+                                         s=cfg.t_update_s, ub=cfg.t_row_sum)
+            t_old = Tp[t]
+            if cfg.scale_transfer:
+                Wp = Wp.at[:, t].multiply(nt1)
+                w_eff = w * nt1
+            else:
+                w_eff = w
+            Tp = Tp.at[t].set(t_new)
+
+            # ---- W-phase: one fused pass (T update + reductions)
+            R, Rt0, mt2 = _phase_b(R, Mp, w, w_eff, t_old, t_new, interpret)
+            Rt0 = Rt0.reshape(-1)
+            mt2 = mt2.reshape(-1)
+            Rt = Rt0 + w_eff * mt2     # rank-one restore on the W side
+
+            numer_w = Rt - cfg.reg_w_l1
+            denom_w = mt2 + cfg.reg_w_l2
+            ub = ubp if cfg.w_row_sum_is_vector else cfg.w_row_sum
+            w_new, _ = qf_min_vector_c(-numer_w, denom_w, s=None, ub=ub)
+            Wp = Wp.at[:, t].set(w_new)
+
+            # defer this topic's W rank-one update into the next A' pass
+            pend_dw = w_eff - w_new
+            pend_t = t_new
+            return Wp, Tp, R, pend_dw, pend_t
+
+        Wp, Tp, R, pend_dw, pend_t = lax.fori_loop(
+            0, k, topic_body, (Wp, Tp, R, pend_dw, pend_t))
+        # no flush needed: R is rebuilt from (X, W, T) next sweep
+
+        return Wp[:n], Tp[:, :d], key, resets_left
+
+    return jax.jit(sweep)

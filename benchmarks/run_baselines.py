@@ -1,0 +1,323 @@
+"""Benchmark harness for the five BASELINE.md configs.
+
+Usage::
+
+    python benchmarks/run_baselines.py --configs cpu_parity,recsys_masked
+    python benchmarks/run_baselines.py --configs all --out results.json
+
+Datasets: the build environment has zero egress, so 20 Newsgroups and
+MovieLens are replaced by synthetic generators matched in shape, sparsity,
+and value distribution (documented per config in the output). The NumPy
+baseline is a faithful reimplementation of the reference's per-topic update
+loop (``bench.numpy_reference_sweep`` for dense; a definitional masked
+sweep here for WRRI) — the reference publishes no numbers of its own
+(BASELINE.md), so beating its implementation wall-clock is the bar.
+
+Each config emits a JSON record with timings, quality metrics, and the
+config provenance.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EPS = float(np.spacing(10))
+
+
+def _synth_lowrank(n, d, k, seed=0, noise=0.01, dtype=np.float64):
+    rng = np.random.RandomState(seed)
+    W = np.abs(rng.rand(n, k))
+    T = np.abs(rng.rand(k, d))
+    return (W @ T + noise * np.abs(rng.rand(n, d))).astype(dtype)
+
+
+def _synth_text(n_docs, n_words, n_topics, seed=0, doc_len=120):
+    """Synthetic topic-model corpus: Zipfian topic-word distributions,
+    Dirichlet doc-topic mixtures, multinomial counts (20NG stand-in)."""
+    rng = np.random.RandomState(seed)
+    word_rank = np.arange(1, n_words + 1, dtype=float)
+    topics = np.zeros((n_topics, n_words))
+    for t in range(n_topics):
+        perm = rng.permutation(n_words)
+        topics[t, perm] = 1.0 / word_rank          # permuted Zipf
+        topics[t] /= topics[t].sum()
+    theta = rng.dirichlet(np.full(n_topics, 0.1), size=n_docs)
+    X = np.zeros((n_docs, n_words))
+    probs = theta @ topics
+    for i in range(n_docs):
+        X[i] = rng.multinomial(doc_len, probs[i])
+    return X
+
+
+def _synth_ratings(n_users, n_items, n_obs, k, seed=0):
+    """MovieLens-like: low-rank preference structure, 1-5 integer ratings."""
+    rng = np.random.RandomState(seed)
+    U = rng.rand(n_users, k)
+    V = rng.rand(k, n_items)
+    scores = U @ V
+    scores = 1 + 4 * (scores - scores.min()) / (scores.max() - scores.min())
+    I = rng.randint(0, n_users, n_obs)
+    J = rng.randint(0, n_items, n_obs)
+    X = np.zeros((n_users, n_items))
+    X[I, J] = np.clip(np.round(scores[I, J] + 0.5 * rng.randn(n_obs)), 1, 5)
+    return X
+
+
+def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0):
+    """Reference-semantics WRRI sweep (per-topic full residual GEMM — the
+    O(ndk^2) path, reference nmf.py:687-714,735-746)."""
+    k = W.shape[1]
+    for t in range(k):
+        w = W[:, t].copy()
+        Wz = W.copy(); Wz[:, t] = 0
+        Rt = M * (X - Wz @ T)
+        wR = w @ Rt
+        nw = (w * w) @ M
+        x = np.where(nw > 0, np.maximum(wR, 0) / (nw + EPS), 0.0)
+        if t_row_sum is not None:
+            x = np.minimum(x, t_row_sum)
+        W[:, t] *= x.sum()
+        T[t, :] = x
+        Wz = W.copy(); Wz[:, t] = 0
+        Rt = M * (X - Wz @ T)
+        Rw = Rt @ T[t]
+        nt = M @ (T[t] ** 2)
+        W[:, t] = np.where(nt > 0, np.maximum(Rw, 0) / (nt + EPS), 0.0)
+    return W, T
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+def cfg_cpu_parity():
+    """BASELINE #1: synthetic dense 2k×1k, k=20 — parity vs sklearn NMF."""
+    from sklearn.decomposition import NMF as SkNMF
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.metrics import frobenius_relative_error
+
+    X = _synth_lowrank(2000, 1000, 20, noise=0.05)
+    k = 20
+
+    t0 = time.perf_counter()
+    sk = SkNMF(n_components=k, init='nndsvd', max_iter=200, tol=1e-6,
+               random_state=0).fit(X)
+    sk_time = time.perf_counter() - t0
+    sk_err = frobenius_relative_error(X, sk.transform(X), sk.components_)
+
+    # wall-clock to reach sklearn's error level (the BASELINE metric is
+    # "wall-clock to a fixed relative Frobenius error"); RRI converges past
+    # sklearn's CD given iterations, so run warm-started blocks until we
+    # cross sk_err (obj tracking off during timing — its 2x penalty,
+    # reference nmf.py:143-146, would distort the comparison)
+    our_time = 0.0
+    iters = 0
+    W_in, T_in = [], []
+    our_err = np.inf
+    mono_checked = None
+    while our_err > sk_err and iters < 1000:
+        t0 = time.perf_counter()
+        soln = nmf(X, k, max_iter=100, random_state=0, early_stop=False,
+                   reset_topic_method=None, W_in=W_in, T_in=T_in)
+        our_time += time.perf_counter() - t0
+        iters += 100
+        W_in, T_in = soln['W'], soln['T']
+        our_err = frobenius_relative_error(X, W_in, T_in)
+
+    chk = nmf(X, k, max_iter=15, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None)
+    mono_checked = bool(np.all(np.diff(chk['obj_history']) <= 0))
+
+    return {
+        'config': 'cpu_parity_2kx1k_k20',
+        'sklearn_nmf': {'rel_frob_err': sk_err, 'seconds': sk_time},
+        'rri_nmf_tpu': {'rel_frob_err': our_err, 'seconds': our_time,
+                        'iters': iters},
+        'monotone': mono_checked,
+        'parity': bool(our_err <= sk_err),
+    }
+
+
+def cfg_topic_modeling(n_docs=2000, n_words=5000, k=50):
+    """BASELINE #2 (scaled synthetic 20NG stand-in): reconstruction +
+    UMass coherence."""
+    from rri_nmf_tpu.matrixops import normalize, tfidf
+    from rri_nmf_tpu.metrics import frobenius_relative_error, umass_coherence
+    from rri_nmf_tpu.sklearn_interface import NMF_TM_Estimator
+
+    counts = _synth_text(n_docs, n_words, 30)
+    X = np.asarray(normalize(tfidf(counts)))
+    t0 = time.perf_counter()
+    M = NMF_TM_Estimator(n_docs, n_words, k, random_state=0,
+                         max_iter=30).fit(X)
+    fit_time = time.perf_counter() - t0
+    return {
+        'config': 'topic_modeling_synth20ng_%dx%d_k%d' % (n_docs, n_words, k),
+        'note': 'synthetic Zipf/Dirichlet corpus (no egress for 20NG)',
+        'seconds': fit_time,
+        'rel_frob_err': frobenius_relative_error(X, M.W, M.T),
+        'umass_coherence': umass_coherence(counts, M.T, top_n=8),
+    }
+
+
+def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
+                      baseline_sweeps=2):
+    """BASELINE #3 (scaled MovieLens stand-in): masked WRRI + masked-SVD
+    init; RMSE + wall-clock vs the reference's O(ndk^2) loop."""
+    from rri_nmf_tpu.initialization import masked_svd_init
+    from rri_nmf_tpu.metrics import rmse_observed
+    from rri_nmf_tpu.nmf import nmf
+
+    X = _synth_ratings(n_users, n_items, n_obs, 8)
+    M = (X > 0).astype(float)
+
+    t0 = time.perf_counter()
+    W0, T0 = masked_svd_init(X, M, k, random_state=0, n_iter=4)
+    init_time = time.perf_counter() - t0
+
+    n_sweeps = 20
+    t0 = time.perf_counter()
+    soln = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=n_sweeps,
+               random_state=0, reset_topic_method=None,
+               t_row_sum=float(X.max()), early_stop=False)
+    fit_time = time.perf_counter() - t0
+    rmse = rmse_observed(X, soln['W'], soln['T'], 1, 5)
+    mono = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=8, random_state=0,
+               reset_topic_method=None, t_row_sum=float(X.max()),
+               compute_obj_each_iter=True, early_stop=False)
+
+    # reference-semantics numpy loop, per-sweep time (extrapolate to 20)
+    Wb, Tb = W0.copy().astype(float), T0.copy().astype(float)
+    t0 = time.perf_counter()
+    for _ in range(baseline_sweeps):
+        Wb, Tb = _numpy_masked_sweep(X, M, Wb, Tb, t_row_sum=float(X.max()))
+    ref_per_sweep = (time.perf_counter() - t0) / baseline_sweeps
+
+    return {
+        'config': 'recsys_masked_%dx%d_%dobs_k%d' % (n_users, n_items,
+                                                     n_obs, k),
+        'note': 'synthetic MovieLens stand-in (no egress); masked-SVD init',
+        'masked_svd_init_seconds': init_time,
+        'fit_seconds': fit_time,
+        'per_sweep_seconds': fit_time / n_sweeps,
+        'reference_numpy_per_sweep_seconds': ref_per_sweep,
+        'speedup_per_sweep': ref_per_sweep / (fit_time / n_sweeps),
+        'train_rmse': rmse,
+        'monotone': bool(np.all(np.diff(mono['obj_history']) <= 1e-9)),
+    }
+
+
+def cfg_dense_sweep():
+    """BASELINE #4: largest dense sweep on this chip — delegates to
+    bench.py's measurement (GFLOP/s + speedup vs NumPy reference)."""
+    import importlib
+    bench = importlib.import_module('bench')
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    rec['config'] = 'dense_sweep_single_chip'
+    return rec
+
+
+def cfg_sharded(n_devices=8):
+    """BASELINE #5: row/column-sharded sweep over a device mesh. On this
+    build host multi-chip hardware is unavailable; runs on a virtual CPU
+    mesh to validate the GSPMD path and reports per-step timings + parity
+    with the single-device sweep."""
+    import jax
+    if len(jax.devices()) < n_devices:
+        return {'config': 'sharded_mesh', 'skipped':
+                'only %d devices visible (need %d); run under '
+                'XLA_FLAGS=--xla_force_host_platform_device_count=8 '
+                'JAX_PLATFORMS=cpu or on a real pod slice'
+                % (len(jax.devices()), n_devices)}
+
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    from rri_nmf_tpu.parallel import (
+        make_mesh, make_sharded_training_step, shard_problem)
+
+    n, d, k = 2048, 1024, 32
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(n, d)).astype(np.float32)
+    W0 = np.abs(rng.rand(n, k)).astype(np.float32)
+    T0 = np.abs(rng.rand(k, d)).astype(np.float32)
+
+    cfg = SweepConfig(k=k, reset_topic_method=None)
+    mesh = make_mesh(n_devices)
+    step = make_sharded_training_step(cfg, mesh, with_objective=False)
+    Xs, Ws, Ts = shard_problem(mesh, X, W0, T0)
+    key = jax.random.PRNGKey(0)
+    resets = jnp.asarray(0, jnp.int32)
+
+    W1, T1, k1, r1 = step(Xs, Ws, Ts, key, resets, key)
+    jax.block_until_ready((W1, T1))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        W1, T1, k1, r1 = step(Xs, W1, T1, k1, r1, key)
+    jax.block_until_ready((W1, T1))
+    per_step = (time.perf_counter() - t0) / 5
+
+    sweep = make_sweep(cfg)
+    Wd1, Td1, _, _ = sweep(jnp.asarray(X), jnp.asarray(W0),
+                           jnp.asarray(T0), key, resets, key)
+    Ws1, Ts1, _, _ = step(Xs, Ws, Ts, key, resets, key)
+    parity = bool(np.allclose(np.array(Ws1), np.array(Wd1), atol=1e-5))
+
+    return {
+        'config': 'sharded_mesh_%dx%d' % mesh.devices.shape,
+        'note': 'virtual CPU mesh (no multi-chip hardware on build host)',
+        'per_step_seconds': per_step,
+        'parity_with_single_device': parity,
+    }
+
+
+ALL = {
+    'cpu_parity': cfg_cpu_parity,
+    'topic_modeling': cfg_topic_modeling,
+    'recsys_masked': cfg_recsys_masked,
+    'dense_sweep': cfg_dense_sweep,
+    'sharded': cfg_sharded,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--configs', default='all')
+    ap.add_argument('--out', default=None)
+    ap.add_argument('--platform', default=None,
+                    help="force a JAX platform (e.g. 'cpu'); needed because "
+                         "the ambient TPU plugin overrides JAX_PLATFORMS")
+    ap.add_argument('--x64', action='store_true',
+                    help='enable float64 (CPU parity runs)')
+    args = ap.parse_args()
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    if args.x64:
+        jax.config.update('jax_enable_x64', True)
+    names = list(ALL) if args.configs == 'all' else args.configs.split(',')
+    results = []
+    for name in names:
+        print('== %s ==' % name, file=sys.stderr, flush=True)
+        try:
+            rec = ALL[name]()
+        except Exception as e:
+            rec = {'config': name, 'error': repr(e)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2))
+
+
+if __name__ == '__main__':
+    main()

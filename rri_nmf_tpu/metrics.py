@@ -1,0 +1,66 @@
+"""Evaluation metrics for the BASELINE.md benchmark configs.
+
+The reference computes RMSE (``sklearn_interface.py:172-182``) and R²
+(``sklearn_interface.py:339-345``) inside its estimators; those are kept
+there. This module adds the standalone metrics the benchmark harness
+reports (BASELINE.md: "reconstruction + coherence scores", "recommender
+RMSE") plus the relative Frobenius error that defines the north-star target
+("wall-clock to 1e-4 rel. Frobenius err").
+"""
+
+import numpy as np
+
+
+def frobenius_relative_error(X, W, T):
+    """``||X - WT||_F / ||X||_F`` — the north-star convergence criterion."""
+    X = np.asarray(X)
+    return float(np.linalg.norm(X - np.asarray(W) @ np.asarray(T)) /
+                 np.linalg.norm(X))
+
+
+def rmse_observed(X, W, T, min_rating=None, max_rating=None):
+    """RMSE over the nonzero (observed) entries of X, with optional rating
+    clipping — the RS estimator's scoring rule
+    (reference ``sklearn_interface.py:85-93,172-182``)."""
+    X = np.asarray(X)
+    I, J = X.nonzero()
+    pred = (np.asarray(W) @ np.asarray(T))[I, J]
+    if min_rating is not None or max_rating is not None:
+        pred = np.clip(pred, min_rating, max_rating)
+    return float(np.sqrt(np.mean((pred - X[I, J]) ** 2)))
+
+
+def r2_reconstruction(X, W, T):
+    """R² of reconstructing X (reference ``sklearn_interface.py:339-345``)."""
+    X = np.asarray(X)
+    SST = ((X - X.mean(axis=0)) ** 2).sum()
+    SSE = ((X - np.asarray(W) @ np.asarray(T)) ** 2).sum()
+    return float(1 - SSE / SST)
+
+
+def umass_coherence(X_counts, T, top_n=10, eps=1.0):
+    """Mean UMass topic coherence over topics.
+
+    ``C(t) = mean over word pairs (i<j of the top_n words of topic t) of
+    log((D(w_i, w_j) + eps) / D(w_j))`` where D counts documents containing
+    the word(s). Standard topic-quality metric (Mimno et al. 2011); the
+    BASELINE 20-Newsgroups config reports it alongside reconstruction.
+    """
+    X = np.asarray(X_counts) > 0            # (docs, words) occurrence
+    T = np.asarray(T)
+    k = T.shape[0]
+    scores = []
+    for t in range(k):
+        top = np.argsort(-T[t])[:top_n]
+        pair_scores = []
+        for a in range(1, len(top)):
+            for b in range(a):
+                wi, wj = top[a], top[b]
+                d_j = X[:, wj].sum()
+                if d_j == 0:
+                    continue
+                d_ij = np.logical_and(X[:, wi], X[:, wj]).sum()
+                pair_scores.append(np.log((d_ij + eps) / d_j))
+        if pair_scores:
+            scores.append(np.mean(pair_scores))
+    return float(np.mean(scores)) if scores else float('nan')

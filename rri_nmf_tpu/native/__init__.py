@@ -1,0 +1,136 @@
+"""Native (C++/OpenMP) host data-path kernels with NumPy fallback.
+
+The TPU compute path is JAX/XLA/Pallas; this is the *runtime around it*:
+host-side data preparation that would otherwise serialize fits behind
+scipy materializations (the reference's COO→dense+mask construction,
+``sklearn_interface.py:78-102``). The library is compiled on first use
+with the toolchain baked into the image (g++, ``-O3 -fopenmp``), cached
+next to the source, and bound via ``ctypes`` (no pybind11 in the image).
+Every entry point has a NumPy fallback so the package works without a
+compiler.
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+import sysconfig
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / 'coo_dense.cpp'
+_SO = Path(__file__).parent / '_nmfdata.so'
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared', '-fPIC',
+           str(_SRC), '-o', str(_SO)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    """Compile (once) and load the shared library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+            lib.coo_to_dense_mask.restype = ctypes.c_int
+            lib.coo_to_dense_mask.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+            lib.split_train_val.restype = None
+            lib.split_train_val.argtypes = [
+                ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.column_df.restype = None
+            lib.column_df.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            _lib = lib
+        except Exception as e:  # no compiler / load failure -> fallback
+            logger.info('native data-path unavailable (%s); using NumPy '
+                        'fallback', e)
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def coo_to_dense_mask(rows, cols, vals, n, d):
+    """COO triples → (X float32 (n,d), M float32 (n,d)) in one parallel
+    pass. Native when available, NumPy otherwise."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    lib = _load()
+    if lib is not None:
+        X = np.empty((n, d), dtype=np.float32)
+        M = np.empty((n, d), dtype=np.float32)
+        rc = lib.coo_to_dense_mask(
+            _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+            _ptr(vals, ctypes.c_double), len(vals), n, d,
+            _ptr(X, ctypes.c_float), _ptr(M, ctypes.c_float))
+        if rc != 0:
+            raise ValueError('COO indices out of range for shape (%d, %d)'
+                             % (n, d))
+        return X, M
+    if len(rows) and (rows.min() < 0 or rows.max() >= n or
+                      cols.min() < 0 or cols.max() >= d):
+        raise ValueError('COO indices out of range for shape (%d, %d)'
+                         % (n, d))
+    X = np.zeros((n, d), dtype=np.float32)
+    M = np.zeros((n, d), dtype=np.float32)
+    X[rows, cols] = vals
+    M[rows, cols] = 1.0
+    return X, M
+
+
+def split_train_val(nnz, val_frac, seed=0):
+    """Deterministic boolean validation flags for nnz observations."""
+    lib = _load()
+    if lib is not None:
+        flags = np.empty((nnz,), dtype=np.uint8)
+        lib.split_train_val(nnz, float(val_frac), int(seed) & (2**64 - 1),
+                            _ptr(flags, ctypes.c_uint8))
+        return flags.astype(bool)
+    # NumPy fallback replicating the splitmix64 stream
+    t = np.arange(1, nnz + 1, dtype=np.uint64)
+    z = np.uint64(seed) + t * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    u = (z >> np.uint64(11)).astype(np.float64) / 9007199254740992.0
+    return u < val_frac
+
+
+def column_df(X):
+    """Per-column document frequency of a dense count matrix."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    lib = _load()
+    if lib is not None:
+        n, d = X.shape
+        df = np.empty((d,), dtype=np.int64)
+        lib.column_df(_ptr(X, ctypes.c_double), n, d,
+                      _ptr(df, ctypes.c_int64))
+        return df
+    return (X > 0).sum(0).astype(np.int64)

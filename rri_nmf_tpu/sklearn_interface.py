@@ -71,13 +71,20 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         self.min_rating = np.min(y)
         self.max_rating = np.max(y)
 
+        from rri_nmf_tpu import native
+
         if self.use_validation_early_stopping:
             UItr, UIval, Rtr, Rval = train_test_split(
                 X, y, test_size=0.05, random_state=0, stratify=None)
-            Xtr = sp.coo_matrix((Rtr, (UItr[:, 0], UItr[:, 1])),
-                                shape=(self.n, self.d)).toarray()
-            Xv = sp.coo_matrix((Rval, (UIval[:, 0], UIval[:, 1])),
-                               shape=(self.n, self.d)).toarray()
+            # one-pass parallel scatter (C++/OpenMP when built; the
+            # reference materializes scipy COO matrices here,
+            # sklearn_interface.py:78-83)
+            Xtr, W_mat_tr = native.coo_to_dense_mask(
+                UItr[:, 0], UItr[:, 1], Rtr, self.n, self.d)
+            Xtr = Xtr.astype(np.float64)
+            Xv, _ = native.coo_to_dense_mask(
+                UIval[:, 0], UIval[:, 1], Rval, self.n, self.d)
+            Xv = Xv.astype(np.float64)
 
             def RMSE_val(X_ignored, W, T):
                 I, J = Xv.nonzero()
@@ -88,12 +95,11 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
             self.early_stop = RMSE_val
         else:
             self.early_stop = False
-            Xtr = sp.coo_matrix((y, (X[:, 0], X[:, 1])),
-                                shape=(self.n, self.d)).toarray()
+            Xtr, W_mat_tr = native.coo_to_dense_mask(
+                X[:, 0], X[:, 1], y, self.n, self.d)
+            Xtr = Xtr.astype(np.float64)
 
-        W_mat_tr = np.zeros(Xtr.shape)
-        Itr, Jtr = Xtr.nonzero()
-        W_mat_tr[Itr, Jtr] = 1
+        W_mat_tr = np.asarray(W_mat_tr, dtype=np.float64)
 
         W_in = self.W if np.asarray(self.W).size > 0 else []
         T_in = self.T if np.asarray(self.T).size > 0 else []

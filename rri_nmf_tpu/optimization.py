@@ -183,6 +183,30 @@ def qf_min(w, c, s=1.0, ub=1.0, x0=None):
         raise ValueError('c must be a scalar or have the shape of w')
 
 
+def projected_gradient_norm(grad, vec, lb=0.0, ub=np.inf,
+                            zero=EPS_DIV_BY_ZERO):
+    """Squared Frobenius norm of the projected gradient (CJ Lin's
+    projected-gradient stopping criterion for NMF).
+
+    Reference ``nmf.py:882-911`` (and ``_projected_gradient`` at
+    ``nmf.py:612-630``): coordinates strictly inside the box contribute
+    their gradient; at the lower bound only negative components count, at
+    the upper bound only positive ones. The reference computed this but
+    commented its output out of the result dict (``nmf.py:556``); here it
+    is a supported utility (e.g. as an alternative stopping criterion).
+    Fully vectorized and jittable.
+    """
+    grad = jnp.asarray(grad)
+    vec = jnp.asarray(vec)
+    lo = lb + zero
+    hi = ub - zero
+    interior = jnp.logical_and(vec > lo, vec < hi)
+    gpe = jnp.where(interior, grad,
+                    jnp.where(vec <= lo, jnp.minimum(grad, 0.0),
+                              jnp.maximum(grad, 0.0)))
+    return jnp.sum(gpe * gpe)
+
+
 def universal_stopping_condition(obj_history, eps_stop=1e-4):
     """Stop when the last objective change is <= ``eps_stop`` × the first
     change (reference ``optimization.py:284-291``; used at ``nmf.py:510``)."""

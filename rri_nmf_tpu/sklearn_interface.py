@@ -294,3 +294,25 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
         W = self.transform(X)
         SSE = ((X - np.dot(W, self.T)) ** 2).sum()
         return 1 - SSE / SST
+
+    def score_all(self, X, X_counts=None, top_n=10):
+        """Score the fit with a battery of metrics — the reference's
+        README TODO ("Add a score method to the estimator that uses a
+        bunch of scores", reference ``README.md:14``), implemented here.
+
+        Returns a dict with R², relative Frobenius reconstruction error,
+        and (when raw term counts ``X_counts`` are given) mean UMass topic
+        coherence of the learned topics.
+        """
+        from rri_nmf_tpu.metrics import (
+            frobenius_relative_error, r2_reconstruction, umass_coherence)
+        X = np.asarray(X)
+        W = self.transform(X)
+        out = {
+            'r2': r2_reconstruction(X, W, self.T),
+            'rel_frobenius_error': frobenius_relative_error(X, W, self.T),
+        }
+        if X_counts is not None:
+            out['umass_coherence'] = umass_coherence(X_counts, self.T,
+                                                     top_n=top_n)
+        return out

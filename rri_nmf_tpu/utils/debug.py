@@ -9,7 +9,51 @@ rebuild exposes them as an explicit post-sweep validation: the driver calls
 (off by default — it forces a device sync per iteration).
 """
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# The reference defines sub-DEBUG verbosity tiers (``nmf.py:36-48``:
+# DEBUG-1 locals dumps, DEBUG-2 update internals, DEBUG-3 objective
+# breakdowns). Named equivalents:
+DEBUG1 = logging.DEBUG - 1
+DEBUG2 = logging.DEBUG - 2
+DEBUG3 = logging.DEBUG - 3
+logging.addLevelName(DEBUG1, 'DEBUG1')
+logging.addLevelName(DEBUG2, 'DEBUG2')
+logging.addLevelName(DEBUG3, 'DEBUG3')
+
+
+class MeasureDelta(object):
+    """Log the change in objective around a block of code.
+
+    Host-side analog of the reference's ``_MeasureDelta`` context manager
+    (``nmf.py:580-609``): active only when the logger is at DEBUG or below;
+    takes a zero-arg objective callable (e.g. a bound
+    ``TrueObjComputer.true_objective``).
+
+    >>> with MeasureDelta(OBJ.true_objective, 'update T'):
+    ...     W, T = step(...)
+    """
+
+    def __init__(self, objective_fn, name=None, log=None):
+        self.objective_fn = objective_fn
+        self.name = name
+        self.logger = log or logger
+
+    def __enter__(self):
+        self.active = self.logger.getEffectiveLevel() <= logging.DEBUG
+        if self.active:
+            self.obj = float(self.objective_fn())
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self.active and exc_type is None:
+            delta = float(self.objective_fn()) - self.obj
+            name_s = '{}: '.format(self.name) if self.name else ''
+            self.logger.debug('%sdelta = %.2f', name_s, delta)
 
 
 class FactorValidationError(AssertionError):

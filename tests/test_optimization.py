@@ -111,6 +111,31 @@ def test_qf_min_vector_unbounded_raises():
         qf_min(np.array([1.0, -1.0]), np.array([-1.0, 1.0]), s=None, ub=None)
 
 
+def test_projected_gradient_norm():
+    from rri_nmf_tpu.optimization import projected_gradient_norm
+    grad = np.array([1.0, -2.0, 3.0, -4.0])
+    vec = np.array([0.5, 0.0, 0.0, 1.0])     # interior, lb, lb, interior
+    # interior coords contribute fully; lb coords only negative parts
+    got = float(projected_gradient_norm(grad, vec, lb=0.0, ub=np.inf))
+    assert abs(got - (1.0 + 4.0 + 0.0 + 16.0)) < 1e-12
+    # at a finite upper bound, only positive gradient parts count
+    got = float(projected_gradient_norm(np.array([2.0, -3.0]),
+                                        np.array([1.0, 1.0]), lb=0.0, ub=1.0))
+    assert abs(got - 4.0) < 1e-12
+
+
+def test_measure_delta_logs(caplog):
+    import logging
+    from rri_nmf_tpu.utils.debug import MeasureDelta
+    vals = iter([10.0, 7.5])
+    log = logging.getLogger('md_test')
+    log.setLevel(logging.DEBUG)
+    with caplog.at_level(logging.DEBUG, logger='md_test'):
+        with MeasureDelta(lambda: next(vals), 'block', log=log):
+            pass
+    assert any('delta = -2.50' in r.getMessage() for r in caplog.records)
+
+
 def test_stopping_conditions():
     assert not universal_stopping_condition([10.0])
     assert universal_stopping_condition([10.0, 5.0, 4.9995], eps_stop=1e-3)

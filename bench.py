@@ -57,7 +57,10 @@ def numpy_reference_sweep(X, W, T):
     return W, T
 
 
-def bench_jax(n, d, k, n_warmup=2, n_timed=8):
+def bench_jax(n, d, k, n_timed=8):
+    """Time n_timed sweeps as ONE jitted fori_loop with a single scalar
+    readback — separate dispatches with a trailing fetch can hang on the
+    tunnel-hosted backend (see .claude/skills/verify/SKILL.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,30 +68,28 @@ def bench_jax(n, d, k, n_warmup=2, n_timed=8):
 
     cfg = SweepConfig(k=k, reset_topic_method=None)
     sweep = make_sweep(cfg)
+    reset_key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def gen(key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def run_n(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         X = jax.random.uniform(k1, (n, d), jnp.float32)
         W = jax.random.uniform(k2, (n, k), jnp.float32)
         T = jax.random.uniform(k3, (k, d), jnp.float32)
-        return X, W, T
+        resets = jnp.asarray(0, dtype=jnp.int32)
 
-    key = jax.random.PRNGKey(0)
-    X, W, T = gen(key)
-    reset_key = jax.random.PRNGKey(0)
-    resets = jnp.asarray(0, dtype=jnp.int32)
+        def body(i, carry):
+            W, T, key, resets = carry
+            return sweep(X, W, T, key, resets, reset_key)
 
-    for _ in range(n_warmup):
-        W, T, key, resets = sweep(X, W, T, key, resets, reset_key)
-    # scalar readback = the only reliable sync on the tunnel backend
-    sync = float(jnp.sum(W)) + float(jnp.sum(T))
+        W, T, k4, resets = jax.lax.fori_loop(0, n_timed, body,
+                                             (W, T, k4, resets))
+        return jnp.sum(W) + jnp.sum(T)
+
+    sync = float(run_n(jax.random.PRNGKey(0)))     # compile + warmup
     assert np.isfinite(sync)
-
     t0 = time.perf_counter()
-    for _ in range(n_timed):
-        W, T, key, resets = sweep(X, W, T, key, resets, reset_key)
-    sync = float(jnp.sum(W)) + float(jnp.sum(T))
+    sync = float(run_n(jax.random.PRNGKey(1)))     # timed: 1 dispatch+fetch
     dt = (time.perf_counter() - t0) / n_timed
     assert np.isfinite(sync)
     return dt

@@ -1,0 +1,70 @@
+"""Estimator behaviors beyond the reference suite: tfidf/normalization
+preprocessing, warm starts, predict/score plumbing, sparsify/densify."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from rri_nmf_tpu.sklearn_interface import NMF_RS_Estimator, NMF_TM_Estimator
+
+
+def test_tm_handle_tfidf_and_normalization(text_train):
+    """handle_tfidf stores idf at fit and reapplies it at transform
+    (reference ``sklearn_interface.py:263-267,322-325``)."""
+    # text_train is already tfidf'd; use raw-ish counts instead
+    X = (text_train > 0).astype(float) * 3.0
+    n, d = X.shape
+    M = NMF_TM_Estimator(n, d, 4, random_state=0, max_iter=5,
+                         handle_tfidf=True, handle_normalization=True)
+    M.fit(X)
+    assert hasattr(M, 'idf') and np.asarray(M.idf).shape == (d,)
+    W = M.transform(X)
+    assert W.shape == (n, 4)
+    assert np.all(np.asarray(W) >= -1e-12)
+
+
+def test_tm_warm_start_continues():
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(30, 3) @ rng.rand(3, 20))
+    M1 = NMF_TM_Estimator(30, 20, 3, random_state=0, max_iter=3,
+                          do_final_project_W=False).fit(X)
+    W1, T1 = M1.W.copy(), M1.T.copy()
+    M1.max_iter = 2
+    M1.fit(X)   # continues from held factors (W_in/T_in path)
+    assert not np.allclose(M1.T, T1)  # it actually moved
+
+
+def test_rs_estimator_transform_and_predict(recsys_train):
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 4, random_state=0, max_iter=8)
+    E.fit_from_Xtr(X)
+    W_new = E.transform(X)
+    assert np.asarray(W_new).shape == (n, 4)
+    I, J = X.nonzero()
+    preds = E.predict(np.stack([I, J], axis=1))
+    assert preds.min() >= E.min_rating and preds.max() <= E.max_rating
+    # score via explicit (X, y) form
+    s = E.score(np.stack([I, J], axis=1), y=X[I, J].astype(float))
+    assert s < 1.5
+
+
+def test_rs_no_validation_early_stopping(recsys_train):
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 3, random_state=0, max_iter=5,
+                         use_validation_early_stopping=False)
+    E.fit_from_Xtr(X)
+    # without the validation split, all observations train; runs full iters
+    assert len(E.nmf_outputs['obj_history']) == 5
+
+
+def test_sparsify_densify_roundtrip(recsys_train):
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 3, random_state=0, max_iter=3)
+    E.fit_from_Xtr(X)
+    W = np.asarray(E.W).copy()
+    E.sparsify()
+    assert sp.issparse(E.W) and sp.issparse(E.T)
+    E.densify()
+    assert np.allclose(E.W, W)

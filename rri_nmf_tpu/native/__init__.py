@@ -12,9 +12,7 @@ compiler.
 
 import ctypes
 import logging
-import os
 import subprocess
-import sysconfig
 import threading
 from pathlib import Path
 

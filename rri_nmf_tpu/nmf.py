@@ -32,7 +32,7 @@ import numpy as np
 
 from rri_nmf_tpu.initialization import initialize_nmf
 from rri_nmf_tpu.matrixops import (
-    euclidean_proj_simplex, normalize, proj_mat_to_simplex, stack_matrices,
+    normalize, proj_mat_to_simplex, stack_matrices,
 )
 from rri_nmf_tpu.optimization import universal_stopping_condition
 from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_objective, make_sweep
@@ -100,7 +100,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         diagnostics=[], store_gradients=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
-        debug_checks=False):
+        debug_checks=False, mesh=None):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -130,6 +130,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         feasibility) after every iteration — the jit-compatible analog of
         the reference's in-loop asserts (``nmf.py:475-476``). Off by
         default (forces a device sync per iteration).
+    mesh : optional
+        A ``jax.sharding.Mesh`` with axes ``(dp, tp)``. When given, X (and
+        the mask) shard over both axes, W rows over ``dp``, T columns over
+        ``tp``, and the same jitted sweep runs under GSPMD with ``psum``
+        collectives over ICI (see :mod:`rri_nmf_tpu.parallel`). Disables
+        the Pallas path (per-device kernels come later).
 
     Returns
     -------
@@ -243,19 +249,35 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         dp_sigma = _sqrt(c2 * df2 ** 2 * (1.0 / float(eps_gauss_t)) ** 2)
 
     # ---- device state -----------------------------------------------------
-    X_dev = jnp.asarray(X, dtype=dtype)
-    W_dev = jnp.asarray(W, dtype=dtype)
-    T_dev = jnp.asarray(T, dtype=dtype)
+    if mesh is not None:
+        from rri_nmf_tpu.parallel.mesh import problem_shardings
+        s_X, s_W, s_T = problem_shardings(mesh)[:3]
+        _put = jax.device_put
+        X_dev = _put(jnp.asarray(X, dtype=dtype), s_X)
+        W_dev = _put(jnp.asarray(W, dtype=dtype), s_W)
+        T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
+    else:
+        s_X = s_W = None
+        X_dev = jnp.asarray(X, dtype=dtype)
+        W_dev = jnp.asarray(W, dtype=dtype)
+        T_dev = jnp.asarray(T, dtype=dtype)
     extras = []
     obj_extras = []
     if masked:
         Wm_dev = jnp.asarray(W_mat, dtype=dtype)
+        if mesh is not None:
+            Wm_dev = jax.device_put(Wm_dev, s_X)
         extras.append(Wm_dev)
         obj_extras.append(Wm_dev)
     if w_row is not None:
         obj_extras.append(jnp.asarray(w_row, dtype=dtype))
     if w_row_sum_is_vector:
-        extras.append(jnp.asarray(w_row_sum, dtype=dtype))
+        wrs_dev = jnp.asarray(w_row_sum, dtype=dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            wrs_dev = jax.device_put(
+                wrs_dev, NamedSharding(mesh, P(mesh.axis_names[0], None)))
+        extras.append(wrs_dev)
 
     cfg = SweepConfig(
         k=k, fix_W=fix_W, fix_T=fix_T, masked=masked,
@@ -277,7 +299,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
-    pallas_ok = supports_pallas(cfg)
+    pallas_ok = supports_pallas(cfg) and mesh is None
     if use_pallas is None:
         use_pallas = pallas_ok and jax.default_backend() not in ('cpu',)
     if use_pallas and not pallas_ok:

@@ -35,12 +35,10 @@ configs with ``reset_topic_method=None`` (the recommender preset,
 ``sklearn_interface.py:116-123``), no store_gradients, no DP noise.
 """
 
-import dataclasses
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -30,8 +30,6 @@ use one shared PRNG key, so all shards agree (the ``fix_reset_seed``
 machinery of reference ``nmf.py:233-235,780`` generalized).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

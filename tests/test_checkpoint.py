@@ -2,7 +2,6 @@
 reference has in-memory warm start only)."""
 
 import numpy as np
-import pytest
 
 from rri_nmf_tpu.nmf import nmf
 

@@ -9,7 +9,6 @@
 """
 
 import numpy as np
-import pytest
 
 from rri_nmf_tpu.nmf import nmf
 

@@ -4,8 +4,7 @@ import numpy as np
 import pytest
 
 from rri_nmf_tpu.initialization import (
-    init_coherence_beam_search, initialize_nmf, masked_svd_init,
-    randomized_svd_jax,
+    initialize_nmf, masked_svd_init, randomized_svd_jax,
 )
 
 

@@ -91,6 +91,25 @@ def test_row_only_mesh():
 
 
 @requires_8_devices
+def test_nmf_driver_mesh_param():
+    """The top-level nmf(mesh=...) runs the whole fit sharded and matches
+    the single-device fit to 1e-12."""
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(64, 3) @ rng.rand(3, 40) + 0.01 * rng.rand(64, 40))
+    kw = dict(k=3, max_iter=5, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              project_T_each_iter=True, project_W_each_iter=True,
+              t_row_sum=1.0, w_row_sum=1.0)
+    single = nmf(X, **kw)
+    sharded = nmf(X, mesh=make_mesh(8), **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-12)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-12)
+    assert np.allclose(single['obj_history'], sharded['obj_history'])
+
+
+@requires_8_devices
 def test_driver_dryrun_entrypoints():
     """The driver-facing entry points execute."""
     import sys

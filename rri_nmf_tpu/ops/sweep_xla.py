@@ -121,7 +121,14 @@ def make_objective(masked: bool, row_weighted: bool,
     """
     def objective(X, W, T, *extras):
         i = 0
-        R = (X - W @ T) ** 2
+        if X.dtype in (jnp.bfloat16, jnp.float16):
+            # low-precision storage: evaluate the objective in float32 so
+            # descent comparisons aren't drowned by quantization noise
+            X = X.astype(jnp.float32)
+            W = W.astype(jnp.float32)
+            T = T.astype(jnp.float32)
+            extras = tuple(e.astype(jnp.float32) for e in extras)
+        R = (X - jnp.dot(W, T, preferred_element_type=X.dtype)) ** 2
         if masked:
             R = extras[i] * R
             i += 1
@@ -291,6 +298,12 @@ def make_sweep(cfg: SweepConfig):
 
         n, d = X.shape
         dtype = X.dtype
+        # Mixed precision: with bfloat16/float16 storage (HBM traffic
+        # halves — X reads dominate the sweep) all reductions, numerators,
+        # and subproblem solves run in float32; only the stored factors are
+        # low precision. For f32/f64 inputs acc == dtype and nothing
+        # changes.
+        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
 
         if cfg.masked:
             R = X - W @ T          # refreshed residual, kept rank-one-updated
@@ -300,12 +313,12 @@ def make_sweep(cfg: SweepConfig):
             R = jnp.zeros((0, 0), dtype=dtype)
             # One GEMM replaces k GEMVs: every column W[:,t] is untouched
             # until its own topic's phases (see module docstring, point 1).
-            WX_pre = W.T @ X       # (k, d)
-            Wcoln_pre = jnp.sum(W * W, axis=0)   # (k,)
+            WX_pre = jnp.dot(W.T, X, preferred_element_type=acc)   # (k, d)
+            Wcoln_pre = jnp.sum(W.astype(acc) ** 2, axis=0)        # (k,)
 
         if cfg.store_gradients:
-            numer_store = jnp.zeros((k, d), dtype=dtype)
-            denom_store = jnp.zeros((k, d if cfg.masked else 1), dtype=dtype)
+            numer_store = jnp.zeros((k, d), dtype=acc)
+            denom_store = jnp.zeros((k, d if cfg.masked else 1), dtype=acc)
             if cfg.store_rows is not None:
                 rows = jnp.asarray(np.asarray(cfg.store_rows, dtype=np.int32))
                 X_rows = X[rows]
@@ -324,19 +337,22 @@ def make_sweep(cfg: SweepConfig):
                 w = W[:, t]
                 if cfg.masked:
                     MR = W_mat * R
-                    nw = (w * w) @ W_mat            # (d,) vector denominator
-                    wR = w @ MR + T[t] * nw         # (d,)
+                    nw = jnp.dot(w * w, W_mat,
+                                 preferred_element_type=acc)  # (d,) vector
+                    wR = jnp.dot(w, MR, preferred_element_type=acc) \
+                        + T[t].astype(acc) * nw               # (d,)
                 else:
-                    wW = w @ W                      # (k,) uses current W
+                    wW = jnp.dot(w, W, preferred_element_type=acc)  # (k,)
                     wW = wW.at[t].set(0.0)
-                    wR = WX_pre[t] - wW @ T         # (d,)
+                    wR = WX_pre[t] - jnp.dot(wW, T.astype(acc))     # (d,)
                     nw = Wcoln_pre[t]               # scalar
 
                 if cfg.store_gradients:
                     if rows is None:
-                        numer_store = numer_store.at[t].set(wR)
+                        numer_store = numer_store.at[t].set(wR.astype(acc))
                         denom_store = denom_store.at[t].set(
-                            jnp.broadcast_to(nw, denom_store.shape[1:]))
+                            jnp.broadcast_to(nw, denom_store.shape[1:]
+                                             ).astype(acc))
                     else:
                         ws = W[rows, t]
                         if cfg.masked:
@@ -350,9 +366,10 @@ def make_sweep(cfg: SweepConfig):
                             wWs = wWs.at[t].set(0.0)
                             wR_s = wXs - wWs @ T
                             nw_s = jnp.sum(ws * ws)
-                        numer_store = numer_store.at[t].set(wR_s)
+                        numer_store = numer_store.at[t].set(wR_s.astype(acc))
                         denom_store = denom_store.at[t].set(
-                            jnp.broadcast_to(nw_s, denom_store.shape[1:]))
+                            jnp.broadcast_to(nw_s, denom_store.shape[1:]
+                                             ).astype(acc))
 
                 if cfg.dp_sigma is not None:
                     key, wR, nw = _dp_noise(key, wR, nw)
@@ -370,18 +387,19 @@ def make_sweep(cfg: SweepConfig):
                 t_old = T[t]
                 if cfg.scale_transfer:
                     # diagonal scale-invariance transfer (nmf.py:450-452)
-                    W = W.at[:, t].multiply(nt1)
-                    w_eff = w * nt1
+                    W = W.at[:, t].multiply(nt1.astype(dtype))
+                    w_eff = w * nt1.astype(dtype)
                 else:
                     w_eff = w
-                T = T.at[t].set(t_new)
+                T = T.at[t].set(t_new.astype(dtype))
 
                 if cfg.masked:
                     # R <- R + w_old t_old^T - w_eff t_new^T as one (n,2)x(2,d)
-                    # GEMM so the rank-one updates ride the MXU.
+                    # GEMM so the rank-one updates ride the MXU. Uses the
+                    # STORED (dtype) t_new so R tracks T exactly.
                     U2 = jnp.stack([w, -w_eff], axis=1)
-                    V2 = jnp.stack([t_old, t_new], axis=0)
-                    R = R + U2 @ V2
+                    V2 = jnp.stack([t_old, T[t]], axis=0)
+                    R = R + (U2 @ V2).astype(dtype)
 
                 W, T, R, key, resets_left = _project_and_check_reset_t(
                     X, W, T, R, t, key, resets_left, reset_key)
@@ -392,15 +410,17 @@ def make_sweep(cfg: SweepConfig):
                 w_old = W[:, t]
                 if cfg.masked:
                     MR = W_mat * R                 # residual updated above
-                    mt2 = W_mat @ (trow * trow)    # (n,) vector denominator
-                    Rt = MR @ trow + w_old * mt2
+                    mt2 = jnp.dot(W_mat, (trow * trow).astype(dtype),
+                                  preferred_element_type=acc)  # (n,)
+                    Rt = jnp.dot(MR, trow, preferred_element_type=acc) \
+                        + w_old.astype(acc) * mt2
                     nt = mt2
                 else:
-                    Xt = X @ trow
-                    Tt = T @ trow
+                    Xt = jnp.dot(X, trow, preferred_element_type=acc)
+                    Tt = jnp.dot(T, trow, preferred_element_type=acc)
                     Tt = Tt.at[t].set(0.0)
-                    Rt = Xt - W @ Tt
-                    nt = jnp.sum(trow * trow)
+                    Rt = Xt - jnp.dot(W.astype(acc), Tt)
+                    nt = jnp.sum(trow.astype(acc) ** 2)
 
                 numer = Rt - cfg.reg_w_l1
                 denom = nt + cfg.reg_w_l2
@@ -414,9 +434,10 @@ def make_sweep(cfg: SweepConfig):
                         -numer, denom, s=None,
                         ub=_w_ub(cfg, w_row_sum_vec))
 
-                W = W.at[:, t].set(w_new)
+                W = W.at[:, t].set(w_new.astype(dtype))
                 if cfg.masked:
-                    R = R + jnp.outer(w_old - w_new, trow)
+                    R = R + jnp.outer(w_old - w_new.astype(dtype),
+                                      trow).astype(dtype)
 
                 W, T, R, key, resets_left = _check_reset_W(
                     X, W, T, R, t, key, resets_left, reset_key)

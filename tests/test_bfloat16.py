@@ -1,0 +1,41 @@
+"""Mixed-precision (bfloat16 storage, float32 accumulation) mode.
+
+On TPU this halves the sweep's HBM traffic (measured 1.83x throughput, see
+bench notes); these CPU tests pin that the mode stays numerically sane:
+monotone descent under the f32-evaluated objective and convergence toward
+the f32 solution.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rri_nmf_tpu.nmf import nmf
+
+
+def _problem(n=48, d=32, k=4, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+
+
+def test_bf16_dense_monotone_and_converges():
+    X = _problem()
+    kw = dict(k=4, max_iter=12, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None)
+    b16 = nmf(X, dtype=jnp.bfloat16, **kw)
+    f64 = nmf(X, **kw)
+    oh = np.asarray(b16['obj_history'], dtype=float)
+    assert np.all(np.diff(oh) <= 1e-3 * oh[0] + 1e-6)
+    # bf16 fit lands within a few relative percent of the f64 objective
+    assert oh[-1] <= f64['obj_history'][-1] * 1.1 + 1e-6
+    assert b16['W'].dtype == np.float32 or str(b16['W'].dtype) == 'bfloat16'
+
+
+def test_bf16_masked_runs():
+    X = _problem(seed=1)
+    M = (np.random.RandomState(2).rand(*X.shape) < 0.6).astype(float)
+    soln = nmf(X, k=3, W_mat=M, dtype=jnp.bfloat16, max_iter=6,
+               random_state=0, reset_topic_method=None, t_row_sum=1.0,
+               compute_obj_each_iter=True, early_stop=False)
+    oh = np.asarray(soln['obj_history'], dtype=float)
+    assert np.all(np.isfinite(oh))
+    assert oh[-1] < oh[0]

@@ -100,7 +100,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         diagnostics=[], store_gradients=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
-        debug_checks=False, mesh=None):
+        debug_checks=False, mesh=None, sweeps_per_dispatch=1):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -136,6 +136,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ``tp``, and the same jitted sweep runs under GSPMD with ``psum``
         collectives over ICI (see :mod:`rri_nmf_tpu.parallel`). Disables
         the Pallas path (per-device kernels come later).
+    sweeps_per_dispatch : int, optional
+        Group this many sweeps into one jitted fori_loop per host dispatch.
+        Only takes effect when no per-iteration host work is configured
+        (no objective tracking, early stopping, diagnostics, gradient
+        stores, or debug checks); it amortizes dispatch latency on
+        remote-hosted TPUs. ``iter_cputime`` then records group-boundary
+        timestamps for every iteration in a group.
 
     Returns
     -------
@@ -357,6 +364,39 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if _resumed is not None:
         # restored run: rebuild history so stopping conditions see it
         obj_history = list(_resumed.obj_history)
+
+    # ---- grouped fast path: many sweeps per dispatch ----------------------
+    group = int(sweeps_per_dispatch)
+    if (group > 1 and not early_stop and not compute_obj_each_iter
+            and not diagnostics and not store_gradients and not debug_checks):
+        from rri_nmf_tpu.ops.sweep_xla import make_multi_sweep
+        iter_no = start_iter
+        while iter_no < max_iter:
+            g = min(group, max_iter - iter_no)
+            if ckpt is not None and checkpoint_every > 0:
+                to_boundary = checkpoint_every - (iter_no % checkpoint_every)
+                g = min(g, to_boundary)
+            multi = make_multi_sweep(cfg, g, pallas=bool(use_pallas),
+                                     interpret=(use_pallas == 'interpret'))
+            W_dev, T_dev, key, resets_left = multi(
+                X_dev, W_dev, T_dev, key, resets_left, reset_key, *extras)
+            # scalar readback: real sync on tunnel-hosted backends
+            float(jnp.sum(W_dev[0]))
+            now = time.perf_counter()
+            iter_cputime.extend([now] * g)
+            iter_no += g
+            if ckpt is not None and checkpoint_every > 0 and \
+                    iter_no % checkpoint_every == 0:
+                from rri_nmf_tpu.checkpoint import NMFState
+                ckpt.save(iter_no, NMFState(
+                    W=np.array(W_dev), T=np.array(T_dev), iteration=iter_no,
+                    obj_history=[], key=key, resets_left=int(resets_left),
+                    random_state=random_state))
+            if time.time() - t_global_start >= max_time:
+                logger.info('STOPPING because max_time after iter %d',
+                            iter_no - 1)
+                break
+        start_iter = max_iter  # the per-iteration loop below is skipped
 
     # ---- outer iteration loop (reference nmf.py:377-514) ------------------
     for iter_no in range(start_iter, max_iter):

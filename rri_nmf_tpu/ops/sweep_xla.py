@@ -462,3 +462,30 @@ def make_sweep(cfg: SweepConfig):
         return W, T, key, resets_left
 
     return jax.jit(sweep)
+
+
+@lru_cache(maxsize=64)
+def make_multi_sweep(cfg: SweepConfig, n_sweeps: int, pallas=False,
+                     interpret=False):
+    """``n_sweeps`` full sweeps as ONE jitted fori_loop.
+
+    For production fits with no per-iteration host work (no objective
+    tracking / early stopping / callbacks) this collapses n dispatches into
+    one, which matters on remote-hosted TPUs where each dispatch pays
+    tunnel latency. Same signature as :func:`make_sweep` minus the
+    gradient-store variant (unsupported here).
+    """
+    assert not cfg.store_gradients, 'grouped sweeps cannot store gradients'
+    if pallas:
+        from rri_nmf_tpu.ops.sweep_pallas import make_masked_sweep_pallas
+        sweep = make_masked_sweep_pallas(cfg, interpret=interpret)
+    else:
+        sweep = make_sweep(cfg)
+
+    def multi(X, W, T, key, resets_left, reset_key, *extras):
+        def body(i, carry):
+            W, T, key, resets_left = carry
+            return sweep(X, W, T, key, resets_left, reset_key, *extras)
+        return lax.fori_loop(0, n_sweeps, body, (W, T, key, resets_left))
+
+    return jax.jit(multi)

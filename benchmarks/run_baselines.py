@@ -285,6 +285,10 @@ ALL = {
     'cpu_parity': cfg_cpu_parity,
     'topic_modeling': cfg_topic_modeling,
     'recsys_masked': cfg_recsys_masked,
+    # full MovieLens-1M shape (6040 users x 3706 items, 1M observed), the
+    # BASELINE #3 scale — run this one on the TPU
+    'recsys_full': lambda: cfg_recsys_masked(
+        n_users=6040, n_items=3706, n_obs=1000000, k=40, baseline_sweeps=1),
     'dense_sweep': cfg_dense_sweep,
     'sharded': cfg_sharded,
 }

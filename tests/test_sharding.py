@@ -91,6 +91,36 @@ def test_row_only_mesh():
 
 
 @requires_8_devices
+def test_sharded_pallas_masked_sweep():
+    """shard_map'd fused Pallas masked sweep == single-device XLA sweep:
+    per-device kernels with only the reduction vectors psum'd over ICI."""
+    from rri_nmf_tpu.parallel.sharded_pallas import (
+        make_sharded_masked_sweep_pallas)
+    n, d, k = 90, 70, 4
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    M = (rng.rand(n, d) < 0.5).astype(float)
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      t_row_sum=1.0)
+    mesh = make_mesh(8)
+    sharded = make_sharded_masked_sweep_pallas(cfg, mesh, interpret=True)
+    single = make_sweep(cfg)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Ws, Ts = jnp.asarray(W0), jnp.asarray(T0)
+    Wd, Td = jnp.asarray(W0), jnp.asarray(T0)
+    for _ in range(3):
+        Ws, Ts, _, _ = sharded(jnp.asarray(X), Ws, Ts, key, r, key,
+                               jnp.asarray(M))
+        Wd, Td, _, _ = single(jnp.asarray(X), Wd, Td, key, r, key,
+                              jnp.asarray(M))
+    assert np.allclose(np.array(Ws), np.array(Wd), atol=1e-9)
+    assert np.allclose(np.array(Ts), np.array(Td), atol=1e-9)
+
+
+@requires_8_devices
 def test_nmf_driver_mesh_param():
     """The top-level nmf(mesh=...) runs the whole fit sharded and matches
     the single-device fit to 1e-12."""

@@ -185,7 +185,8 @@ def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
     t0 = time.perf_counter()
     soln = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=n_sweeps,
                random_state=0, reset_topic_method=None,
-               t_row_sum=float(X.max()), early_stop=False)
+               t_row_sum=float(X.max()), early_stop=False,
+               sweeps_per_dispatch=n_sweeps)
     fit_time = time.perf_counter() - t0
     rmse = rmse_observed(X, soln['W'], soln['T'], 1, 5)
     mono = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=8, random_state=0,

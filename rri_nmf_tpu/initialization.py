@@ -215,14 +215,21 @@ def masked_svd_init(X, W_mat, n_components, random_state=None, n_iter=10,
     X = jnp.asarray(X, dtype=jnp.result_type(float))
     M = jnp.asarray(W_mat, dtype=X.dtype)
     key = jax.random.PRNGKey(0 if random_state is None else random_state)
-    obs_mean = jnp.sum(M * X) / jnp.maximum(jnp.sum(M), 1.0)
-    Xf = M * X + (1 - M) * obs_mean
-    for i in range(n_iter):
-        key, sub = jax.random.split(key)
-        U, S, Vt = randomized_svd_jax(Xf, n_components, sub)
-        recon = (U * S) @ Vt
-        Xf = M * X + (1 - M) * recon
-    W, H = _nndsvd_from_svd(U, S, Vt, eps)
+
+    @jax.jit
+    def _impute_and_factor(X, M, key):
+        obs_mean = jnp.sum(M * X) / jnp.maximum(jnp.sum(M), 1.0)
+        Xf = M * X + (1 - M) * obs_mean
+        U = S = Vt = None
+        for i in range(n_iter):
+            key, sub = jax.random.split(key)
+            U, S, Vt = randomized_svd_jax(Xf, n_components, sub)
+            recon = (U * S) @ Vt
+            Xf = M * X + (1 - M) * recon
+        W, H = _nndsvd_from_svd(U, S, Vt, eps)
+        return W, H
+
+    W, H = _impute_and_factor(X, M, key)
     return np.asarray(W), np.asarray(H)
 
 

@@ -181,13 +181,24 @@ def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
     W0, T0 = masked_svd_init(X, M, k, random_state=0, n_iter=4)
     init_time = time.perf_counter() - t0
 
-    n_sweeps = 20
+    # per-sweep time by differencing a long and a short run with identical
+    # one-time costs (host->device transfer of X/M and jit compile of the
+    # same grouped-dispatch program) so neither pollutes the sweep rate
+    n_short, n_long = 4, 20
+    common = dict(W_mat=M, W_in=W0, T_in=T0, random_state=0,
+                  reset_topic_method=None, t_row_sum=float(X.max()),
+                  early_stop=False, sweeps_per_dispatch=n_short)
     t0 = time.perf_counter()
-    soln = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=n_sweeps,
-               random_state=0, reset_topic_method=None,
-               t_row_sum=float(X.max()), early_stop=False,
-               sweeps_per_dispatch=n_sweeps)
-    fit_time = time.perf_counter() - t0
+    nmf(X, k, max_iter=n_short, **common)          # compile + warm
+    t_short_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nmf(X, k, max_iter=n_short, **common)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    soln = nmf(X, k, max_iter=n_long, **common)
+    t_long = time.perf_counter() - t0
+    fit_time = t_long
+    per_sweep = (t_long - t_short) / (n_long - n_short)
     rmse = rmse_observed(X, soln['W'], soln['T'], 1, 5)
     mono = nmf(X, k, W_mat=M, W_in=W0, T_in=T0, max_iter=8, random_state=0,
                reset_topic_method=None, t_row_sum=float(X.max()),
@@ -205,10 +216,11 @@ def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
                                                      n_obs, k),
         'note': 'synthetic MovieLens stand-in (no egress); masked-SVD init',
         'masked_svd_init_seconds': init_time,
-        'fit_seconds': fit_time,
-        'per_sweep_seconds': fit_time / n_sweeps,
+        'fit_seconds_%d_sweeps_incl_transfer' % n_long: fit_time,
+        'cold_start_seconds': t_short_cold,
+        'per_sweep_seconds': per_sweep,
         'reference_numpy_per_sweep_seconds': ref_per_sweep,
-        'speedup_per_sweep': ref_per_sweep / (fit_time / n_sweeps),
+        'speedup_per_sweep': ref_per_sweep / per_sweep,
         'train_rmse': rmse,
         'monotone': bool(np.all(np.diff(mono['obj_history']) <= 1e-9)),
     }

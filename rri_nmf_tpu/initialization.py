@@ -202,16 +202,45 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
     return W, H
 
 
+def _randomized_svd_numpy(X, k, rng, n_oversamples=10, n_iter=4):
+    """Host randomized SVD (Halko et al.); NumPy/BLAS QR and panel SVD."""
+    n, d = X.shape
+    p = min(k + n_oversamples, min(n, d))
+    Q, _ = np.linalg.qr(X @ rng.standard_normal((d, p)))
+    for _ in range(n_iter):
+        Z, _ = np.linalg.qr(X.T @ Q)
+        Q, _ = np.linalg.qr(X @ Z)
+    Ub, S, Vt = np.linalg.svd(Q.T @ X, full_matrices=False)
+    return (Q @ Ub)[:, :k], S[:k], Vt[:k, :]
+
+
 def masked_svd_init(X, W_mat, n_components, random_state=None, n_iter=10,
-                    eps=1e-6):
+                    eps=1e-6, backend='numpy'):
     """Elementwise-weighted (masked) SVD initialization for WRRI.
 
     The BIRSVD-style init the reference lists as an unimplemented TODO
     (``README.md:18``): iterative SVD imputation — fill unobserved entries
     with the current low-rank reconstruction, re-factorize, repeat — then the
-    NNDSVD section split of the final factorization. All iterations are
-    dense GEMM + randomized SVD, so they run on device and shard.
+    NNDSVD section split of the final factorization.
+
+    ``backend='numpy'`` (default) runs on the host: initialization is a
+    one-off and XLA's tall-skinny QR/SVD lowering on TPU is far slower than
+    host LAPACK at typical panel shapes. ``backend='jax'`` keeps everything
+    on device (one jitted program) for inputs too large to host.
     """
+    if backend == 'numpy':
+        X = np.asarray(X, dtype=np.float64)
+        M = np.asarray(W_mat, dtype=np.float64)
+        rng = np.random.RandomState(0 if random_state is None
+                                    else random_state)
+        obs_mean = (M * X).sum() / max(M.sum(), 1.0)
+        Xf = M * X + (1 - M) * obs_mean
+        U = S = Vt = None
+        for _ in range(n_iter):
+            U, S, Vt = _randomized_svd_numpy(Xf, n_components, rng)
+            Xf = M * X + (1 - M) * ((U * S) @ Vt)
+        return _nndsvd_from_svd(U, S, Vt, eps)
+
     X = jnp.asarray(X, dtype=jnp.result_type(float))
     M = jnp.asarray(W_mat, dtype=X.dtype)
     key = jax.random.PRNGKey(0 if random_state is None else random_state)

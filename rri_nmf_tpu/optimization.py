@@ -183,6 +183,106 @@ def qf_min(w, c, s=1.0, ub=1.0, x0=None):
         raise ValueError('c must be a scalar or have the shape of w')
 
 
+def kkt_qf_min(w, d, s=1.0, ub=1.0, max_iter=100):
+    """Active-set KKT solver for ``min wᵀx + xᵀdiag(d)x`` on
+    ``{0 <= x <= ub, Σx = s}`` with per-coordinate curvature.
+
+    Host-side counterpart of the reference's exploratory ``kkt_qf_min``
+    (``optimization.py:110-150``; never called by the reference library or
+    tests — provided for inventory parity and as an oracle for
+    :func:`qf_min`). Re-derivation, not a translation: grow the support set
+    S greedily; on S the stationarity system ``2 d x + w + λ = 0``,
+    ``Σx = s`` has the closed form ``λ = -(s + Σ w_i/(2 d_i)) / Σ 1/(2 d_i)``
+    and ``x_i = -(w_i + λ)/(2 d_i)``; clip to the box, add coordinates whose
+    KKT multiplier is violated, repeat.
+
+    Requires positive curvature (convex case). Returns the optimal x.
+
+    Method: stationarity + complementary slackness give
+    ``x_i(λ) = clip(-(w_i + λ) / (2 d_i), 0, ub)`` for the multiplier λ of
+    the sum constraint; ``Σ x_i(λ)`` is continuous, piecewise-linear, and
+    non-increasing in λ, so the KKT system reduces to a 1-D monotone root
+    find — solved exactly on the breakpoint grid.
+    """
+    w = np.asarray(w, dtype=float)
+    d = np.asarray(d, dtype=float)
+    if np.ndim(d) == 0:
+        d = np.full_like(w, float(d))
+    assert np.all(d > 0), 'kkt_qf_min requires positive curvature'
+    assert w.size * ub >= s - 1e-15, 'infeasible: n*ub < s'
+
+    def x_of(lam):
+        return np.clip(-(w + lam) / (2.0 * d), 0.0, ub)
+
+    # breakpoints where coordinates hit the box faces
+    bps = np.unique(np.concatenate([-w, -w - 2.0 * d * ub]))
+    sums = np.array([x_of(b).sum() for b in bps])  # non-increasing in λ
+    # locate the segment [bps[j-1], bps[j]] containing the root
+    j = int(np.searchsorted(-sums, -s, side='left'))
+    if j == 0:
+        lam = bps[0]
+    elif j >= len(bps):
+        lam = bps[-1]
+    else:
+        lo, hi = bps[j - 1], bps[j]
+        slo, shi = sums[j - 1], sums[j]
+        lam = lo if slo == shi else lo + (slo - s) * (hi - lo) / (slo - shi)
+    x = x_of(lam)
+    # linear-segment interpolation is exact; tiny float residue rescales on
+    # the interior coordinates
+    interior = (x > 0) & (x < ub)
+    resid = s - x.sum()
+    if abs(resid) > 1e-12 and interior.any():
+        x[interior] += resid / interior.sum()
+        x = np.clip(x, 0.0, ub)
+    return x
+
+
+def optimize_scipy(w, c, s, ub, x0=None):
+    """SLSQP + COBYLA cross-check solver for the qf_min QP.
+
+    Counterpart of the reference's dead ``optimize_scipy``
+    (``optimization.py:232-282``) with its missing-return bug fixed:
+    returns ``(x, ||x||_1)`` like :func:`qf_min`. Used as a test oracle.
+    """
+    from scipy.optimize import minimize
+    w = np.asarray(w, dtype=float)
+    c = np.asarray(c, dtype=float)
+    if np.ndim(c) == 0:
+        c = np.full_like(w, float(c))
+    bounds = [(0.0, ub)] * w.size
+
+    def f(x):
+        return float(np.sum(w * x) + 0.5 * np.sum(c * x * x))
+
+    def jac(x):
+        return w + c * x
+
+    constraints = []
+    if s:
+        constraints = [{'type': 'eq', 'fun': lambda x: np.sum(x) - s,
+                        'jac': lambda x: np.ones_like(x)}]
+
+    if x0 is None:
+        x0 = np.zeros_like(w)
+        pos = c > 0
+        x0[pos] = np.maximum(-w[pos], 0) / (c[pos] + EPS_DIV_BY_ZERO)
+        if s:
+            if x0.sum() > EPS_DIV_BY_ZERO:
+                x0 = s * x0 / x0.sum()
+            else:
+                x0[np.argmin(w + c)] = min(ub, s) if ub else s
+
+    res = minimize(f, x0, bounds=bounds, jac=jac, method='SLSQP',
+                   constraints=constraints, options={'maxiter': 200})
+    cv = abs(np.sum(res.x) - s) if s else 0.0
+    cv += float(np.clip(-res.x, 0, None).sum())
+    if cv > 1e-8:
+        raise ValueError('solver violated constraints by %g' % cv)
+    x = np.clip(res.x, 0.0, None)
+    return x, float(np.sum(np.abs(x)))
+
+
 def projected_gradient_norm(grad, vec, lb=0.0, ub=np.inf,
                             zero=EPS_DIV_BY_ZERO):
     """Squared Frobenius norm of the projected gradient (CJ Lin's

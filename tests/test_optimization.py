@@ -111,6 +111,51 @@ def test_qf_min_vector_unbounded_raises():
         qf_min(np.array([1.0, -1.0]), np.array([-1.0, 1.0]), s=None, ub=None)
 
 
+@pytest.mark.parametrize('seed', range(10))
+def test_kkt_qf_min_vs_slsqp(seed):
+    """Exact breakpoint KKT solver matches/beats SLSQP on random convex
+    box-simplex QPs (rebuild of the reference's exploratory kkt_qf_min,
+    ``optimization.py:110-150``)."""
+    from rri_nmf_tpu.optimization import kkt_qf_min, optimize_scipy
+    rng = np.random.RandomState(seed)
+    n = rng.randint(3, 20)
+    w = rng.randn(n) * 2
+    d = rng.rand(n) + 0.05
+    ub = float(rng.choice([0.3, 0.5, 1.0, 2.0]))
+    s = float(rng.uniform(0.2, min(1.0, n * ub * 0.9)))
+    xk = kkt_qf_min(w, d, s=s, ub=ub)
+    xs, _ = optimize_scipy(w, 2 * d, s=s, ub=ub)
+
+    def f(x):
+        return np.sum(w * x) + np.sum(d * x * x)
+
+    assert abs(xk.sum() - s) < 1e-9
+    assert xk.min() >= -1e-12 and xk.max() <= ub + 1e-12
+    assert f(xk) <= f(xs) + 1e-6
+
+
+def test_kkt_matches_qf_min_uniform_curvature():
+    """With uniform curvature the simplex-projection solve of qf_min and
+    the KKT solver agree."""
+    from rri_nmf_tpu.optimization import kkt_qf_min
+    rng = np.random.RandomState(1)
+    w = rng.randn(15)
+    c = 0.8
+    x1, _ = qf_min(w, c, s=1.0, ub=1.0)
+    # qf_min solves w'x + c/2 x'x; kkt solves w'x + d x'x -> d = c/2
+    x2 = kkt_qf_min(w, c / 2.0, s=1.0, ub=1.0)
+    assert np.allclose(np.asarray(x1), x2, atol=1e-8)
+
+
+def test_optimize_scipy_returns():
+    """The reference's optimize_scipy had a missing return
+    (``optimization.py:281-282``); ours returns (x, l1 norm)."""
+    from rri_nmf_tpu.optimization import optimize_scipy
+    x, nx = optimize_scipy(np.array([-1.0, 0.5, -0.2]), 1.0, s=1.0, ub=1.0)
+    assert abs(np.sum(x) - 1.0) < 1e-8
+    assert abs(nx - np.abs(x).sum()) < 1e-12
+
+
 def test_projected_gradient_norm():
     from rri_nmf_tpu.optimization import projected_gradient_norm
     grad = np.array([1.0, -2.0, 3.0, -4.0])

@@ -44,9 +44,10 @@ Deviations from the reference (deliberate fixes, flagged in SURVEY.md §7):
   returns the reference's sentinel solutions, ``nmf.py:292-315``). The host
   ``qf_min`` still raises ``ValueError`` like the reference.
 
-The reference's dead exploratory code (``kkt_qf_min``, ``optimize_scipy``,
-``optimization.py:110-282`` — never called by the library or tests) is
-intentionally not rebuilt.
+The reference's exploratory solvers (``kkt_qf_min``, ``optimize_scipy``,
+``optimization.py:110-282`` — never called by the reference library or its
+tests) are rebuilt here as working host-side utilities and double as test
+oracles for :func:`qf_min`.
 """
 
 import jax.numpy as jnp

@@ -111,23 +111,22 @@ def _w_ub(cfg, w_row_sum_vec):
 
 
 def make_objective(masked: bool, row_weighted: bool,
-                   reg_w_l2=0.0, reg_t_l2=0.0, reg_w_l1=0.0, reg_t_l1=0.0):
+                   reg_w_l2=0.0, reg_t_l2=0.0, reg_w_l1=0.0, reg_t_l1=0.0,
+                   block_rows=None):
     """Build the jitted full-objective function.
 
     Mirrors ``TrueObjComputer.true_objective`` (reference ``nmf.py:71-94``):
     ``0.5 ||M ⊙ (X - WT)||_F^2`` (entrywise- and/or row-weighted) plus the
     four regularization terms. Extra args (mask / row weights) exist only
     when the corresponding flag is set, keeping the jit signature tight.
+
+    ``block_rows``: accumulate the residual norm over row blocks of this
+    size instead of materializing the full ``W @ T`` product — use for
+    matrices near the HBM budget (the fused form needs one extra n×d
+    temporary).
     """
-    def objective(X, W, T, *extras):
+    def _res_sq(X, W, T, *extras):
         i = 0
-        if X.dtype in (jnp.bfloat16, jnp.float16):
-            # low-precision storage: evaluate the objective in float32 so
-            # descent comparisons aren't drowned by quantization noise
-            X = X.astype(jnp.float32)
-            W = W.astype(jnp.float32)
-            T = T.astype(jnp.float32)
-            extras = tuple(e.astype(jnp.float32) for e in extras)
         R = (X - jnp.dot(W, T, preferred_element_type=X.dtype)) ** 2
         if masked:
             R = extras[i] * R
@@ -135,7 +134,43 @@ def make_objective(masked: bool, row_weighted: bool,
         if row_weighted:
             R = extras[i] * R
             i += 1
-        obj = 0.5 * jnp.sum(R)
+        return jnp.sum(R)
+
+    def objective(X, W, T, *extras):
+        if X.dtype in (jnp.bfloat16, jnp.float16):
+            # low-precision storage: evaluate the objective in float32 so
+            # descent comparisons aren't drowned by quantization noise
+            X = X.astype(jnp.float32)
+            W = W.astype(jnp.float32)
+            T = T.astype(jnp.float32)
+            extras = tuple(e.astype(jnp.float32) for e in extras)
+
+        if block_rows is None:
+            base = _res_sq(X, W, T, *extras)
+        else:
+            n, d = X.shape
+            B = min(n, int(block_rows))
+            nb = -(-n // B)
+
+            def _blk(i, acc):
+                start = jnp.minimum(i * B, n - B)
+                Xb = lax.dynamic_slice(X, (start, 0), (B, d))
+                Wb = lax.dynamic_slice(W, (start, 0), (B, W.shape[1]))
+                eb = [lax.dynamic_slice(e, (start, 0), (B, e.shape[1]))
+                      if e.ndim == 2 and e.shape[0] == n else e
+                      for e in extras]
+                # overlap correction for the clamped final block
+                prev_end = jnp.minimum(i * B, n)
+                overlap = jnp.maximum(prev_end - start, 0)
+                row_ids = jnp.arange(B)
+                mask_rows = (row_ids >= overlap).astype(Xb.dtype)
+                contrib = _res_sq(Xb * mask_rows[:, None],
+                                  Wb * mask_rows[:, None], T, *eb)
+                return acc + contrib
+
+            base = lax.fori_loop(0, nb, _blk,
+                                 jnp.asarray(0.0, dtype=X.dtype))
+        obj = 0.5 * base
         obj = obj + 0.5 * reg_w_l2 * jnp.sum(W ** 2)
         obj = obj + 0.5 * reg_t_l2 * jnp.sum(T ** 2)
         obj = obj + reg_t_l1 * jnp.sum(jnp.abs(T))
@@ -185,10 +220,32 @@ def make_sweep(cfg: SweepConfig):
         ``nmf.py:783`` which is fixed here)."""
         n, d = X.shape
         if method == 'max_resid_document':
-            Rt = jnp.maximum(X - W @ T, 0.0)
-            Rts = jnp.sum(Rt * Rt, axis=1)
-            mi = jnp.argmax(Rts)
-            T = T.at[t].set(Rt[mi])
+            # blockwise residual-norm argmax: never materializes the full
+            # n×d residual (at the 1M×100k BASELINE scale the naive form
+            # costs ~270 GB of temporaries per device; this is O(B·d)).
+            B = min(n, 4096)
+            nb = -(-n // B)
+
+            def _blk(i, carry):
+                best_val, best_idx = carry
+                start = jnp.minimum(i * B, n - B)
+                Xb = lax.dynamic_slice(X, (start, 0), (B, d))
+                Wb = lax.dynamic_slice(W, (start, 0), (B, W.shape[1]))
+                Rb = jnp.maximum(Xb - Wb @ T, 0.0)
+                rts = jnp.sum(Rb * Rb, axis=1)
+                j = jnp.argmax(rts)
+                v = rts[j]
+                better = v > best_val  # strict: first max wins, like argmax
+                return (jnp.where(better, v, best_val),
+                        jnp.where(better,
+                                  (start + j).astype(jnp.int32), best_idx))
+
+            _, mi = lax.fori_loop(
+                0, nb, _blk,
+                (jnp.asarray(-jnp.inf, dtype=X.dtype),
+                 jnp.asarray(0, dtype=jnp.int32)))
+            row = jnp.maximum(X[mi] - W[mi] @ T, 0.0)
+            T = T.at[t].set(row)
             W = W.at[:, t].set(0.0).at[mi, t].set(1.0)
             return W, T, key
         elif method == 'random':

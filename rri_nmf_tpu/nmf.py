@@ -68,10 +68,14 @@ class TrueObjComputer(object):
         self.Wm = Wm
         self.wr = wr
         self.obj = np.inf
+        # blockwise residual accumulation when materializing W @ T would
+        # cost more than ~2 GB of temporaries
+        n, d = np.shape(X)
+        block_rows = 8192 if n * d * 4 > 2e9 and n > 8192 else None
         self._fn = make_objective(
             masked=Wm is not None, row_weighted=wr is not None,
             reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
-            reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
+            reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1, block_rows=block_rows)
 
     def true_objective(self):
         extras = []

@@ -1,0 +1,146 @@
+"""Driver features not covered by the ported reference suite:
+fix_W/fix_T, max_time, dtype pinning, diagnostics content, masked DP,
+early-stop via objective history, sentinel guards."""
+
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.nmf import nmf
+
+
+def _problem(n=30, d=20, k=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+
+
+def test_fix_T_keeps_T(recsys_train):
+    X = recsys_train.astype(float)
+    T_in = np.abs(np.random.RandomState(0).rand(4, X.shape[1]))
+    soln = nmf(X, 4, T_in=T_in.copy(), fix_T=True, max_iter=3,
+               random_state=0, early_stop=False)
+    # T passes through _initialize_and_validate's clip but is never updated
+    assert np.allclose(soln['T'], np.maximum(T_in, 0))
+    assert not np.allclose(soln['W'], 0)
+
+
+def test_fix_W_keeps_W():
+    """fix_W skips the W-phase. NB: with all regs zero the reference's
+    scale transfer still multiplies W columns inside the T-phase
+    (nmf.py:450-452), so pin W with a nonzero reg (transfer disabled) and
+    resets off."""
+    X = _problem()
+    W_in = np.abs(np.random.RandomState(1).rand(X.shape[0], 3))
+    soln = nmf(X, 3, W_in=W_in.copy(), fix_W=True, max_iter=3,
+               random_state=0, early_stop=False, reg_t_l1=0.01,
+               reset_topic_method=None)
+    assert np.allclose(soln['W'], np.maximum(W_in, 0))
+
+    # and with regs zero, columns change only by positive scale factors
+    soln2 = nmf(X, 3, W_in=W_in.copy(), fix_W=True, max_iter=1,
+                random_state=0, early_stop=False, reset_topic_method=None)
+    ratio = soln2['W'] / np.maximum(W_in, 1e-300)
+    assert np.allclose(ratio, ratio[0:1, :], rtol=1e-8)  # per-column scalar
+
+
+def test_max_time_stops_early():
+    X = _problem(n=60, d=40)
+    # budget is max_time - 10 (reference nmf.py:333); 10.01 leaves ~10ms
+    soln = nmf(X, 3, max_iter=5000, max_time=10.01, random_state=0,
+               early_stop=False)
+    assert len(soln['iter_cputime']) < 5000
+
+
+def test_dtype_pinning():
+    import jax.numpy as jnp
+    X = _problem()
+    soln = nmf(X, 3, max_iter=2, dtype=jnp.float32, random_state=0,
+               early_stop=False)
+    # results are converted to numpy but computed in f32
+    assert soln['W'].dtype == np.float32
+
+
+def test_diagnostics_callback_contents():
+    X = _problem()
+    calls = []
+
+    def track_norm(X_, W_, T_):
+        calls.append((W_.shape, T_.shape))
+        return float(np.linalg.norm(X_ - W_ @ T_))
+
+    soln = nmf(X, 3, max_iter=4, random_state=0, early_stop=False,
+               diagnostics=[track_norm])
+    vals = soln['diagnostics']['track_norm']
+    # called once pre-loop + once per iteration (reference nmf.py:373-375,
+    # 495-500)
+    assert len(vals) == 5
+    # reconstruction improves
+    assert vals[-1] < vals[0]
+    assert all(s == ((30, 3), (3, 20)) for s in calls)
+
+
+def test_early_stop_non_callable_uses_obj_history():
+    """early_stop=True (non-callable) stops when obj_history rises
+    (reference nmf.py:382-389). Monotone solver never triggers it."""
+    X = _problem()
+    soln = nmf(X, 3, max_iter=6, random_state=0, early_stop=True,
+               compute_obj_each_iter=True, eps_stop=0.0,
+               reset_topic_method=None)
+    assert len(soln['obj_history']) == 6
+
+
+def test_early_stop_callable_rollback():
+    """A score that increases after iteration 2 rolls back to the iter-2
+    factors (reference nmf.py:391-403)."""
+    X = _problem()
+    state = {'n': 0}
+    snapshots = []
+
+    def rising_score(X_, W_, T_):
+        state['n'] += 1
+        snapshots.append((W_.copy(), T_.copy()))
+        return 0.0 if state['n'] <= 3 else 1.0  # rise at check 4
+
+    soln = nmf(X, 3, max_iter=10, random_state=0, early_stop=rising_score,
+               reset_topic_method=None)
+    # rollback returns the factors snapshotted at the last good check
+    W_prev, T_prev = snapshots[2]
+    assert np.allclose(soln['W'], W_prev)
+    assert np.allclose(soln['T'], T_prev)
+
+
+def test_dp_noise_masked_path():
+    X = _problem()
+    M = (np.random.RandomState(3).rand(*X.shape) < 0.7).astype(float)
+    clean = nmf(X, 3, W_mat=M, max_iter=3, random_state=0,
+                reset_topic_method=None, early_stop=False, t_row_sum=1.0)
+    noisy = nmf(X, 3, W_mat=M, max_iter=3, random_state=0,
+                reset_topic_method=None, early_stop=False, t_row_sum=1.0,
+                eps_gauss_t=1e3, delta_gauss_t=1e-3)
+    assert not np.allclose(clean['T'], noisy['T'], atol=1e-8)
+    assert np.all(np.isfinite(noisy['T']))
+
+
+def test_unbounded_w_guard_sentinel():
+    X = _problem()
+    soln = nmf(X, 3, reg_w_l2=-0.5, max_iter=5)
+    assert soln['obj_history'] == [-np.inf]
+    assert float(soln['W'].max()) == 1e6
+
+
+def test_project_T_with_l1_reg_disabled():
+    """project_T_each_iter + L1 regs is rejected with a warning and
+    proceeds unprojected (reference nmf.py:280-285)."""
+    X = _problem()
+    soln = nmf(X, 3, project_T_each_iter=True, t_row_sum=1.0,
+               reg_t_l1=0.1, max_iter=3, random_state=0, early_stop=False,
+               compute_obj_each_iter=True)
+    # would be exactly 1.0 per row if projection had stayed on
+    assert not np.allclose(soln['T'].sum(1), 1.0)
+    assert np.all(np.diff(soln['obj_history']) <= 0)
+
+
+def test_n_le_k_forces_random_init():
+    X = np.abs(np.random.RandomState(0).rand(3, 10))
+    soln = nmf(X, 5, max_iter=2, random_state=0, early_stop=False)
+    assert soln['W'].shape == (3, 5)
+    assert np.all(np.isfinite(soln['W']))

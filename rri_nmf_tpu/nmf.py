@@ -104,7 +104,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         diagnostics=[], store_gradients=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
-        debug_checks=False, mesh=None, sweeps_per_dispatch=1):
+        debug_checks=False, mesh=None, sweeps_per_dispatch=1,
+        update_order='interleaved'):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -140,6 +141,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ``tp``, and the same jitted sweep runs under GSPMD with ``psum``
         collectives over ICI (see :mod:`rri_nmf_tpu.parallel`). Disables
         the Pallas path (per-device kernels come later).
+    update_order : str, optional
+        ``'interleaved'`` (default) follows the reference's per-topic
+        T-then-W interleaving exactly. ``'phase'`` updates all T rows, then
+        all W columns — every update is still an exact coordinate
+        minimization (same monotone descent, same stationarity conditions;
+        the cyclic order sklearn's CD solver uses), and the W-phase
+        contractions batch into one ``X @ Tᵀ`` GEMM, cutting the dense
+        sweep's HBM traffic from k+1 X-reads to 2. Ignored on the masked
+        path.
     sweeps_per_dispatch : int, optional
         Group this many sweeps into one jitted fori_loop per host dispatch.
         Only takes effect when no per-iteration host work is configured
@@ -306,7 +316,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         store_gradients=bool(store_gradients),
         store_rows=(tuple(int(i) for i in ind_rows_to_store)
                     if (store_gradients and ind_rows_to_store is not None)
-                    else None))
+                    else None),
+        update_order=update_order)
 
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)

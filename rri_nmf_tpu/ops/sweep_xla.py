@@ -87,12 +87,27 @@ class SweepConfig:
     dp_sigma: Optional[float] = None   # Gaussian-mechanism noise std, or None
     store_gradients: bool = False
     store_rows: Optional[Tuple[int, ...]] = None
+    # 'interleaved' (reference order: T[t] then W[:,t] per topic) or
+    # 'phase' (all T rows, then all W columns — same exact coordinate
+    # minimizations and fixed points, ~(k+1)/2 x less HBM traffic; see the
+    # sweep body). Ignored on the masked path.
+    update_order: str = 'interleaved'
 
     @property
     def scale_transfer(self) -> bool:
         """Diagonal scale-invariance transfer ``W[:,t] *= ||t_new||_1`` is
         only valid when the objective is scale invariant, i.e. all four
-        regularizers are zero (reference ``nmf.py:449-452``)."""
+        regularizers are zero (reference ``nmf.py:449-452``).
+
+        Disabled in phase update order: the transfer is a heuristic rescale
+        (not an exact coordinate step) that the reference's interleaving
+        corrects immediately via the following W-update; with all T rows
+        updated first, the rescaled columns would poison the remaining
+        T-updates. Without it every phase-order update is an exact
+        coordinate minimization, so descent is guaranteed.
+        """
+        if self.update_order == 'phase':
+            return False
         return (abs(self.reg_w_l1) + abs(self.reg_w_l2) +
                 abs(self.reg_t_l1) + abs(self.reg_t_l2)) == 0
 
@@ -386,11 +401,19 @@ def make_sweep(cfg: SweepConfig):
             numer_store = jnp.zeros((0, 0), dtype=dtype)
             denom_store = jnp.zeros((0, 0), dtype=dtype)
 
-        def topic_body(t, carry):
+        def make_topic_body(do_t, do_w, XT=None):
+            """One Gauss-Seidel topic step, restricted to the requested
+            phase(s). ``XT`` (n, k) supplies the W-phase contraction
+            ``X @ T[t]`` when the T rows are already final for the sweep
+            (phase update order) — the key to collapsing the k W-phase
+            GEMVs into one GEMM."""
+            return lambda t, carry: topic_body(t, carry, do_t, do_w, XT)
+
+        def topic_body(t, carry, do_t, do_w, XT=None):
             W, T, R, key, resets_left, numer_store, denom_store = carry
 
             # ---------------- T-phase (reference nmf.py:417-458) ---------
-            if not cfg.fix_T:
+            if do_t:
                 w = W[:, t]
                 if cfg.masked:
                     MR = W_mat * R
@@ -462,7 +485,7 @@ def make_sweep(cfg: SweepConfig):
                     X, W, T, R, t, key, resets_left, reset_key)
 
             # ---------------- W-phase (reference nmf.py:460-476) ---------
-            if not cfg.fix_W:
+            if do_w:
                 trow = T[t]
                 w_old = W[:, t]
                 if cfg.masked:
@@ -473,7 +496,10 @@ def make_sweep(cfg: SweepConfig):
                         + w_old.astype(acc) * mt2
                     nt = mt2
                 else:
-                    Xt = jnp.dot(X, trow, preferred_element_type=acc)
+                    if XT is not None:
+                        Xt = XT[:, t]
+                    else:
+                        Xt = jnp.dot(X, trow, preferred_element_type=acc)
                     Tt = jnp.dot(T, trow, preferred_element_type=acc)
                     Tt = Tt.at[t].set(0.0)
                     Rt = Xt - jnp.dot(W.astype(acc), Tt)
@@ -502,8 +528,30 @@ def make_sweep(cfg: SweepConfig):
             return W, T, R, key, resets_left, numer_store, denom_store
 
         carry = (W, T, R, key, resets_left, numer_store, denom_store)
-        W, T, R, key, resets_left, numer_store, denom_store = lax.fori_loop(
-            0, k, topic_body, carry)
+        if cfg.update_order == 'phase' and not cfg.masked:
+            # Phase order: all T-row updates (exact, sequential), then all
+            # W-column updates (exact, sequential). Every update remains an
+            # exact coordinate minimization of the current objective, so
+            # monotone descent and the stationarity conditions are
+            # unchanged; only the cyclic order differs from the reference's
+            # interleaving (this is the order sklearn's CD solver uses).
+            # Payoff: the W-phase contractions X @ T[t] all use the
+            # now-final T rows, so they batch into ONE X @ T^T GEMM —
+            # the sweep reads X twice total instead of k+1 times.
+            if not cfg.fix_T:
+                carry = lax.fori_loop(
+                    0, k, make_topic_body(do_t=True, do_w=False), carry)
+            if not cfg.fix_W:
+                T_cur = carry[1]
+                XT = jnp.dot(X, T_cur.T, preferred_element_type=acc)
+                carry = lax.fori_loop(
+                    0, k, make_topic_body(do_t=False, do_w=True, XT=XT),
+                    carry)
+            (W, T, R, key, resets_left, numer_store, denom_store) = carry
+        else:
+            W, T, R, key, resets_left, numer_store, denom_store = \
+                lax.fori_loop(0, k, make_topic_body(not cfg.fix_T,
+                                                    not cfg.fix_W), carry)
 
         # per-iteration W row projection (reference nmf.py:481-484)
         if (cfg.project_W_each_iter and not cfg.fix_W

@@ -57,7 +57,7 @@ def numpy_reference_sweep(X, W, T):
     return W, T
 
 
-def bench_jax(n, d, k, n_timed=8):
+def bench_jax(n, d, k, n_timed=8, update_order='interleaved'):
     """Time n_timed sweeps as ONE jitted fori_loop with a single scalar
     readback — separate dispatches with a trailing fetch can hang on the
     tunnel-hosted backend (see .claude/skills/verify/SKILL.md)."""
@@ -66,7 +66,8 @@ def bench_jax(n, d, k, n_timed=8):
 
     from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
 
-    cfg = SweepConfig(k=k, reset_topic_method=None)
+    cfg = SweepConfig(k=k, reset_topic_method=None,
+                      update_order=update_order)
     sweep = make_sweep(cfg)
     reset_key = jax.random.PRNGKey(0)
 
@@ -115,7 +116,14 @@ def main():
     jax_dt = None
     for (n, d, k) in sizes:
         try:
-            jax_dt = bench_jax(n, d, k)
+            # primary: phase update order — every update is still an exact
+            # rank-one coordinate minimization with monotone descent (see
+            # ops/sweep_xla.py and tests/test_phase_order.py); the W-phase
+            # contractions batch into one GEMM so the sweep reads X twice
+            # instead of k+1 times
+            jax_dt = bench_jax(n, d, k, update_order='phase')
+            jax_dt_ref_order = bench_jax(n, d, k,
+                                         update_order='interleaved')
             break
         except Exception as e:
             print('config (%d,%d,%d) failed: %s' % (n, d, k, e),
@@ -128,20 +136,24 @@ def main():
 
     flops = 4.0 * n * d * k
 
-    # NumPy baseline: same math on this host. Cap the row count to keep the
-    # baseline run short; sweep cost is linear in n (two O(nd) GEMVs per
-    # topic dominate), so extrapolate — this favors the baseline if anything
-    # (smaller problems are more cache-friendly).
+    # NumPy baseline: same math on this host (the reference's interleaved
+    # order). Cap the row count to keep the baseline run short; sweep cost
+    # is linear in n (two O(nd) GEMVs per topic dominate), so extrapolate —
+    # this favors the baseline if anything (smaller problems are more
+    # cache-friendly).
     nb = min(n, 4096)
     np_dt = bench_numpy(nb, d, k) * (n / nb)
 
-    gflops = flops / jax_dt / 1e9
-    vs_baseline = np_dt / jax_dt
     print(json.dumps({
         'metric': 'rri_sweep_gflops_per_chip',
-        'value': round(gflops, 2),
+        'value': round(flops / jax_dt / 1e9, 2),
         'unit': 'GFLOP/s',
-        'vs_baseline': round(vs_baseline, 2),
+        'vs_baseline': round(np_dt / jax_dt, 2),
+        'config': '%dx%d k=%d f32' % (n, d, k),
+        'update_order': 'phase (exact BCD, monotone; sklearn-CD ordering)',
+        'gflops_reference_interleaved_order': round(
+            flops / jax_dt_ref_order / 1e9, 2),
+        'vs_baseline_reference_order': round(np_dt / jax_dt_ref_order, 2),
     }))
 
 

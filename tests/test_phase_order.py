@@ -69,6 +69,23 @@ def test_phase_order_same_stationary_family():
         assert np.allclose(T[t], expected, atol=1e-4)
 
 
+def test_phase_order_under_mesh():
+    """Phase order shards like the interleaved sweep: the XT GEMM psums
+    over tp, everything else is unchanged."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from rri_nmf_tpu.parallel import make_mesh
+    X = _problem(n=64, d=40, k=3, seed=0)
+    kw = dict(k=3, max_iter=6, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase')
+    single = nmf(X, **kw)
+    sharded = nmf(X, mesh=make_mesh(8), **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-12)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-12)
+
+
 def test_phase_order_fix_T_transform():
     """fix_T + phase order: the W-phase alone with the XT GEMM (the
     transform path at scale)."""

@@ -72,7 +72,7 @@ def _normalize_ub(s, ub):
     return ub
 
 
-def qf_min_scalar_c(w, c, s, ub, d_ub_feasible=True):
+def qf_min_scalar_c(w, c, s, ub):
     """Jit-internal qf_min for scalar curvature ``c`` (traced scalar).
 
     ``s`` and ``ub`` must be static (Python float / None), except ``ub`` may
@@ -184,7 +184,7 @@ def qf_min(w, c, s=1.0, ub=1.0, x0=None):
         raise ValueError('c must be a scalar or have the shape of w')
 
 
-def kkt_qf_min(w, d, s=1.0, ub=1.0, max_iter=100):
+def kkt_qf_min(w, d, s=1.0, ub=1.0):
     """Active-set KKT solver for ``min wᵀx + xᵀdiag(d)x`` on
     ``{0 <= x <= ub, Σx = s}`` with per-coordinate curvature.
 

@@ -70,7 +70,10 @@ def _phase_a_kernel(R_ref, M_ref, dw_ref, tprev_ref, w_ref,
     MR = M_ref[:] * Rblk
 
     w = w_ref[:]                                        # (BN, 1)
-    acc_t = MR.dtype  # float32 on TPU; float64 under CPU interpret tests
+    # accumulate in float32 for low-precision storage; dtype-preserving
+    # otherwise (float64 under CPU interpret tests)
+    acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
+        else MR.dtype
     part_wR0 = jax.lax.dot_general(
         w, MR, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_t)                   # (1, BD)
@@ -103,7 +106,8 @@ def _phase_b_kernel(R_ref, M_ref, w_ref, weff_ref, told_ref, tnew_ref,
     MR = M_ref[:] * Rblk
 
     tn = tnew_ref[:]                                    # (1, BD)
-    acc_t = MR.dtype  # float32 on TPU; float64 under CPU interpret tests
+    acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
+        else MR.dtype
     part_Rt = jax.lax.dot_general(
         MR, tn, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_t)                   # (BN, 1)
@@ -126,6 +130,7 @@ def _phase_a(R, M, dw, t_prev, w, interpret):
     npad, dpad = R.shape
     gn, gd = npad // BN, dpad // BD
     dtype = R.dtype
+    acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     return pl.pallas_call(
         _phase_a_kernel,
         grid=(gd, gn),
@@ -151,8 +156,8 @@ def _phase_a(R, M, dw, t_prev, w, interpret):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((npad, dpad), dtype),
-            jax.ShapeDtypeStruct((1, dpad), dtype),
-            jax.ShapeDtypeStruct((1, dpad), dtype),
+            jax.ShapeDtypeStruct((1, dpad), acc_dtype),
+            jax.ShapeDtypeStruct((1, dpad), acc_dtype),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -167,6 +172,7 @@ def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
     npad, dpad = R.shape
     gn, gd = npad // BN, dpad // BD
     dtype = R.dtype
+    acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     return pl.pallas_call(
         _phase_b_kernel,
         grid=(gn, gd),
@@ -194,8 +200,8 @@ def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((npad, dpad), dtype),
-            jax.ShapeDtypeStruct((npad, 1), dtype),
-            jax.ShapeDtypeStruct((npad, 1), dtype),
+            jax.ShapeDtypeStruct((npad, 1), acc_dtype),
+            jax.ShapeDtypeStruct((npad, 1), acc_dtype),
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -266,14 +272,15 @@ def make_masked_sweep_pallas(cfg, interpret=False):
                                          s=cfg.t_update_s, ub=cfg.t_row_sum)
             t_old = Tp[t]
             if cfg.scale_transfer:
-                Wp = Wp.at[:, t].multiply(nt1)
-                w_eff = w * nt1
+                Wp = Wp.at[:, t].multiply(nt1.astype(dtype))
+                w_eff = w * nt1.astype(dtype)
             else:
                 w_eff = w
-            Tp = Tp.at[t].set(t_new)
+            Tp = Tp.at[t].set(t_new.astype(dtype))
 
-            # ---- W-phase: one fused pass (T update + reductions)
-            R, Rt0, mt2 = _phase_b(R, Mp, w, w_eff, t_old, t_new, interpret)
+            # ---- W-phase: one fused pass (T update + reductions); uses the
+            # STORED (dtype) row so R tracks T exactly
+            R, Rt0, mt2 = _phase_b(R, Mp, w, w_eff, t_old, Tp[t], interpret)
             Rt0 = Rt0.reshape(-1)
             mt2 = mt2.reshape(-1)
             Rt = Rt0 + w_eff * mt2     # rank-one restore on the W side
@@ -282,11 +289,11 @@ def make_masked_sweep_pallas(cfg, interpret=False):
             denom_w = mt2 + cfg.reg_w_l2
             ub = ubp if cfg.w_row_sum_is_vector else cfg.w_row_sum
             w_new, _ = qf_min_vector_c(-numer_w, denom_w, s=None, ub=ub)
-            Wp = Wp.at[:, t].set(w_new)
+            Wp = Wp.at[:, t].set(w_new.astype(dtype))
 
             # defer this topic's W rank-one update into the next A' pass
-            pend_dw = w_eff - w_new
-            pend_t = t_new
+            pend_dw = w_eff - w_new.astype(dtype)
+            pend_t = Tp[t]   # stored (dtype) row
             return Wp, Tp, R, pend_dw, pend_t
 
         Wp, Tp, R, pend_dw, pend_t = lax.fori_loop(

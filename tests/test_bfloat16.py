@@ -30,6 +30,40 @@ def test_bf16_dense_monotone_and_converges():
     assert b16['W'].dtype == np.float32 or str(b16['W'].dtype) == 'bfloat16'
 
 
+def test_bf16_pallas_masked_descends():
+    """The fused Pallas masked sweep under bfloat16 storage (f32
+    accumulators) keeps the f32-evaluated objective decreasing. Exact
+    agreement with the XLA bf16 sweep is not expected — bf16 threshold
+    decisions diverge chaotically between equally valid trajectories."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_objective
+    from rri_nmf_tpu.ops.sweep_pallas import make_masked_sweep_pallas
+
+    X = _problem(seed=4).astype(np.float32)
+    M = (np.random.RandomState(5).rand(*X.shape) < 0.6).astype(np.float32)
+    rng = np.random.RandomState(6)
+    W = jnp.asarray(np.abs(rng.rand(X.shape[0], 3)), jnp.bfloat16)
+    T = jnp.asarray(np.abs(rng.rand(3, X.shape[1])), jnp.bfloat16)
+    Xd = jnp.asarray(X, jnp.bfloat16)
+    Md = jnp.asarray(M, jnp.bfloat16)
+
+    cfg = SweepConfig(k=3, masked=True, reset_topic_method=None,
+                      t_row_sum=1.0)
+    sweep = make_masked_sweep_pallas(cfg, interpret=True)
+    obj = make_objective(masked=True, row_weighted=False)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    hist = [float(obj(Xd, W, T, Md))]
+    for _ in range(5):
+        W, T, key, r = sweep(Xd, W, T, key, r, key, Md)
+        hist.append(float(obj(Xd, W, T, Md)))
+    hist = np.asarray(hist)
+    assert np.all(np.isfinite(hist))
+    assert np.all(np.diff(hist) <= 1e-3 * hist[0] + 1e-6)
+    assert hist[-1] < hist[0]
+
+
 def test_bf16_masked_runs():
     X = _problem(seed=1)
     M = (np.random.RandomState(2).rand(*X.shape) < 0.6).astype(float)

@@ -74,11 +74,15 @@ def _phase_a_kernel(R_ref, M_ref, dw_ref, tprev_ref, w_ref,
     # otherwise (float64 under CPU interpret tests)
     acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
         else MR.dtype
+    # cast dot inputs to the accumulator dtype explicitly: Mosaic cannot
+    # lower mixed bf16-in / f32-out contractions
     part_wR0 = jax.lax.dot_general(
-        w, MR, dimension_numbers=(((0,), (0,)), ((), ())),
+        w.astype(acc_t), MR.astype(acc_t),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_t)                   # (1, BD)
     part_nw = jax.lax.dot_general(
-        w * w, M_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        (w * w).astype(acc_t), M_ref[:].astype(acc_t),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=acc_t)
 
     @pl.when(i == 0)
@@ -109,10 +113,12 @@ def _phase_b_kernel(R_ref, M_ref, w_ref, weff_ref, told_ref, tnew_ref,
     acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
         else MR.dtype
     part_Rt = jax.lax.dot_general(
-        MR, tn, dimension_numbers=(((1,), (1,)), ((), ())),
+        MR.astype(acc_t), tn.astype(acc_t),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_t)                   # (BN, 1)
     part_mt2 = jax.lax.dot_general(
-        M_ref[:], tn * tn, dimension_numbers=(((1,), (1,)), ((), ())),
+        M_ref[:].astype(acc_t), (tn * tn).astype(acc_t),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_t)
 
     @pl.when(j == 0)

@@ -323,7 +323,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         make_masked_sweep_pallas, supports_pallas)
     pallas_ok = supports_pallas(cfg) and mesh is None
     if use_pallas is None:
-        use_pallas = pallas_ok and jax.default_backend() not in ('cpu',)
+        # auto: fused kernels on accelerators, f32/f64 only — measured on
+        # v5e, Mosaic's in-kernel bf16<->f32 conversions are a ~350x slow
+        # path, so low-precision masked runs take the XLA sweep instead
+        use_pallas = (pallas_ok and jax.default_backend() not in ('cpu',)
+                      and dtype not in (jnp.bfloat16, jnp.float16))
     if use_pallas and not pallas_ok:
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernel; falling back to the XLA sweep.')

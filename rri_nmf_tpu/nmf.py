@@ -317,7 +317,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         store_rows=(tuple(int(i) for i in ind_rows_to_store)
                     if (store_gradients and ind_rows_to_store is not None)
                     else None),
-        update_order=update_order)
+        update_order=update_order,
+        reset_blockwise=mesh is None)
 
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)

@@ -92,6 +92,11 @@ class SweepConfig:
     # minimizations and fixed points, ~(k+1)/2 x less HBM traffic; see the
     # sweep body). Ignored on the masked path.
     update_order: str = 'interleaved'
+    # max-residual reset strategy: True = blockwise scan (O(B*d) temps —
+    # essential near the single-chip HBM ceiling), False = materialize the
+    # full residual (GSPMD-friendly: dynamic_slice of a dp-sharded X lowers
+    # to gathers, so the mesh path prefers one shard-local temp instead).
+    reset_blockwise: bool = True
 
     @property
     def scale_transfer(self) -> bool:
@@ -234,6 +239,15 @@ def make_sweep(cfg: SweepConfig):
         reference's 'random' T-branch has an undefined-``n`` bug at
         ``nmf.py:783`` which is fixed here)."""
         n, d = X.shape
+        if method == 'max_resid_document' and not cfg.reset_blockwise:
+            # full-residual form: one n×d temporary (shard-local under
+            # GSPMD — the blockwise scan's dynamic_slice would gather)
+            Rt = jnp.maximum(X - W @ T, 0.0)
+            Rts = jnp.sum(Rt * Rt, axis=1)
+            mi = jnp.argmax(Rts)
+            T = T.at[t].set(Rt[mi])
+            W = W.at[:, t].set(0.0).at[mi, t].set(1.0)
+            return W, T, key
         if method == 'max_resid_document':
             # blockwise residual-norm argmax: never materializes the full
             # n×d residual (at the 1M×100k BASELINE scale the naive form

@@ -46,10 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 from rri_nmf_tpu.optimization import qf_min_vector_c
 
 # tile sizes: (BN, BD) f32 tiles of R and M live in VMEM simultaneously
-# (2 · 256·512·4B = 1 MB) plus small vector tiles — comfortably inside the
-# ~16 MB VMEM budget with double buffering.
-BN = 256
-BD = 512
+# plus small vector tiles; (512, 1024) measured fastest of
+# {256,512,1024}x{512,1024} on v5e (within ~±10% tunnel noise) and stays
+# inside the ~16 MB VMEM budget with double buffering.
+BN = 512
+BD = 1024
 
 
 def _round_up(x, m):

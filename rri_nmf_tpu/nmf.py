@@ -322,7 +322,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
-    pallas_ok = supports_pallas(cfg) and mesh is None
+    pallas_ok = supports_pallas(cfg) and not (
+        mesh is not None and cfg.w_row_sum_is_vector)
     if use_pallas is None:
         # auto: fused kernels on accelerators, f32/f64 only — measured on
         # v5e, Mosaic's in-kernel bf16<->f32 conversions are a ~350x slow
@@ -333,7 +334,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernel; falling back to the XLA sweep.')
         use_pallas = False
-    if use_pallas:
+    if use_pallas and mesh is not None:
+        # per-device fused kernels under shard_map with psum'd reductions
+        from rri_nmf_tpu.parallel.sharded_pallas import (
+            make_sharded_masked_sweep_pallas)
+        sweep_fn = make_sharded_masked_sweep_pallas(
+            cfg, mesh, interpret=(use_pallas == 'interpret'))
+    elif use_pallas:
         sweep_fn = make_masked_sweep_pallas(
             cfg, interpret=(use_pallas == 'interpret'))
     else:
@@ -390,14 +397,34 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if (group > 1 and not early_stop and not compute_obj_each_iter
             and not diagnostics and not store_gradients and not debug_checks):
         from rri_nmf_tpu.ops.sweep_xla import make_multi_sweep
+
+        _mesh_pallas_multis = {}
+
+        def _get_multi(g):
+            if mesh is not None and use_pallas:
+                # the sharded shard_map sweep isn't covered by
+                # make_multi_sweep's registry; wrap it per fit
+                if g not in _mesh_pallas_multis:
+                    def multi(X, W, T, key, resets_left, reset_key,
+                              *extras, _g=g):
+                        def body(i, carry):
+                            W, T, key, resets_left = carry
+                            return sweep_fn(X, W, T, key, resets_left,
+                                            reset_key, *extras)
+                        return jax.lax.fori_loop(
+                            0, _g, body, (W, T, key, resets_left))
+                    _mesh_pallas_multis[g] = jax.jit(multi)
+                return _mesh_pallas_multis[g]
+            return make_multi_sweep(cfg, g, pallas=bool(use_pallas),
+                                    interpret=(use_pallas == 'interpret'))
+
         iter_no = start_iter
         while iter_no < max_iter:
             g = min(group, max_iter - iter_no)
             if ckpt is not None and checkpoint_every > 0:
                 to_boundary = checkpoint_every - (iter_no % checkpoint_every)
                 g = min(g, to_boundary)
-            multi = make_multi_sweep(cfg, g, pallas=bool(use_pallas),
-                                     interpret=(use_pallas == 'interpret'))
+            multi = _get_multi(g)
             W_dev, T_dev, key, resets_left = multi(
                 X_dev, W_dev, T_dev, key, resets_left, reset_key, *extras)
             # scalar readback: real sync on tunnel-hosted backends

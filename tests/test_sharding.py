@@ -121,6 +121,25 @@ def test_sharded_pallas_masked_sweep():
 
 
 @requires_8_devices
+def test_nmf_driver_mesh_pallas_masked():
+    """nmf(mesh=..., use_pallas=...) routes masked fits through the
+    shard_map'd fused kernels and matches the XLA path."""
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(80, 3) @ rng.rand(3, 60) + 0.01 * rng.rand(80, 60))
+    M = (rng.rand(80, 60) < 0.5).astype(float)
+    kw = dict(k=3, W_mat=M, max_iter=5, random_state=0, early_stop=False,
+              reset_topic_method=None, t_row_sum=1.0)
+    a = nmf(X, **kw)
+    b = nmf(X, mesh=make_mesh(8), use_pallas='interpret', **kw)
+    c = nmf(X, mesh=make_mesh(8), use_pallas='interpret',
+            sweeps_per_dispatch=2, **kw)
+    assert np.allclose(a['W'], b['W'], atol=1e-9)
+    assert np.allclose(b['W'], c['W'], atol=1e-12)
+
+
+@requires_8_devices
 def test_nmf_driver_mesh_param():
     """The top-level nmf(mesh=...) runs the whole fit sharded and matches
     the single-device fit to 1e-12."""

@@ -36,9 +36,12 @@ import numpy as np
 
 def _randomized_svd_sklearn(X, k, random_state):
     """Exact-parity host backend (the reference calls the same function at
-    ``initialization.py:105``)."""
+    ``initialization.py:105``). SciPy sparse inputs pass through —
+    ``randomized_svd`` handles them natively."""
     from sklearn.utils.extmath import randomized_svd
-    return randomized_svd(np.asarray(X), k, random_state=random_state)
+    if not hasattr(X, 'tocoo'):
+        X = np.asarray(X)
+    return randomized_svd(X, k, random_state=random_state)
 
 
 def randomized_svd_jax(X, k, key, n_oversamples=10, n_iter=4):

@@ -57,7 +57,7 @@ class TrueObjComputer(object):
     """
 
     def __init__(self, X, W, T, reg_w_l2, reg_t_l2, reg_w_l1, reg_t_l1,
-                 Wm, wr):
+                 Wm, wr, sparse=False):
         self.X = X
         self.W = W
         self.T = T
@@ -67,17 +67,29 @@ class TrueObjComputer(object):
         self.reg_w_l1 = reg_w_l1
         self.Wm = Wm
         self.wr = wr
+        self.sparse = sparse
         self.obj = np.inf
-        # blockwise residual accumulation when materializing W @ T would
-        # cost more than ~2 GB of temporaries
-        n, d = np.shape(X)
-        block_rows = 8192 if n * d * 4 > 2e9 and n > 8192 else None
-        self._fn = make_objective(
-            masked=Wm is not None, row_weighted=wr is not None,
-            reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
-            reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1, block_rows=block_rows)
+        n, d = X.shape
+        if sparse:
+            from rri_nmf_tpu.ops.sweep_sparse import make_sparse_objective
+            self._fn = make_sparse_objective(
+                reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
+                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
+        else:
+            # blockwise residual accumulation when materializing W @ T
+            # would cost more than ~2 GB of temporaries
+            block_rows = 8192 if n * d * 4 > 2e9 and n > 8192 else None
+            self._fn = make_objective(
+                masked=Wm is not None, row_weighted=wr is not None,
+                reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
+                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1,
+                block_rows=block_rows)
 
     def true_objective(self):
+        if self.sparse:
+            self.obj = float(self._fn(self.X, jnp.asarray(self.W),
+                                      jnp.asarray(self.T)))
+            return self.obj
         extras = []
         if self.Wm is not None:
             extras.append(self.Wm)
@@ -105,7 +117,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
-        update_order='interleaved'):
+        update_order='interleaved', sparse='auto'):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -167,12 +179,41 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     """
     rtv = {}
 
+    # ---- sparse-X mode (no reference counterpart: the reference densifies
+    # sparse input, sklearn_interface.py:78-83) ------------------------------
+    # With update_order='phase' the sweep touches X through exactly two
+    # contractions, both BCOO-lowerable, so X can stay sparse end to end.
+    _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
+    sparse_mode = False
+    _viable = (W_mat is None and w_row is None and not store_gradients
+               and not (eps_gauss_t and delta_gauss_t) and mesh is None)
+    if sparse is True:
+        if not _viable:
+            raise ValueError(
+                'sparse=True requires: no W_mat, no w_row, no '
+                'store_gradients, no DP noise, no mesh')
+        sparse_mode = True
+        if update_order != 'phase':
+            logger.info('sparse mode uses the phase update order')
+            update_order = 'phase'
+        if reset_topic_method is not None:
+            logger.info('sparse mode disables topic resets (they scan '
+                        'residual rows)')
+            reset_topic_method = None
+    elif sparse == 'auto' and _is_sp:
+        # conservative: engage only when the requested settings already
+        # match the sparse sweep (no silent semantic changes vs the
+        # reference's densify-and-proceed behavior)
+        sparse_mode = (_viable and update_order == 'phase'
+                       and reset_topic_method is None)
+
     # ---- host-side input normalization -----------------------------------
-    if hasattr(X, 'toarray'):
+    if _is_sp and not sparse_mode:
         X = X.toarray()
-    X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
-        np.asarray(X).dtype, np.floating) else None)
-    X = np.asarray(X)
+    if not sparse_mode:
+        X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
+            np.asarray(X).dtype, np.floating) else None)
+        X = np.asarray(X)
     n, d = X.shape
     if dtype is None:
         dtype = X.dtype if np.issubdtype(X.dtype, np.floating) else None
@@ -279,7 +320,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
     else:
         s_X = s_W = None
-        X_dev = jnp.asarray(X, dtype=dtype)
+        if sparse_mode:
+            from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
+            X_dev = to_bcoo(X, dtype)
+        else:
+            X_dev = jnp.asarray(X, dtype=dtype)
         W_dev = jnp.asarray(W, dtype=dtype)
         T_dev = jnp.asarray(T, dtype=dtype)
     extras = []
@@ -334,7 +379,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernel; falling back to the XLA sweep.')
         use_pallas = False
-    if use_pallas and mesh is not None:
+    if sparse_mode:
+        from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
+        use_pallas = False
+        sweep_fn = make_sparse_sweep(cfg)
+    elif use_pallas and mesh is not None:
         # per-device fused kernels under shard_map with psum'd reductions
         from rri_nmf_tpu.parallel.sharded_pallas import (
             make_sharded_masked_sweep_pallas)
@@ -381,12 +430,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if compute_obj_each_iter:
         OBJ = TrueObjComputer(X_dev, W_dev, T_dev, reg_w_l1=reg_w_l1,
                               reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
-                              reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row)
+                              reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row,
+                              sparse=sparse_mode)
+
+    # callbacks see the host X (the scipy matrix itself in sparse mode)
+    X_host = X if sparse_mode else np.asarray(X)
 
     if len(diagnostics) > 0:
         for func in diagnostics:
             rtv['diagnostics'][func.__name__].append(
-                func(np.asarray(X), np.array(W_dev), np.array(T_dev)))
+                func(X_host, np.array(W_dev), np.array(T_dev)))
 
     if _resumed is not None:
         # restored run: rebuild history so stopping conditions see it
@@ -401,9 +454,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _mesh_pallas_multis = {}
 
         def _get_multi(g):
-            if mesh is not None and use_pallas:
-                # the sharded shard_map sweep isn't covered by
-                # make_multi_sweep's registry; wrap it per fit
+            if (mesh is not None and use_pallas) or sparse_mode:
+                # the sharded shard_map and sparse sweeps aren't covered by
+                # make_multi_sweep's registry; wrap them per fit
                 if g not in _mesh_pallas_multis:
                     def multi(X, W, T, key, resets_left, reset_key,
                               *extras, _g=g):
@@ -451,7 +504,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if early_stop:
             if callable(early_stop):
-                this_score = early_stop(np.asarray(X), np.array(W_dev),
+                this_score = early_stop(X_host, np.array(W_dev),
                                         np.array(T_dev))
             else:
                 if compute_obj_each_iter and len(obj_history) > 0:
@@ -504,7 +557,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if len(diagnostics) > 0:
             for func in diagnostics:
-                dval = func(np.asarray(X), np.array(W_dev), np.array(T_dev))
+                dval = func(X_host, np.array(W_dev), np.array(T_dev))
                 rtv['diagnostics'][func.__name__].append(dval)
                 logger.info('\t%s: %s', func.__name__, dval)
 

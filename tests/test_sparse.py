@@ -1,0 +1,97 @@
+"""Sparse-X (BCOO) sweep: parity with the dense path and driver wiring.
+
+The reference densifies sparse input (``sklearn_interface.py:78-83``);
+this path keeps X sparse end to end (phase update order: the sweep touches
+X through exactly two BCOO contractions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+from rri_nmf_tpu.nmf import nmf
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep, make_objective
+from rri_nmf_tpu.ops.sweep_sparse import (
+    make_sparse_objective, make_sparse_sweep, supports_sparse, to_bcoo,
+)
+
+
+def _problem(n=90, d=70, k=5, seed=0, density=0.2):
+    rng = np.random.RandomState(seed)
+    Xd = np.abs(rng.rand(n, k) @ rng.rand(k, d))
+    Xd[rng.rand(n, d) >= density] = 0.0
+    return Xd, np.abs(rng.rand(n, k)), np.abs(rng.rand(k, d))
+
+
+def test_sparse_sweep_matches_dense():
+    Xd, W0, T0 = _problem()
+    cfg = SweepConfig(k=5, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, project_W_each_iter=True,
+                      t_row_sum=1.0, w_row_sum=1.0)
+    assert supports_sparse(cfg)
+    dense = make_sweep(cfg)
+    sparse = make_sparse_sweep(cfg)
+    Xb = to_bcoo(scipy.sparse.csr_matrix(Xd), jnp.asarray(Xd).dtype)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Wd, Td = jnp.asarray(W0), jnp.asarray(T0)
+    Ws, Ts = jnp.asarray(W0), jnp.asarray(T0)
+    for _ in range(4):
+        Wd, Td, _, _ = dense(jnp.asarray(Xd), Wd, Td, key, r, key)
+        Ws, Ts, _, _ = sparse(Xb, Ws, Ts, key, r, key)
+    assert np.allclose(np.array(Ws), np.array(Wd), atol=1e-11)
+    assert np.allclose(np.array(Ts), np.array(Td), atol=1e-11)
+
+
+def test_sparse_objective_exact():
+    Xd, W, T = _problem(seed=2)
+    f_dense = make_objective(False, False, 0.1, 0.2, 0.05, 0.01)
+    f_sparse = make_sparse_objective(0.1, 0.2, 0.05, 0.01)
+    a = float(f_dense(jnp.asarray(Xd), jnp.asarray(W), jnp.asarray(T)))
+    b = float(f_sparse(to_bcoo(scipy.sparse.csr_matrix(Xd)),
+                       jnp.asarray(W), jnp.asarray(T)))
+    assert abs(a - b) < 1e-8 * max(1.0, a)
+
+
+def test_driver_sparse_auto_matches_dense():
+    Xd, _, _ = _problem(n=120, d=90)
+    Xs = scipy.sparse.csr_matrix(Xd)
+    kw = dict(k=5, max_iter=6, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase', eps_stop=0)
+    dense = nmf(Xd, **kw)
+    sp = nmf(Xs, **kw)   # 'auto' engages: settings already sparse-viable
+    assert np.allclose(dense['W'], sp['W'], atol=1e-11)
+    assert np.allclose(dense['obj_history'], sp['obj_history'], atol=1e-8)
+    assert np.all(np.diff(sp['obj_history']) <= 0)
+
+
+def test_driver_sparse_auto_conservative():
+    """'auto' must NOT change semantics: default settings (interleaved,
+    resets on) densify like the reference rather than silently switching
+    order/resets."""
+    Xd, _, _ = _problem(n=60, d=40)
+    Xs = scipy.sparse.csr_matrix(Xd)
+    a = nmf(Xd, k=4, max_iter=4, random_state=0, early_stop=False)
+    b = nmf(Xs, k=4, max_iter=4, random_state=0, early_stop=False)
+    assert np.allclose(a['W'], b['W'], atol=1e-12)
+
+
+def test_driver_sparse_true_forces_and_validates():
+    Xd, _, _ = _problem(n=60, d=40)
+    Xs = scipy.sparse.csr_matrix(Xd)
+    soln = nmf(Xs, k=4, max_iter=5, random_state=0, early_stop=False,
+               sparse=True, compute_obj_each_iter=True)
+    assert np.all(np.diff(soln['obj_history']) <= 0)
+    with pytest.raises(ValueError):
+        nmf(Xs, k=4, sparse=True, W_mat=np.ones(Xd.shape))
+
+
+def test_sparse_fix_T_transform():
+    Xd, _, T0 = _problem(seed=4)
+    Xs = scipy.sparse.csr_matrix(Xd)
+    soln = nmf(Xs, k=5, T_in=T0.copy(), fix_T=True, max_iter=3,
+               random_state=0, early_stop=False, sparse=True)
+    assert np.allclose(soln['T'], np.maximum(T0, 0))
+    assert np.all(np.isfinite(soln['W']))

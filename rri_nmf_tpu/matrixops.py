@@ -98,7 +98,20 @@ def normalize(X, dim=1, zero_sum_fix=True):
     ``dim=1`` normalizes rows (default), ``dim=0`` columns. With
     ``zero_sum_fix`` (default), vectors whose sum is below ``1e-10`` are
     replaced by the uniform distribution — reference ``matrixops.py:124-163``.
+
+    SciPy sparse inputs stay sparse (host path, feeding
+    ``nmf(sparse=True)``); the zero-sum fix is skipped there — filling a
+    zero row with the uniform distribution would densify it — and all-zero
+    vectors remain zero.
     """
+    if hasattr(X, 'tocsr') and hasattr(X, 'multiply'):  # scipy sparse
+        import scipy.sparse as sp
+        X = X.tocsr() if dim == 1 else X.tocsc()
+        sums = np.asarray(X.sum(axis=dim)).ravel() + np.spacing(1)
+        inv = 1.0 / sums
+        if dim == 1:
+            return sp.diags(inv) @ X
+        return X @ sp.diags(inv)
     X = jnp.asarray(_densify(X))
     if X.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16, jnp.float16):
         X = X.astype(jnp.result_type(float))
@@ -137,8 +150,18 @@ def tfidf(X, return_idf=False):
     """Transform an n-docs × d-features count matrix to TF-IDF.
 
     ``idf = log(n / df)`` with the reference's epsilon regularization
-    (``matrixops.py:166-179``). Sparse inputs are densified.
+    (``matrixops.py:166-179``). SciPy sparse inputs stay sparse, like the
+    reference's sparse branch (``matrixops.py:173-175``).
     """
+    if hasattr(X, 'tocsr') and hasattr(X, 'multiply'):  # scipy sparse
+        Xc = X.tocsc()
+        n, d = Xc.shape
+        df = np.asarray((Xc > 0).sum(axis=0)).ravel()
+        idf = np.log(n / (df + np.spacing(1)))
+        rtvx = Xc.multiply(idf[None, :]).tocsr()
+        if return_idf:
+            return rtvx, idf
+        return rtvx
     X = jnp.asarray(_densify(X))
     n, d = X.shape
     df = jnp.sum(X > 0, axis=0)

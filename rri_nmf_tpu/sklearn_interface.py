@@ -211,12 +211,16 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
             self.T = self.T.toarray()
 
     def _preprocess(self, X):
+        _sparse = sp.issparse(X)
         if self.handle_tfidf:
             X, idf = tfidf(X, return_idf=True)
             self.idf = np.asarray(idf)
-            X = np.asarray(X)
+            if not _sparse:
+                X = np.asarray(X)
         if self.handle_normalization:
-            X = np.asarray(normalize(X))
+            X = normalize(X)
+            if not _sparse:
+                X = np.asarray(X)
         return X
 
     def fit_transform(self, X, y=None):

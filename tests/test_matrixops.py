@@ -75,10 +75,28 @@ def test_tfidf_dense_and_sparse_agree():
     rng = np.random.RandomState(0)
     X = (rng.rand(10, 8) > 0.6) * rng.rand(10, 8)
     dense = np.asarray(tfidf(X))
-    sparse_in = np.asarray(tfidf(scipy.sparse.csr_matrix(X)))
-    assert np.allclose(dense, sparse_in)
+    out_sp = tfidf(scipy.sparse.csr_matrix(X))
+    assert scipy.sparse.issparse(out_sp)     # sparse stays sparse
+    assert np.allclose(dense, out_sp.toarray())
     Xt, idf = tfidf(X, return_idf=True)
     assert np.allclose(np.asarray(Xt), X * np.asarray(idf))
+
+
+def test_normalize_sparse_stays_sparse():
+    rng = np.random.RandomState(1)
+    X = (rng.rand(12, 9) > 0.5) * rng.rand(12, 9)
+    Xs = scipy.sparse.csr_matrix(X)
+    out = normalize(Xs)
+    assert scipy.sparse.issparse(out)
+    sums = np.asarray(out.sum(axis=1)).ravel()
+    nz = np.asarray(Xs.sum(axis=1)).ravel() > 0
+    assert np.allclose(sums[nz], 1.0)
+    # zero rows remain zero on the sparse path (no uniform fill)
+    assert np.allclose(sums[~nz], 0.0)
+    outc = normalize(Xs, dim=0)
+    csums = np.asarray(outc.sum(axis=0)).ravel()
+    nzc = np.asarray(Xs.sum(axis=0)).ravel() > 0
+    assert np.allclose(csums[nzc], 1.0)
 
 
 def test_labels_and_hardening():

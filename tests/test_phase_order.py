@@ -69,6 +69,25 @@ def test_phase_order_same_stationary_family():
         assert np.allclose(T[t], expected, atol=1e-4)
 
 
+def test_phase_order_stepped_equals_batch():
+    """The stepped ≡ batch warm-restart contract (reference
+    tests/test_nmf.py:97-110) holds under the phase order too."""
+    from rri_nmf_tpu.sklearn_interface import NMF_TM_Estimator
+    X = _problem(n=60, d=45, k=4, seed=7)
+    X = X / X.sum(axis=1, keepdims=True)
+    kw = dict(random_state=0, nmf_kwargs={'update_order': 'phase'})
+    M = NMF_TM_Estimator(60, 45, 4, max_iter=6, **kw).fit(X)
+    M2 = NMF_TM_Estimator(60, 45, 4, max_iter=2, do_final_project_W=False,
+                          **kw).fit(X)
+    for _ in range(3):
+        M2 = M2.one_iter(X)
+    M2 = M2.one_iter(X)
+    from rri_nmf_tpu.matrixops import proj_mat_to_simplex
+    M2.W = np.asarray(proj_mat_to_simplex(M2.W))
+    assert np.allclose(M2.T, M.T)
+    assert np.allclose(M2.W, M.W)
+
+
 def test_phase_order_under_mesh():
     """Phase order shards like the interleaved sweep: the XT GEMM psums
     over tp, everything else is unchanged."""

@@ -1,0 +1,76 @@
+"""Seeded configuration fuzzing of the driver.
+
+Samples random valid combinations of the nmf() options and checks the
+universal invariants: finite factors, non-negativity, monotone objective
+when no resets fire, feasibility when projecting. Catches option
+interactions no targeted test covers.
+"""
+
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.nmf import nmf
+
+
+def _sample_config(rng):
+    cfg = {'k': int(rng.choice([2, 4, 7]))}
+    masked = rng.rand() < 0.4
+    if masked:
+        cfg['reset_topic_method'] = None
+        cfg['t_row_sum'] = float(rng.choice([1.0, 5.0]))
+        cfg['project_T_each_iter'] = False
+    else:
+        cfg['reset_topic_method'] = str(rng.choice(
+            ['max_resid_document', 'random'])) if rng.rand() < 0.5 else None
+        if rng.rand() < 0.5:
+            cfg['project_T_each_iter'] = True
+            cfg['t_row_sum'] = 1.0
+        if rng.rand() < 0.5:
+            cfg['project_W_each_iter'] = True
+            cfg['w_row_sum'] = 1.0
+        if rng.rand() < 0.3:
+            cfg['update_order'] = 'phase'
+    # regularizers (non-negative to keep objectives bounded without
+    # projection; the sign-flip guards have their own tests)
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+        if rng.rand() < 0.3:
+            cfg[r] = float(rng.choice([0.01, 0.1]))
+    if rng.rand() < 0.3:
+        cfg['fix_reset_seed'] = True
+    if rng.rand() < 0.2:
+        cfg['sweeps_per_dispatch'] = 3
+    return cfg, masked
+
+
+@pytest.mark.parametrize('seed', range(12))
+def test_random_config_invariants(seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    cfg, masked = _sample_config(rng)
+    k = cfg.pop('k')
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(max_iter=6, random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0)
+    if masked:
+        kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    kw.update(cfg)
+
+    soln = nmf(X, k, **kw)
+    W, T = soln['W'], soln['T']
+    assert np.all(np.isfinite(W)), cfg
+    assert np.all(np.isfinite(T)), cfg
+    assert W.min() >= -1e-12 and T.min() >= -1e-12, cfg
+    oh = np.asarray(soln['obj_history'], dtype=float)
+    assert np.all(np.isfinite(oh)), cfg
+    if cfg.get('reset_topic_method') is None:
+        # without reset heuristics every step is a descent step
+        assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))), \
+            (cfg, oh)
+    t_proj_active = (cfg.get('project_T_each_iter') and cfg.get('t_row_sum')
+                     and not (cfg.get('reg_w_l1') or cfg.get('reg_t_l1')))
+    # (L1 regularization auto-disables T projection, reference nmf.py:280-285)
+    if t_proj_active:
+        assert np.allclose(T.sum(1), cfg['t_row_sum'], atol=1e-8), cfg
+    if cfg.get('project_W_each_iter') and cfg.get('w_row_sum'):
+        assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=1e-8), cfg

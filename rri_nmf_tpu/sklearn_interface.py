@@ -226,7 +226,10 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
     def fit_transform(self, X, y=None):
         """Fit on an (n, d) matrix; returns W
         (reference ``sklearn_interface.py:247-282``)."""
-        assert np.all(np.asarray(X) >= 0), 'X must be non-negative'
+        if sp.issparse(X):
+            assert (X.data >= 0).all(), 'X must be non-negative'
+        else:
+            assert np.all(np.asarray(X) >= 0), 'X must be non-negative'
 
         W_in = self.W if np.asarray(self.W).size > 0 else []
         T_in = self.T if np.asarray(self.T).size > 0 else []

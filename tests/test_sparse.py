@@ -88,6 +88,25 @@ def test_driver_sparse_true_forces_and_validates():
         nmf(Xs, k=4, sparse=True, W_mat=np.ones(Xd.shape))
 
 
+def test_tm_estimator_sparse_end_to_end():
+    """TM estimator on a scipy-sparse corpus: preprocessing stays sparse
+    (tfidf/normalize sparse branches) and nmf_kwargs={'sparse': True}
+    keeps the whole fit on the BCOO path."""
+    from rri_nmf_tpu.sklearn_interface import NMF_TM_Estimator
+    rng = np.random.RandomState(0)
+    counts = (rng.rand(150, 300) > 0.96) * rng.randint(1, 5, (150, 300))
+    Xs = scipy.sparse.csr_matrix(counts.astype(float))
+    M = NMF_TM_Estimator(150, 300, 5, random_state=0, max_iter=6,
+                         handle_tfidf=True, handle_normalization=True,
+                         nmf_kwargs={'sparse': True,
+                                     'compute_obj_each_iter': True})
+    M.fit(Xs)
+    oh = M.nmf_outputs['obj_history']
+    assert np.all(np.diff(oh) <= 0)
+    assert np.allclose(np.asarray(M.W).sum(1), 1.0, atol=1e-8)
+    assert np.all(np.asarray(M.T) >= -1e-12)
+
+
 def test_sparse_fix_T_transform():
     Xd, _, T0 = _problem(seed=4)
     Xs = scipy.sparse.csr_matrix(Xd)

@@ -251,6 +251,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         return {'W': np.ones((n, k)) * 1e6, 'T': np.ones((k, d)),
                 'obj_history': [-np.inf], 'iter_cputime': [0]}
 
+    # With T fixed only the W-phase runs, so the phase and interleaved
+    # orders are the SAME computation (pinned by
+    # tests/test_phase_order.py::test_phase_order_fix_T_transform) — take
+    # the phase path for its batched X @ T^T GEMM (k x fewer X reads).
+    # This accelerates the estimators' transform() calls (fix_T sweeps,
+    # reference sklearn_interface.py:144-156,320-334). NOT valid for fix_W:
+    # the T-phase scale transfer behaves differently across orders.
+    if fix_T and not fix_W and W_mat is None and \
+            update_order == 'interleaved':
+        update_order = 'phase'
+
     if type(diagnostics) is not list:
         diagnostics = [diagnostics]
     if len(diagnostics) > 0:

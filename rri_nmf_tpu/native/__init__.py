@@ -76,7 +76,11 @@ def _ptr(arr, ctype):
 
 def coo_to_dense_mask(rows, cols, vals, n, d):
     """COO triples → (X float32 (n,d), M float32 (n,d)) in one parallel
-    pass. Native when available, NumPy otherwise."""
+    pass. Native when available, NumPy otherwise.
+
+    Duplicate (i, j) triples accumulate and the mask is the final nonzero
+    pattern — matching the reference's ``coo_matrix(...).toarray()`` +
+    ``Xtr.nonzero()`` construction (``sklearn_interface.py:78-102``)."""
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)
     vals = np.ascontiguousarray(vals, dtype=np.float64)
@@ -97,9 +101,8 @@ def coo_to_dense_mask(rows, cols, vals, n, d):
         raise ValueError('COO indices out of range for shape (%d, %d)'
                          % (n, d))
     X = np.zeros((n, d), dtype=np.float32)
-    M = np.zeros((n, d), dtype=np.float32)
-    X[rows, cols] = vals
-    M[rows, cols] = 1.0
+    np.add.at(X, (rows, cols), vals.astype(np.float32))
+    M = (X != 0).astype(np.float32)
     return X, M
 
 

@@ -18,10 +18,12 @@
 extern "C" {
 
 // Scatter COO triples into a dense row-major (n x d) matrix and a binary
-// mask. Duplicate (i, j) pairs: last write wins for X (matching
-// scipy.sparse.coo_matrix.toarray() summing? No — scipy sums duplicates;
-// ratings data has no duplicates, and the reference's mask logic treats
-// any nonzero as observed). Returns 0 on success, -1 on out-of-range index.
+// mask. Duplicate (i, j) pairs ACCUMULATE (scipy.sparse.coo_matrix sums
+// duplicates before toarray(), reference sklearn_interface.py:78-83) and
+// the mask is derived from the final nonzero pattern (the reference builds
+// it from Xtr.nonzero(), sklearn_interface.py:100-102 — so an entry whose
+// accumulated value is exactly zero counts as unobserved).
+// Returns 0 on success, -1 on out-of-range index.
 int coo_to_dense_mask(const int64_t* rows, const int64_t* cols,
                       const double* vals, int64_t nnz,
                       int64_t n, int64_t d,
@@ -38,10 +40,16 @@ int coo_to_dense_mask(const int64_t* rows, const int64_t* cols,
     for (int64_t t = 0; t < nnz; ++t) {
         int64_t i = rows[t], j = cols[t];
         if (i < 0 || i >= n || j < 0 || j >= d) { bad |= 1; continue; }
-        X_out[i * d + j] = (float)vals[t];
-        M_out[i * d + j] = 1.0f;
+        #pragma omp atomic
+        X_out[i * d + j] += (float)vals[t];
     }
-    return bad ? -1 : 0;
+    if (bad) return -1;
+
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t j = 0; j < d; ++j)
+            M_out[i * d + j] = (X_out[i * d + j] != 0.0f) ? 1.0f : 0.0f;
+    return 0;
 }
 
 // Deterministic train/validation split of nnz observations: marks each

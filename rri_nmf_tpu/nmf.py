@@ -262,6 +262,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             update_order == 'interleaved':
         update_order = 'phase'
 
+    # The masked sweep has no phase-order variant (its Gauss-Seidel residual
+    # bookkeeping is interleaved by construction); normalize the effective
+    # order so SweepConfig properties (scale_transfer) see what actually
+    # runs (reference semantics: interleaved with scale transfer,
+    # nmf.py:450-452).
+    if W_mat is not None and update_order == 'phase':
+        logger.info('masked path ignores the phase update order; running '
+                    'the interleaved (reference) order')
+        update_order = 'interleaved'
+
     if type(diagnostics) is not list:
         diagnostics = [diagnostics]
     if len(diagnostics) > 0:
@@ -378,8 +388,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
-    pallas_ok = supports_pallas(cfg) and not (
-        mesh is not None and cfg.w_row_sum_is_vector)
+    if mesh is not None:
+        from rri_nmf_tpu.parallel.sharded_pallas import \
+            supports_sharded_pallas
+        pallas_ok = supports_sharded_pallas(cfg)
+    else:
+        pallas_ok = supports_pallas(cfg)
     if use_pallas is None:
         # auto: fused kernels on accelerators, f32/f64 only — measured on
         # v5e, Mosaic's in-kernel bf16<->f32 conversions are a ~350x slow
@@ -628,6 +642,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     rtv['W'] = W
     rtv['T'] = T
+    # observability extension: remaining topic-reset budget (the reference
+    # tracks this as the global ``n_resets_remaining``, nmf.py:192-193, but
+    # never returns it).
+    rtv['n_resets_remaining'] = int(resets_left)
     if compute_obj_each_iter:
         rtv['obj_history'] = obj_history
         if OBJ is not None:

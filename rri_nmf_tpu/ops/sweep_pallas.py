@@ -43,6 +43,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.optimization import qf_min_vector_c
 
 # tile sizes: (BN, BD) f32 tiles of R and M live in VMEM simultaneously
@@ -284,6 +285,22 @@ def make_masked_sweep_pallas(cfg, interpret=False):
             else:
                 w_eff = w
             Tp = Tp.at[t].set(t_new.astype(dtype))
+            if cfg.project_T_each_iter and cfg.t_row_sum:
+                # re-project a drifted T row, like the XLA sweep's
+                # _maybe_reproject_t_row (reference nmf.py:758-761).
+                # Project over the REAL d columns only — running Duchi over
+                # the zero-padded tail would let padding absorb mass.
+                trs = cfg.t_row_sum
+
+                def _reproj(Tp):
+                    row = _proj_simplex_core(
+                        Tp[t, :d], jnp.asarray(trs, dtype=dtype))
+                    return lax.dynamic_update_slice(
+                        Tp, row.reshape(1, -1).astype(dtype), (t, 0))
+
+                Tp = lax.cond(
+                    jnp.abs(jnp.sum(Tp[t, :d]) - trs) > 1e-15,
+                    _reproj, lambda Tp: Tp, Tp)
 
             # ---- W-phase: one fused pass (T update + reductions); uses the
             # STORED (dtype) row so R tracks T exactly
@@ -306,6 +323,17 @@ def make_masked_sweep_pallas(cfg, interpret=False):
         Wp, Tp, R, pend_dw, pend_t = lax.fori_loop(
             0, k, topic_body, (Wp, Tp, R, pend_dw, pend_t))
         # no flush needed: R is rebuilt from (X, W, T) next sweep
+
+        # per-iteration W row projection (reference nmf.py:481-484), same
+        # as the XLA sweep's tail. Padded rows project to garbage but are
+        # sliced away below (vector bounds: padded s=0 keeps them zero).
+        if (cfg.project_W_each_iter
+                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
+            if cfg.w_row_sum_is_vector:
+                s_vec = ubp.astype(dtype)
+            else:
+                s_vec = jnp.full((npad,), cfg.w_row_sum, dtype=dtype)
+            Wp = jax.vmap(_proj_simplex_core)(Wp, s_vec)
 
         return Wp[:n], Tp[:, :d], key, resets_left
 

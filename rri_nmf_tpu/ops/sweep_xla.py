@@ -110,8 +110,13 @@ class SweepConfig:
         updated first, the rescaled columns would poison the remaining
         T-updates. Without it every phase-order update is an exact
         coordinate minimization, so descent is guaranteed.
+
+        The phase order only takes effect on the unweighted path (the
+        masked sweep is interleaved by construction), so the transfer is
+        gated on the EFFECTIVE order: a masked config always keeps the
+        reference's interleaved transfer semantics.
         """
-        if self.update_order == 'phase':
+        if self.update_order == 'phase' and not self.masked:
             return False
         return (abs(self.reg_w_l1) + abs(self.reg_w_l2) +
                 abs(self.reg_t_l1) + abs(self.reg_t_l2)) == 0
@@ -299,8 +304,9 @@ def make_sweep(cfg: SweepConfig):
         when a reset rewrites a factor."""
         if method is None:
             # `nt1 > 1e-10 or reset_topic_method is None` always takes the
-            # projection branch (reference nmf.py:758)
-            return W, T, R, key, resets_left
+            # projection branch (reference nmf.py:758) — which still
+            # re-projects a drifted T row (reference nmf.py:759-761)
+            return W, _maybe_reproject_t_row(T, t), R, key, resets_left
 
         def _alive(ops):
             W, T, R, key, resets_left = ops

@@ -34,9 +34,19 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from rri_nmf_tpu.matrixops import EPS_DIV_BY_ZERO
+from rri_nmf_tpu.matrixops import EPS_DIV_BY_ZERO, _proj_simplex_core
 from rri_nmf_tpu.ops.sweep_pallas import BN, BD, _phase_a, _phase_b, \
     _round_up, supports_pallas
+
+
+def supports_sharded_pallas(cfg) -> bool:
+    """Config coverage of the shard_map'd fused sweep. Beyond the
+    single-device kernel's restrictions it excludes per-row W bounds (the
+    bound vector would need dp-aligned padding) and the T-row drift
+    re-projection (a cross-shard sort; the XLA mesh path handles that
+    config instead)."""
+    return (supports_pallas(cfg) and not cfg.w_row_sum_is_vector
+            and not (cfg.project_T_each_iter and cfg.t_row_sum))
 
 
 def _qf_min_vector_psum(w, c, s, ub, axis):
@@ -69,7 +79,7 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
     Inputs may be given with any sharding; they are zero-padded to device
     tile multiples and ``device_put`` to the canonical layouts inside.
     """
-    assert supports_pallas(cfg) and not cfg.w_row_sum_is_vector, \
+    assert supports_sharded_pallas(cfg), \
         'config not supported by the sharded Pallas sweep'
     k = cfg.k
     dp, tp = mesh.axis_names
@@ -125,6 +135,14 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
 
         W, T, R, pend_dw, pend_t = lax.fori_loop(
             0, k, topic_body, (W, T, R, pend_dw, pend_t))
+
+        # per-iteration W row projection (reference nmf.py:481-484): W rows
+        # are dp-local, so each device projects its own rows with no
+        # communication. Padded rows project to garbage but are sliced away
+        # by the caller.
+        if cfg.project_W_each_iter and cfg.w_row_sum is not None:
+            s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+            W = jax.vmap(_proj_simplex_core)(W, s_vec)
         return W, T
 
     sharded = shard_map(

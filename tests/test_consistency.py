@@ -167,15 +167,39 @@ def test_store_gradients_match_manual_computation():
 
 
 def test_topic_reset_budget_respected():
-    """Resets must stop after n_resets (reference nmf.py:765-769)."""
-    # a rank-1 matrix with k=4 forces dead topics -> resets fire
+    """Resets decrement the finite budget and stop at zero (reference
+    nmf.py:192-193,765-769). Two dead warm-start topics force exactly two
+    reset attempts on the first sweep."""
     rng = np.random.RandomState(0)
-    X = np.outer(np.abs(rng.rand(20)), np.abs(rng.rand(15)))
-    soln = nmf(X, k=4, max_iter=10, random_state=0, n_resets=2,
-               reset_topic_method='max_resid_document',
-               compute_obj_each_iter=True, early_stop=False)
-    assert np.all(np.isfinite(soln['W']))
-    assert np.all(np.isfinite(soln['T']))
+    k = 4
+    X = np.abs(rng.rand(20, k) @ rng.rand(k, 15))
+    W0 = np.abs(rng.rand(20, k))
+    T0 = np.abs(rng.rand(k, 15))
+    W0[:, 2] = 0.0
+    T0[2] = 0.0
+    W0[:, 3] = 0.0
+    T0[3] = 0.0
+
+    kw = dict(max_iter=3, random_state=0, early_stop=False,
+              reset_topic_method='max_resid_document',
+              compute_obj_each_iter=True)
+
+    # ample budget: both dead topics are revived, exactly 2 resets consumed
+    full = nmf(X, k=k, n_resets=5, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    assert full['n_resets_remaining'] == 3
+    assert np.all(full['T'].sum(axis=1) > 1e-10)  # every topic alive
+
+    # budget of 1: the first dead topic consumes it, the second stays dead
+    capped = nmf(X, k=k, n_resets=1, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    assert capped['n_resets_remaining'] == 0
+    dead_rows = np.sum(capped['T'].sum(axis=1) <= 1e-10)
+    assert dead_rows == 1
+
+    # budget of 0: nothing is reset, both topics stay dead
+    none = nmf(X, k=k, n_resets=0, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    assert none['n_resets_remaining'] == 0
+    assert np.sum(none['T'].sum(axis=1) <= 1e-10) == 2
+    assert np.all(np.isfinite(none['W'])) and np.all(np.isfinite(none['T']))
 
 
 def test_fix_reset_seed_deterministic():

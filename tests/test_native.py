@@ -66,3 +66,28 @@ def test_split_deterministic_and_matches_fallback():
 def test_column_df():
     X = np.array([[1.0, 0.0, 2.0], [0.0, 0.0, 3.0]])
     assert np.array_equal(native.column_df(X), [1, 0, 2])
+
+
+def test_coo_duplicates_accumulate_like_scipy():
+    """Duplicate (i, j) triples must SUM (scipy.sparse.coo_matrix semantics,
+    reference sklearn_interface.py:78-83) and the mask must come from the
+    final nonzero pattern (reference's Xtr.nonzero(), :100-102) — entries
+    whose duplicates cancel to zero count as unobserved."""
+    import scipy.sparse as sp
+    rows = np.array([0, 0, 1, 1, 2, 2, 2])
+    cols = np.array([1, 1, 0, 0, 3, 3, 3])
+    vals = np.array([2.0, 3.0, 1.5, -1.5, 1.0, 1.0, 2.0])
+    X, M = native.coo_to_dense_mask(rows, cols, vals, 3, 4)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(3, 4)).toarray()
+    assert np.allclose(X, ref)       # (0,1)=5, (1,0)=0 (cancelled), (2,3)=4
+    assert np.allclose(M, ref != 0)  # cancelled entry is unobserved
+    # NumPy fallback agrees with the native path
+    import rri_nmf_tpu.native as nat
+    lib = nat._load()
+    if lib is not None:
+        saved, nat._lib = nat._lib, None
+        try:
+            Xf, Mf = nat.coo_to_dense_mask(rows, cols, vals, 3, 4)
+        finally:
+            nat._lib = saved
+        assert np.allclose(X, Xf) and np.allclose(M, Mf)

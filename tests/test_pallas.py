@@ -89,3 +89,40 @@ def test_nmf_driver_pallas_path_monotone(recsys_train):
                use_pallas='interpret')
     oh = soln['obj_history']
     assert np.all(np.diff(oh) <= 0)
+
+
+def test_pallas_project_W_each_iter_matches_xla():
+    """project_W_each_iter must be applied by the fused sweep too (the
+    driver auto-selects Pallas on TPU, so skipping the projection there
+    would silently diverge from the reference, nmf.py:481-484)."""
+    n, d, k = 60, 45, 3
+    X, M, W0, T0 = _problem(n, d, k, seed=4)
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      project_W_each_iter=True, w_row_sum=1.0,
+                      t_row_sum=1.0)
+    assert supports_pallas(cfg)
+    xla = make_sweep(cfg)
+    pls = make_masked_sweep_pallas(cfg, interpret=True)
+    Wx, Tx = _run(xla, X, M, W0, T0)
+    Wp, Tp = _run(pls, X, M, W0, T0)
+    assert np.allclose(Wx, Wp, atol=1e-9)
+    assert np.allclose(Tx, Tp, atol=1e-9)
+    assert np.max(np.abs(Wp.sum(axis=1) - 1.0)) < 1e-12  # rows on simplex
+
+
+def test_pallas_t_drift_reprojection_matches_xla():
+    """With project_T_each_iter + t_row_sum and no resets, a drifted T row
+    is re-projected (reference nmf.py:758-761) on the Pallas path exactly
+    like the XLA sweep — including with column padding in play."""
+    n, d, k = 40, 130, 3   # d=130 forces padding to the tile multiple
+    X, M, W0, T0 = _problem(n, d, k, seed=5)
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      project_T_each_iter=True, t_row_sum=1.0)
+    assert supports_pallas(cfg)
+    xla = make_sweep(cfg)
+    pls = make_masked_sweep_pallas(cfg, interpret=True)
+    Wx, Tx = _run(xla, X, M, W0, T0, iters=4)
+    Wp, Tp = _run(pls, X, M, W0, T0, iters=4)
+    assert np.allclose(Wx, Wp, atol=1e-9)
+    assert np.allclose(Tx, Tp, atol=1e-9)
+    assert np.max(np.abs(Tp.sum(axis=1) - 1.0)) < 1e-12

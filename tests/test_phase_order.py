@@ -107,14 +107,29 @@ def test_phase_order_under_mesh():
 
 def test_phase_order_fix_T_transform():
     """fix_T + phase order: the W-phase alone with the XT GEMM (the
-    transform path at scale)."""
+    transform path at scale). Compared at the make_sweep level so the
+    driver's fix_T auto-upgrade (nmf.py) cannot make both arms take the
+    phase path — this pins the genuine interleaved == phase equivalence."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
     X = _problem(seed=2)
-    T_in = np.abs(np.random.RandomState(5).rand(8, X.shape[1]))
-    a = nmf(X, 8, T_in=T_in.copy(), fix_T=True, max_iter=4, random_state=0,
-            early_stop=False, update_order='interleaved',
-            reset_topic_method=None)
-    b = nmf(X, 8, T_in=T_in.copy(), fix_T=True, max_iter=4, random_state=0,
-            early_stop=False, update_order='phase',
-            reset_topic_method=None)
+    k = 8
+    T_in = np.abs(np.random.RandomState(5).rand(k, X.shape[1]))
+    W_in = np.abs(np.random.RandomState(6).rand(X.shape[0], k))
+
+    def run(order):
+        cfg = SweepConfig(k=k, fix_T=True, reset_topic_method=None,
+                          update_order=order)
+        sweep = make_sweep(cfg)
+        W, T = jnp.asarray(W_in), jnp.asarray(T_in)
+        key = jax.random.PRNGKey(0)
+        resets = jnp.asarray(0, jnp.int32)
+        for _ in range(4):
+            W, T, key, resets = sweep(jnp.asarray(X), W, T, key, resets,
+                                      key)
+        return np.array(W)
+
     # with fix_T there is no ordering difference at all: results identical
-    assert np.allclose(a['W'], b['W'], atol=1e-12)
+    assert np.allclose(run('interleaved'), run('phase'), atol=1e-12)

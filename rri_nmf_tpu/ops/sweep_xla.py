@@ -21,20 +21,27 @@ TPU-first design decisions (none of these exist in the reference):
    denominators ``||W[:,t]||^2`` from one column-norm pass. This halves the
    sweep's HBM traffic and moves half its FLOPs from GEMV to GEMM.
 
-2. **Incremental residual for the masked WRRI path.** The reference
+2. **Incremental MASKED residual for the masked WRRI path.** The reference
    rebuilds the full ``R_t = X - W_{-t} T`` per topic — an O(ndk) GEMM per
    topic, O(ndk^2) per sweep, the documented "k times slower" path
-   (``nmf.py:355-356,687-693``). Here ``R = X - W T`` is maintained with
-   rank-one updates (as 2-column GEMMs for the MXU), and the per-topic
-   quantities follow from the identities::
+   (``nmf.py:355-356,687-693``). Here ``MR = M ⊙ (X - W T)`` is maintained
+   with masked rank-one updates (the rank-2 correction rides the MXU as a
+   2-column GEMM; the mask multiply fuses into the elementwise add), and
+   the per-topic quantities follow from the identities::
 
-       numer_T = w^T (M ⊙ (R + w t^T)) = w^T (M ⊙ R) + t ⊙ ((w²)^T M)
-       numer_W = (M ⊙ (R + w t^T)) t  = (M ⊙ R) t + w ⊙ (M t²)
+       numer_T = w^T (M ⊙ (R + w t^T)) = w^T MR + t ⊙ ((w²)^T M)
+       numer_W = (M ⊙ (R + w t^T)) t  = MR t + w ⊙ (M t²)
 
    so each topic costs O(nd) and a sweep is O(ndk) — the asymptotic fix the
    reference's README wishes for from a Cython kernel (``README.md:19``).
-   R is refreshed from (X, W, T) at the start of every sweep, bounding
-   floating-point drift to one sweep.
+   Carrying the masked residual (not the raw one) keeps every contraction a
+   CANONICAL dot on a materialized buffer — XLA:CPU only dispatches
+   canonical dots to the threaded Eigen/oneDNN kernels (a dot with a fused
+   elementwise operand falls back to a single-threaded loop emitter,
+   measured ~20x slower at 1500×1000) — and saves the two per-topic
+   ``M ⊙ R`` materializations everywhere else. MR is refreshed from
+   (X, W, T) at the start of every sweep, bounding floating-point drift to
+   one sweep.
 
 3. **Sharding-transparent.** Everything is plain matmuls, reductions, and
    row-local projections; under a ``jax.sharding.Mesh`` with X/W row-sharded
@@ -133,6 +140,18 @@ def _w_ub(cfg, w_row_sum_vec):
     if cfg.w_row_sum_is_vector:
         return w_row_sum_vec
     return cfg.w_row_sum
+
+
+def _gram_block_size(k: int) -> int:
+    """Topic-block size for the Gram-blocked phase sweep: the largest
+    divisor of k that is <= 16 (so no padding/guarding is needed; ~sqrt(k)
+    minimizes block-GEMM + in-block traffic, and perf-relevant k are
+    16-multiples). Worst case (prime k) degenerates to B=1, which still
+    eliminates the per-topic re-read of the FROZEN factor's Gram."""
+    for b in range(min(16, k), 0, -1):
+        if k % b == 0:
+            return b
+    return 1
 
 
 def make_objective(masked: bool, row_weighted: bool,
@@ -299,7 +318,7 @@ def make_sweep(cfg: SweepConfig):
             raise ValueError('unknown reset_topic_method %r' % (method,))
 
     def _project_and_check_reset_t(X, W, T, R, t, key, resets_left,
-                                   reset_key):
+                                   reset_key, W_mat=None):
         """Reference ``nmf.py:750-783``. Also refreshes the masked residual
         when a reset rewrites a factor."""
         if method is None:
@@ -319,7 +338,9 @@ def make_sweep(cfg: SweepConfig):
                 W, T, R, key, resets_left = ops
                 W, T, key = _reset_factors(X, W, T, t, key, reset_key)
                 if cfg.masked:
-                    R = X - W @ T  # rank-one bookkeeping invalidated
+                    # rank-one bookkeeping invalidated: rebuild the masked
+                    # residual carry
+                    R = W_mat * (X - W @ T)
                 return T, W, R, key, resets_left - 1
 
             def _skip(ops):
@@ -334,7 +355,8 @@ def make_sweep(cfg: SweepConfig):
             (W, T, R, key, resets_left))
         return W, T, R, key, resets_left
 
-    def _check_reset_W(X, W, T, R, t, key, resets_left, reset_key):
+    def _check_reset_W(X, W, T, R, t, key, resets_left, reset_key,
+                       W_mat=None):
         """Reference ``nmf.py:786-816``."""
         if method is None:
             return W, T, R, key, resets_left
@@ -350,7 +372,7 @@ def make_sweep(cfg: SweepConfig):
                 W, T, R, key, resets_left = ops
                 W, T, key = _reset_factors(X, W, T, t, key, reset_key)
                 if cfg.masked:
-                    R = X - W @ T
+                    R = W_mat * (X - W @ T)
                 return T, W, R, key, resets_left - 1
 
             def _skip(ops):
@@ -398,15 +420,22 @@ def make_sweep(cfg: SweepConfig):
         acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
 
         if cfg.masked:
-            R = X - W @ T          # refreshed residual, kept rank-one-updated
+            # masked residual carry MR = M ⊙ (X - WT), refreshed each sweep
+            # and kept rank-one-updated (see module docstring, point 2)
+            R = W_mat * (X - W @ T)
             WX_pre = None
             Wcoln_pre = None
         else:
             R = jnp.zeros((0, 0), dtype=dtype)
-            # One GEMM replaces k GEMVs: every column W[:,t] is untouched
-            # until its own topic's phases (see module docstring, point 1).
-            WX_pre = jnp.dot(W.T, X, preferred_element_type=acc)   # (k, d)
-            Wcoln_pre = jnp.sum(W.astype(acc) ** 2, axis=0)        # (k,)
+            if cfg.fix_T:
+                WX_pre = None     # T-phase never runs: skip the X read
+                Wcoln_pre = None
+            else:
+                # One GEMM replaces k GEMVs: every column W[:,t] is
+                # untouched until its own topic's phases (see module
+                # docstring, point 1).
+                WX_pre = jnp.dot(W.T, X, preferred_element_type=acc)  # (k,d)
+                Wcoln_pre = jnp.sum(W.astype(acc) ** 2, axis=0)       # (k,)
 
         if cfg.store_gradients:
             numer_store = jnp.zeros((k, d), dtype=acc)
@@ -436,10 +465,11 @@ def make_sweep(cfg: SweepConfig):
             if do_t:
                 w = W[:, t]
                 if cfg.masked:
-                    MR = W_mat * R
+                    # R carries the MASKED residual: both contractions are
+                    # canonical dots (threaded GEMV on CPU, MXU on TPU)
                     nw = jnp.dot(w * w, W_mat,
                                  preferred_element_type=acc)  # (d,) vector
-                    wR = jnp.dot(w, MR, preferred_element_type=acc) \
+                    wR = jnp.dot(w, R, preferred_element_type=acc) \
                         + T[t].astype(acc) * nw               # (d,)
                 else:
                     wW = jnp.dot(w, W, preferred_element_type=acc)  # (k,)
@@ -456,8 +486,8 @@ def make_sweep(cfg: SweepConfig):
                     else:
                         ws = W[rows, t]
                         if cfg.masked:
-                            Rt_rows = M_rows * (R[rows] +
-                                                jnp.outer(w[rows], T[t]))
+                            Rt_rows = R[rows] + M_rows * \
+                                jnp.outer(w[rows], T[t])
                             wR_s = ws @ Rt_rows
                             nw_s = (ws * ws) @ M_rows
                         else:
@@ -494,25 +524,25 @@ def make_sweep(cfg: SweepConfig):
                 T = T.at[t].set(t_new.astype(dtype))
 
                 if cfg.masked:
-                    # R <- R + w_old t_old^T - w_eff t_new^T as one (n,2)x(2,d)
-                    # GEMM so the rank-one updates ride the MXU. Uses the
-                    # STORED (dtype) t_new so R tracks T exactly.
+                    # MR <- MR + M ⊙ (w_old t_old^T - w_eff t_new^T): the
+                    # rank-2 correction rides the MXU as one (n,2)x(2,d)
+                    # GEMM; the mask multiply fuses into the add. Uses the
+                    # STORED (dtype) t_new so MR tracks T exactly.
                     U2 = jnp.stack([w, -w_eff], axis=1)
                     V2 = jnp.stack([t_old, T[t]], axis=0)
-                    R = R + (U2 @ V2).astype(dtype)
+                    R = R + (W_mat * (U2 @ V2)).astype(dtype)
 
                 W, T, R, key, resets_left = _project_and_check_reset_t(
-                    X, W, T, R, t, key, resets_left, reset_key)
+                    X, W, T, R, t, key, resets_left, reset_key, W_mat)
 
             # ---------------- W-phase (reference nmf.py:460-476) ---------
             if do_w:
                 trow = T[t]
                 w_old = W[:, t]
                 if cfg.masked:
-                    MR = W_mat * R                 # residual updated above
                     mt2 = jnp.dot(W_mat, (trow * trow).astype(dtype),
                                   preferred_element_type=acc)  # (n,)
-                    Rt = jnp.dot(MR, trow, preferred_element_type=acc) \
+                    Rt = jnp.dot(R, trow, preferred_element_type=acc) \
                         + w_old.astype(acc) * mt2
                     nt = mt2
                 else:
@@ -539,25 +569,165 @@ def make_sweep(cfg: SweepConfig):
 
                 W = W.at[:, t].set(w_new.astype(dtype))
                 if cfg.masked:
-                    R = R + jnp.outer(w_old - w_new.astype(dtype),
-                                      trow).astype(dtype)
+                    R = R + (W_mat * jnp.outer(w_old - w_new.astype(dtype),
+                                               trow)).astype(dtype)
 
                 W, T, R, key, resets_left = _check_reset_W(
-                    X, W, T, R, t, key, resets_left, reset_key)
+                    X, W, T, R, t, key, resets_left, reset_key, W_mat)
 
             return W, T, R, key, resets_left, numer_store, denom_store
 
+        # ----- Gram-blocked phase sweep -------------------------------------
+        # Phase order: all T-row updates (exact, sequential), then all
+        # W-column updates (exact, sequential). Every update remains an
+        # exact coordinate minimization of the current objective, so
+        # monotone descent and the stationarity conditions are unchanged;
+        # only the cyclic order differs from the reference's interleaving
+        # (this is the order sklearn's CD solver uses).
+        #
+        # Traffic design: within each phase the OTHER factor is frozen, so
+        # its Gram matrix (G_W = WᵀW for the T-phase, G_T = TTᵀ for the
+        # W-phase) is computed ONCE per phase; the Gauss-Seidel correction
+        # for topic t needs Σ_{s≠t} G[t,s]·factor[s] against the CURRENT
+        # (partially updated) factor, which is handled by processing topics
+        # in blocks of B: one (B,k)×(k,d) GEMM against the block-start
+        # factor + per-topic corrections that touch only the (B,d) in-block
+        # delta slab. Per-topic HBM traffic drops from O((n+d)·k) full
+        # factor re-reads (the reference's k GEMVs, nmf.py:672-676,729-734)
+        # to O(B·d): the sweep reads X twice and the factors ~(B + k/B)
+        # times instead of k+1 times each. Topic resets (rare, inside
+        # lax.cond) rank-one-patch the Gram and the block caches so the
+        # math stays exact.
+        def t_phase_blocked(W, T, key, resets_left):
+            B = _gram_block_size(k)
+            G = jnp.dot(W.T, W, preferred_element_type=acc)      # (k, k)
+
+            def topic_body(i, carry2):
+                W, T, G, C, T_blk0, D, bs, key, resets_left = carry2
+                t = bs + i
+                g_blk = lax.dynamic_slice(G, (t, bs), (1, B))[0]  # (B,)
+                corr = (C[i] + jnp.dot(g_blk, D)
+                        - g_blk[i] * T_blk0[i].astype(acc))
+                wR = WX_pre[t] - corr
+                nw = g_blk[i]                    # = G[t,t] = ||W[:,t]||²
+                numer = wR - cfg.reg_t_l1
+                denom = nw + cfg.reg_t_l2
+                t_new, _nt1 = qf_min_scalar_c(
+                    -numer, denom, s=cfg.t_update_s, ub=cfg.t_row_sum)
+                T = T.at[t].set(t_new.astype(dtype))
+                # no scale transfer in (effective) phase order, so W only
+                # changes here through resets.
+                W, T, _R, key, resets_left2 = _project_and_check_reset_t(
+                    X, W, T, R, t, key, resets_left, reset_key)
+                fired = resets_left2 < resets_left
+
+                def _fix(ops):
+                    # a reset rewrote W[:,t]: patch the Gram row/column and
+                    # the block cache C (stale by ΔG[·,t]·T_blockstart[t]).
+                    G, C = ops
+                    g_new = jnp.dot(W[:, t], W, preferred_element_type=acc)
+                    dg_blk = (lax.dynamic_slice(
+                        g_new.reshape(1, -1), (0, bs), (1, B))[0]
+                        - lax.dynamic_slice(G, (bs, t), (B, 1))[:, 0])
+                    C = C + jnp.outer(dg_blk, T_blk0[i].astype(acc))
+                    G = G.at[:, t].set(g_new).at[t, :].set(g_new)
+                    return G, C
+
+                G, C = lax.cond(fired, _fix, lambda ops: ops, (G, C))
+                # in-block delta (covers the update, drift re-projection,
+                # and any reset rewrite of T[t])
+                D = D.at[i].set((T[t] - T_blk0[i]).astype(acc))
+                return W, T, G, C, T_blk0, D, bs, key, resets_left2
+
+            def block_body(bi, carry):
+                W, T, G, key, resets_left = carry
+                bs = bi * B
+                Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
+                C = jnp.dot(Gblk, T, preferred_element_type=acc)  # (B, d)
+                T_blk0 = lax.dynamic_slice(T, (bs, 0), (B, d))
+                D = jnp.zeros((B, d), acc)
+                # unrolled: the in-block ops are tiny (k- and B-vectors
+                # against the (B,d) delta slab); loop-control latency would
+                # dominate them at TPU dispatch granularity
+                W, T, G, C, T_blk0, D, bs, key, resets_left = lax.fori_loop(
+                    0, B, topic_body,
+                    (W, T, G, C, T_blk0, D, bs, key, resets_left),
+                    unroll=True)
+                return W, T, G, key, resets_left
+
+            W, T, G, key, resets_left = lax.fori_loop(
+                0, k // B, block_body, (W, T, G, key, resets_left))
+            return W, T, key, resets_left
+
+        def w_phase_blocked(W, T, key, resets_left):
+            B = _gram_block_size(k)
+            G = jnp.dot(T, T.T, preferred_element_type=acc)      # (k, k)
+            XT = jnp.dot(X, T.T, preferred_element_type=acc)     # (n, k)
+
+            def topic_body(i, carry2):
+                W, T, G, C, W_blk0, D, bs, key, resets_left = carry2
+                t = bs + i
+                gcol_blk = lax.dynamic_slice(G, (bs, t), (B, 1))[:, 0]
+                corr = (C[:, i] + jnp.dot(D, gcol_blk)
+                        - W_blk0[:, i].astype(acc) * gcol_blk[i])
+                Rt = XT[:, t] - corr
+                nt = gcol_blk[i]                 # = G[t,t] = ||T[t]||²
+                numer = Rt - cfg.reg_w_l1
+                denom = nt + cfg.reg_w_l2
+                w_new, _nw1 = qf_min_scalar_c(
+                    -numer, denom, s=None, ub=_w_ub(cfg, w_row_sum_vec))
+                W = W.at[:, t].set(w_new.astype(dtype))
+                W, T, _R, key, resets_left2 = _check_reset_W(
+                    X, W, T, R, t, key, resets_left, reset_key)
+                fired = resets_left2 < resets_left
+
+                def _fix(ops):
+                    # a reset rewrote T[t]: patch the Gram row/column and
+                    # the block cache C (stale by W_blockstart[t]·ΔG[t,·]).
+                    G, C = ops
+                    g_new = jnp.dot(T, T[t], preferred_element_type=acc)
+                    dg_blk = (lax.dynamic_slice(
+                        g_new.reshape(1, -1), (0, bs), (1, B))[0]
+                        - lax.dynamic_slice(G, (bs, t), (B, 1))[:, 0])
+                    C = C + jnp.outer(W_blk0[:, i].astype(acc), dg_blk)
+                    G = G.at[:, t].set(g_new).at[t, :].set(g_new)
+                    return G, C
+
+                G, C = lax.cond(fired, _fix, lambda ops: ops, (G, C))
+                D = D.at[:, i].set((W[:, t] - W_blk0[:, i]).astype(acc))
+                return W, T, G, C, W_blk0, D, bs, key, resets_left2
+
+            def block_body(bi, carry):
+                W, T, G, key, resets_left = carry
+                bs = bi * B
+                Gcols = lax.dynamic_slice(G, (0, bs), (k, B))
+                C = jnp.dot(W, Gcols, preferred_element_type=acc)  # (n, B)
+                W_blk0 = lax.dynamic_slice(W, (0, bs), (n, B))
+                D = jnp.zeros((n, B), acc)
+                W, T, G, C, W_blk0, D, bs, key, resets_left = lax.fori_loop(
+                    0, B, topic_body,
+                    (W, T, G, C, W_blk0, D, bs, key, resets_left),
+                    unroll=True)
+                return W, T, G, key, resets_left
+
+            W, T, G, key, resets_left = lax.fori_loop(
+                0, k // B, block_body, (W, T, G, key, resets_left))
+            return W, T, key, resets_left
+
         carry = (W, T, R, key, resets_left, numer_store, denom_store)
-        if cfg.update_order == 'phase' and not cfg.masked:
-            # Phase order: all T-row updates (exact, sequential), then all
-            # W-column updates (exact, sequential). Every update remains an
-            # exact coordinate minimization of the current objective, so
-            # monotone descent and the stationarity conditions are
-            # unchanged; only the cyclic order differs from the reference's
-            # interleaving (this is the order sklearn's CD solver uses).
-            # Payoff: the W-phase contractions X @ T[t] all use the
-            # now-final T rows, so they batch into ONE X @ T^T GEMM —
-            # the sweep reads X twice total instead of k+1 times.
+        phase_blocked_ok = (cfg.update_order == 'phase' and not cfg.masked
+                            and not cfg.store_gradients
+                            and cfg.dp_sigma is None)
+        if phase_blocked_ok:
+            if not cfg.fix_T:
+                W, T, key, resets_left = t_phase_blocked(
+                    W, T, key, resets_left)
+            if not cfg.fix_W:
+                W, T, key, resets_left = w_phase_blocked(
+                    W, T, key, resets_left)
+        elif cfg.update_order == 'phase' and not cfg.masked:
+            # phase order with gradient stores / DP noise: per-topic path
+            # (still batches the W-phase contractions into one X @ Tᵀ GEMM)
             if not cfg.fix_T:
                 carry = lax.fori_loop(
                     0, k, make_topic_body(do_t=True, do_w=False), carry)

@@ -384,25 +384,30 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     if (store_gradients and ind_rows_to_store is not None)
                     else None),
         update_order=update_order,
-        reset_blockwise=mesh is None)
+        mesh=mesh)
 
+    from rri_nmf_tpu.ops.dense_pallas import (
+        make_dense_phase_sweep_pallas, supports_dense_pallas)
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
     if mesh is not None:
         from rri_nmf_tpu.parallel.sharded_pallas import \
             supports_sharded_pallas
         pallas_ok = supports_sharded_pallas(cfg)
+        dense_pallas_ok = False   # mesh dense path: XLA GSPMD sweep
     else:
         pallas_ok = supports_pallas(cfg)
+        dense_pallas_ok = supports_dense_pallas(cfg)
     if use_pallas is None:
         # auto: fused kernels on accelerators, f32/f64 only — measured on
         # v5e, Mosaic's in-kernel bf16<->f32 conversions are a ~350x slow
         # path, so low-precision masked runs take the XLA sweep instead
-        use_pallas = (pallas_ok and jax.default_backend() not in ('cpu',)
+        use_pallas = ((pallas_ok or dense_pallas_ok)
+                      and jax.default_backend() not in ('cpu',)
                       and dtype not in (jnp.bfloat16, jnp.float16))
-    if use_pallas and not pallas_ok:
+    if use_pallas and not (pallas_ok or dense_pallas_ok):
         logger.warning('use_pallas requested but config unsupported by the '
-                       'fused kernel; falling back to the XLA sweep.')
+                       'fused kernels; falling back to the XLA sweep.')
         use_pallas = False
     if sparse_mode:
         from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
@@ -414,8 +419,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             make_sharded_masked_sweep_pallas)
         sweep_fn = make_sharded_masked_sweep_pallas(
             cfg, mesh, interpret=(use_pallas == 'interpret'))
-    elif use_pallas:
+    elif use_pallas and pallas_ok:
         sweep_fn = make_masked_sweep_pallas(
+            cfg, interpret=(use_pallas == 'interpret'))
+    elif use_pallas:
+        # fused dense phase kernels: one X pass per phase, the whole
+        # Gauss-Seidel topic loop VMEM-resident
+        sweep_fn = make_dense_phase_sweep_pallas(
             cfg, interpret=(use_pallas == 'interpret'))
     else:
         sweep_fn = make_sweep(cfg)

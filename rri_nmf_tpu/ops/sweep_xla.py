@@ -57,7 +57,7 @@ TPU-first design decisions (none of these exist in the reference):
 
 import dataclasses
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,9 +101,16 @@ class SweepConfig:
     update_order: str = 'interleaved'
     # max-residual reset strategy: True = blockwise scan (O(B*d) temps —
     # essential near the single-chip HBM ceiling), False = materialize the
-    # full residual (GSPMD-friendly: dynamic_slice of a dp-sharded X lowers
-    # to gathers, so the mesh path prefers one shard-local temp instead).
+    # full residual in one piece. With ``mesh`` set, resets instead run as
+    # a shard_map: per-device blockwise residual row norms, psum over the
+    # column axis, argmax combined over the row axis — no n×d temporary
+    # and no GSPMD gathers (the dynamic_slice scan would gather a
+    # dp-sharded X).
     reset_blockwise: bool = True
+    # jax.sharding.Mesh the sweep will run under (hashable; compile-time).
+    # Only consulted by the reset path — everything else is
+    # sharding-transparent through GSPMD.
+    mesh: Optional[Any] = None
 
     @property
     def scale_transfer(self) -> bool:
@@ -263,6 +270,70 @@ def make_sweep(cfg: SweepConfig):
         reference's 'random' T-branch has an undefined-``n`` bug at
         ``nmf.py:783`` which is fixed here)."""
         n, d = X.shape
+        if method == 'max_resid_document' and cfg.mesh is not None:
+            # shard_map reset (ROADMAP #6): per-device blockwise residual
+            # row norms with a psum over the column (tp) axis, argmax
+            # combined over the row (dp) axis via an all_gather of two
+            # scalars per device; the winning row and the one-hot W column
+            # are produced shard-local. No n×d temporary, no gathers.
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map \
+                    as _shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh = cfg.mesh
+            dp, tp = mesh.axis_names
+
+            def _local(X, W, T):
+                n_loc, d_loc = X.shape
+                B = min(n_loc, 4096)
+                nb = -(-n_loc // B)
+
+                def _blk(i, carry):
+                    best_val, best_idx = carry
+                    start = jnp.minimum(i * B, n_loc - B)
+                    Xb = lax.dynamic_slice(X, (start, 0), (B, d_loc))
+                    Wb = lax.dynamic_slice(W, (start, 0), (B, W.shape[1]))
+                    Rb = jnp.maximum(Xb - Wb @ T, 0.0)
+                    rts = lax.psum(jnp.sum(Rb * Rb, axis=1), tp)
+                    j = jnp.argmax(rts)
+                    v = rts[j]
+                    better = v > best_val
+                    return (jnp.where(better, v, best_val),
+                            jnp.where(better,
+                                      (start + j).astype(jnp.int32),
+                                      best_idx))
+
+                val, li = lax.fori_loop(
+                    0, nb, _blk,
+                    (jnp.asarray(-jnp.inf, dtype=X.dtype),
+                     jnp.asarray(0, jnp.int32)))
+                row_off = (lax.axis_index(dp) * n_loc).astype(jnp.int32)
+                vals = lax.all_gather(val, dp)          # (|dp|,)
+                idxs = lax.all_gather(row_off + li, dp)
+                a = jnp.argmax(vals)                    # first max wins
+                mi = idxs[a]
+                # the owner shard contributes the winning row; psum
+                # broadcasts it across dp (all other contributions are 0)
+                has = jnp.logical_and(mi >= row_off,
+                                      mi < row_off + n_loc)
+                lmi = jnp.clip(mi - row_off, 0, n_loc - 1)
+                row = jnp.maximum(X[lmi] - W[lmi] @ T, 0.0) * \
+                    has.astype(X.dtype)
+                row = lax.psum(row, dp)                 # (d_loc,)
+                onehot = (row_off + jnp.arange(n_loc, dtype=jnp.int32)
+                          == mi).astype(W.dtype)        # (n_loc,)
+                return row, onehot
+
+            row, onehot = _shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(dp, tp), P(dp, None), P(None, tp)),
+                out_specs=(P(tp), P(dp)),
+                check_vma=False)(X, W, T)
+            T = T.at[t].set(row)
+            W = W.at[:, t].set(onehot)
+            return W, T, key
         if method == 'max_resid_document' and not cfg.reset_blockwise:
             # full-residual form: one n×d temporary (shard-local under
             # GSPMD — the blockwise scan's dynamic_slice would gather)
@@ -771,9 +842,13 @@ def make_multi_sweep(cfg: SweepConfig, n_sweeps: int, pallas=False,
     gradient-store variant (unsupported here).
     """
     assert not cfg.store_gradients, 'grouped sweeps cannot store gradients'
-    if pallas:
+    if pallas and cfg.masked:
         from rri_nmf_tpu.ops.sweep_pallas import make_masked_sweep_pallas
         sweep = make_masked_sweep_pallas(cfg, interpret=interpret)
+    elif pallas:
+        from rri_nmf_tpu.ops.dense_pallas import \
+            make_dense_phase_sweep_pallas
+        sweep = make_dense_phase_sweep_pallas(cfg, interpret=interpret)
     else:
         sweep = make_sweep(cfg)
 

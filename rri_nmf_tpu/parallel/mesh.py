@@ -99,7 +99,11 @@ def make_sharded_training_step(cfg: SweepConfig, mesh: Mesh,
     single-chip computation from :func:`rri_nmf_tpu.ops.make_sweep`;
     GSPMD partitions it according to the input shardings.
     """
+    import dataclasses
     dp, tp = mesh.axis_names
+    if cfg.mesh is None:
+        # make the reset path mesh-aware (shard_map blockwise argmax)
+        cfg = dataclasses.replace(cfg, mesh=mesh)
     sweep = make_sweep(cfg)
     obj_fn = make_objective(masked=cfg.masked, row_weighted=False,
                             reg_w_l2=cfg.reg_w_l2, reg_t_l2=cfg.reg_t_l2,

@@ -168,3 +168,60 @@ def test_driver_dryrun_entrypoints():
     fn, args = __graft_entry__.entry()
     out = fn(*args)
     assert np.all(np.isfinite(np.array(out[0])))
+
+
+def test_sharded_resets_match_single_device():
+    """Topic resets under a mesh run as a shard_map (per-device blockwise
+    argmax + scalar all_gathers — no n×d temp, no gathers) and must match
+    the single-device blockwise reset exactly (VERDICT r1 item 5; reference
+    semantics nmf.py:770-776)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    k = 4
+    X = np.abs(rng.rand(64, k) @ rng.rand(k, 40))
+    W0 = np.abs(rng.rand(64, k))
+    T0 = np.abs(rng.rand(k, 40))
+    # two dead topics force resets mid-sweep
+    for t in (1, 3):
+        W0[:, t] = 0.0
+        T0[t] = 0.0
+    kw = dict(k=k, max_iter=5, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, n_resets=5,
+              reset_topic_method='max_resid_document')
+    single = nmf(X, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    shard = nmf(X, W_in=W0.copy(), T_in=T0.copy(), mesh=make_mesh(8), **kw)
+    assert single['n_resets_remaining'] == shard['n_resets_remaining'] == 3
+    assert np.allclose(single['W'], shard['W'], atol=1e-11)
+    assert np.allclose(single['T'], shard['T'], atol=1e-11)
+    assert np.all(np.diff(shard['obj_history']) <= 0)
+
+
+def test_sharded_resets_interleaved_order():
+    """Same under the interleaved (reference-default) order, where resets
+    can fire in both the T- and W-checks."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(2)
+    k = 3
+    X = np.abs(rng.rand(48, k) @ rng.rand(k, 32))
+    W0 = np.abs(rng.rand(48, k))
+    T0 = np.abs(rng.rand(k, 32))
+    W0[:, 0] = 0.0
+    T0[0] = 0.0
+    kw = dict(k=k, max_iter=4, random_state=0, early_stop=False,
+              n_resets=23, update_order='interleaved',
+              reset_topic_method='max_resid_document')
+    single = nmf(X, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    shard = nmf(X, W_in=W0.copy(), T_in=T0.copy(), mesh=make_mesh(8), **kw)
+    assert single['n_resets_remaining'] == shard['n_resets_remaining']
+    assert np.allclose(single['W'], shard['W'], atol=1e-11)
+    assert np.allclose(single['T'], shard['T'], atol=1e-11)

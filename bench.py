@@ -24,6 +24,8 @@ Measurement notes (tunnel-hosted TPU):
   close over a value fetch.
 """
 
+import argparse
+import contextlib
 import json
 import sys
 import time
@@ -57,10 +59,15 @@ def numpy_reference_sweep(X, W, T):
     return W, T
 
 
-def bench_jax(n, d, k, n_timed=8, update_order='interleaved'):
+def bench_jax(n, d, k, n_timed=40, update_order='interleaved',
+              kernel='xla', trace_dir=None):
     """Time n_timed sweeps as ONE jitted fori_loop with a single scalar
     readback — separate dispatches with a trailing fetch can hang on the
-    tunnel-hosted backend (see .claude/skills/verify/SKILL.md)."""
+    tunnel-hosted backend (see .claude/skills/verify/SKILL.md).
+
+    ``kernel='pallas'`` times the fused dense GS kernels
+    (ops/dense_pallas.py) instead of the XLA Gram-blocked sweep.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +75,12 @@ def bench_jax(n, d, k, n_timed=8, update_order='interleaved'):
 
     cfg = SweepConfig(k=k, reset_topic_method=None,
                       update_order=update_order)
-    sweep = make_sweep(cfg)
+    if kernel == 'pallas':
+        from rri_nmf_tpu.ops.dense_pallas import (
+            make_dense_phase_sweep_pallas)
+        sweep = make_dense_phase_sweep_pallas(cfg)
+    else:
+        sweep = make_sweep(cfg)
     reset_key = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -89,9 +101,21 @@ def bench_jax(n, d, k, n_timed=8, update_order='interleaved'):
 
     sync = float(run_n(jax.random.PRNGKey(0)))     # compile + warmup
     assert np.isfinite(sync)
-    t0 = time.perf_counter()
-    sync = float(run_n(jax.random.PRNGKey(1)))     # timed: 1 dispatch+fetch
-    dt = (time.perf_counter() - t0) / n_timed
+    if trace_dir:
+        from rri_nmf_tpu.utils.profiling import TraceAnnotation, trace
+        ctx = trace(trace_dir)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        if trace_dir:
+            ann = TraceAnnotation('timed_%s_%s_sweeps' %
+                                  (update_order, kernel))
+            ann.__enter__()
+        t0 = time.perf_counter()
+        sync = float(run_n(jax.random.PRNGKey(1)))  # timed: 1 dispatch+fetch
+        dt = (time.perf_counter() - t0) / n_timed
+        if trace_dir:
+            ann.__exit__(None, None, None)
     assert np.isfinite(sync)
     return dt
 
@@ -111,6 +135,12 @@ def bench_numpy(n, d, k, n_timed=2):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--trace', default=None, metavar='LOGDIR',
+                    help='capture a jax.profiler trace of the timed sweeps '
+                         '(TensorBoard/Perfetto-loadable)')
+    args = ap.parse_args()
+
     sizes = [(16384, 8192, 128), (8192, 4096, 128), (2048, 2048, 64)]
 
     jax_dt = None
@@ -118,11 +148,23 @@ def main():
         try:
             # primary: phase update order — every update is still an exact
             # rank-one coordinate minimization with monotone descent (see
-            # ops/sweep_xla.py and tests/test_phase_order.py); the W-phase
-            # contractions batch into one GEMM so the sweep reads X twice
-            # instead of k+1 times
-            jax_dt = bench_jax(n, d, k, update_order='phase')
-            jax_dt_ref_order = bench_jax(n, d, k,
+            # ops/sweep_xla.py and tests/test_phase_order.py). Two
+            # implementations are timed and the driver-preferred faster one
+            # is reported: the XLA Gram-blocked sweep and the fused dense
+            # GS Pallas kernels (ops/dense_pallas.py).
+            # n_timed amortizes the tunnel's ~10-20 ms dispatch+fetch
+            dt_xla = bench_jax(n, d, k, update_order='phase',
+                               trace_dir=args.trace)
+            try:
+                dt_pls = bench_jax(n, d, k, update_order='phase',
+                                   kernel='pallas', trace_dir=args.trace)
+            except Exception as e:
+                print('pallas kernel failed (%s); using XLA sweep' % e,
+                      file=sys.stderr)
+                dt_pls = float('inf')
+            jax_dt = min(dt_xla, dt_pls)
+            kernel_used = 'pallas' if dt_pls < dt_xla else 'xla'
+            jax_dt_ref_order = bench_jax(n, d, k, n_timed=8,
                                          update_order='interleaved')
             break
         except Exception as e:
@@ -150,6 +192,7 @@ def main():
         'unit': 'GFLOP/s',
         'vs_baseline': round(np_dt / jax_dt, 2),
         'config': '%dx%d k=%d f32' % (n, d, k),
+        'kernel': kernel_used,
         'update_order': 'phase (exact BCD, monotone; sklearn-CD ordering)',
         'gflops_reference_interleaved_order': round(
             flops / jax_dt_ref_order / 1e9, 2),

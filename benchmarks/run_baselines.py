@@ -226,43 +226,51 @@ def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
     }
 
 
-def cfg_north_star(n=32768, d=16384, k=256, tol=1e-2):
+def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
+                   max_sweeps=3000):
     """The north-star criterion at single-chip scale: wall-clock to
     ``tol`` relative Frobenius error on a dense rank-k matrix (the
     BASELINE target is 100k×50k k=256 on v5p-8; this chip's HBM caps the
-    size — rates scale linearly in n·d). Runs the phase update order (exact
-    BCD, monotone — tests/test_phase_order.py); the NumPy baseline is the
-    reference's interleaved loop, timed per sweep and charged the same
-    sweep count (a favorable assumption for the baseline: interleaved
-    converges no faster per sweep).
+    f32 size — see cfg_north_star_full for the true shape in bf16
+    storage). Phase update order (exact BCD, monotone).
 
-    Note on the target: the BASELINE.json sentence says 1e-4, but NMF from
-    random init plateaus near 5e-3 relative error on dense random rank-k
-    data regardless of solver (measured: 600 sweeps -> 5.7e-3; the
-    reference's own algorithm plateaus identically — it computes the same
-    iterates). The comparison is therefore run to a reachable 1e-2 and the
-    plateau is reported; the speedup RATIO is solver-independent since both
-    sides execute the same sweep."""
+    Measurement integrity (round-2 fix): TPU's DEFAULT f32 matmul is a
+    single bf16 MXU pass (~2⁻⁹ relative noise) — it floors both the
+    SOLVER's reachable error and the error MEASUREMENT near 1e-3, which is
+    exactly the round-1 "plateau". This run uses matmul_precision='float32'
+    throughout, evaluates the residual per-row in f32, and accumulates the
+    per-block partial sums in float64 on the host, so the reported error is
+    trustworthy to well below 1e-4."""
     import jax
     import jax.numpy as jnp
     from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    from rri_nmf_tpu.utils.profiling import SweepTimer
     from bench import bench_numpy
 
-    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                      matmul_precision='float32')
     sweep = make_sweep(cfg)
     reset_key = jax.random.PRNGKey(0)
     BLOCK = 10
+    B = 4096
+    nb = n // B
 
     @jax.jit
     def gen(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         Wg = jax.random.uniform(k1, (n, k), jnp.float32)
         Tg = jax.random.uniform(k2, (k, d), jnp.float32)
-        X = Wg @ Tg                       # exactly rank k: tol reachable
+        with jax.default_matmul_precision('float32'):
+            X = Wg @ Tg                   # exactly rank k: tol reachable
         W0 = jax.random.uniform(k3, (n, k), jnp.float32)
         T0 = jax.random.uniform(k4, (k, d), jnp.float32)
-        xnorm = jnp.linalg.norm(X)
-        return X, W0, T0, xnorm
+        xsq = jnp.zeros((nb,), jnp.float32)
+
+        def xb(i, xsq):
+            Xb = jax.lax.dynamic_slice(X, (i * B, 0), (B, d))
+            return xsq.at[i].set(jnp.sum(jnp.sum(Xb * Xb, axis=1)))
+        xsq = jax.lax.fori_loop(0, nb, xb, xsq)
+        return X, W0, T0, xsq
 
     @jax.jit
     def run_block(X, W, T, key, resets):
@@ -271,45 +279,159 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-2):
             return sweep(X, W, T, key, resets, reset_key)
         W, T, key, resets = jax.lax.fori_loop(0, BLOCK, body,
                                               (W, T, key, resets))
-        # blockwise relative error (no n×d temp)
-        B = 4096
-        nb = n // B
-
-        def err_blk(i, acc):
+        # per-block residual partial sums: per-row f32 sums (d terms each),
+        # block totals returned for float64 host accumulation
+        def err_blk(i, parts):
             Xb = jax.lax.dynamic_slice(X, (i * B, 0), (B, d))
             Wb = jax.lax.dynamic_slice(W, (i * B, 0), (B, k))
-            return acc + jnp.sum((Xb - Wb @ T) ** 2)
-        err = jax.lax.fori_loop(0, nb, err_blk, jnp.asarray(0.0, jnp.float32))
-        return W, T, key, resets, jnp.sqrt(err)
+            with jax.default_matmul_precision('float32'):
+                Rb = Xb - Wb @ T
+            return parts.at[i].set(jnp.sum(jnp.sum(Rb * Rb, axis=1)))
+        parts = jax.lax.fori_loop(0, nb, err_blk,
+                                  jnp.zeros((nb,), jnp.float32))
+        return W, T, key, resets, parts
 
-    X, W0, T0, xnorm = gen(jax.random.PRNGKey(0))
-    xnorm = float(xnorm)
+    X, W0, T0, xsq = gen(jax.random.PRNGKey(0))
+    xnorm = float(np.sqrt(np.sum(np.asarray(xsq, dtype=np.float64))))
     key = jax.random.PRNGKey(1)
     resets = jnp.asarray(0, jnp.int32)
     # compile
-    Wc, Tc, kc, rc, e = run_block(X, W0, T0, key, resets)
-    float(e)
+    Wc, Tc, kc, rc, parts = run_block(X, W0, T0, key, resets)
+    float(parts[0])
 
     W, T = W0, T0
-    t0 = time.perf_counter()
+    timer = SweepTimer()
     sweeps = 0
     rel = np.inf
-    while rel > tol and sweeps < 600:
-        W, T, key, resets, err = run_block(X, W, T, key, resets)
-        rel = float(err) / xnorm
+    best = np.inf
+    best_at = 0
+    while rel > tol and sweeps < max_sweeps:
+        W, T, key, resets, parts = run_block(X, W, T, key, resets)
+        rel = float(np.sqrt(np.sum(np.asarray(parts, np.float64)))) / xnorm
+        timer.mark()
         sweeps += BLOCK
-    wall = time.perf_counter() - t0
+        if rel < best * 0.99:
+            best, best_at = rel, sweeps
+        elif sweeps - best_at >= 300:
+            break                          # converged plateau
+    wall = timer.marks[-1]
 
     np_per_sweep = bench_numpy(min(n, 2048), d, k) * (n / min(n, 2048))
     return {
         'config': 'north_star_scaled_%dx%d_k%d' % (n, d, k),
-        'note': 'single-chip scaled version of the 100kx50k v5p-8 target',
+        'note': ('single-chip scaled version of the 100kx50k v5p-8 target; '
+                 'matmul_precision=float32 (TPU default f32 dot is bf16 '
+                 '1-pass, which floors rel err near 1e-3); residual '
+                 'accumulated per-row f32 + host float64'),
         'reached_rel_frob_err': rel,
+        'reached_target': bool(rel <= tol),
         'target': tol,
         'sweeps': sweeps,
         'wall_clock_seconds': wall,
+        'seconds_per_sweep': wall / max(sweeps, 1),
         'reference_numpy_estimated_seconds': np_per_sweep * sweeps,
         'speedup_to_target': np_per_sweep * sweeps / wall,
+    }
+
+
+def cfg_north_star_full(n=100000, d=50000, k=256, max_sweeps=400):
+    """BASELINE #4 at the TRUE shape (100k×50k k=256) on one chip: X held
+    in bfloat16 (10 GB — the f32 form would not fit HBM), factors f32,
+    f32 accumulation. bf16 storage quantizes X itself (~2⁻⁹ relative), so
+    1e-4 is not information-theoretically reachable here; the run reports
+    wall-clock to the measured bf16 floor. The error is evaluated in f32
+    against the bf16-stored X with float64 host accumulation."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    from rri_nmf_tpu.utils.profiling import SweepTimer
+    from bench import bench_numpy
+
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
+    sweep = make_sweep(cfg)
+    reset_key = jax.random.PRNGKey(0)
+    BLOCK = 10
+    B = 2500
+    nb = n // B
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        Wg = jax.random.uniform(k1, (n, k), jnp.float32)
+        Tg = jax.random.uniform(k2, (k, d), jnp.float32)
+        X = jnp.zeros((n, d), jnp.bfloat16)
+
+        def xb(i, X):
+            Wb = jax.lax.dynamic_slice(Wg, (i * B, 0), (B, k))
+            return jax.lax.dynamic_update_slice(
+                X, (Wb @ Tg).astype(jnp.bfloat16), (i * B, 0))
+        X = jax.lax.fori_loop(0, nb, xb, X)
+        W0 = jax.random.uniform(k3, (n, k), jnp.bfloat16)
+        T0 = jax.random.uniform(k4, (k, d), jnp.bfloat16)
+        xsq = jnp.zeros((nb,), jnp.float32)
+
+        def xq(i, xsq):
+            Xb = jax.lax.dynamic_slice(X, (i * B, 0), (B, d)).astype(
+                jnp.float32)
+            return xsq.at[i].set(jnp.sum(jnp.sum(Xb * Xb, axis=1)))
+        xsq = jax.lax.fori_loop(0, nb, xq, xsq)
+        return X, W0, T0, xsq
+
+    @jax.jit
+    def run_block(X, W, T, key, resets):
+        def body(i, c):
+            W, T, key, resets = c
+            return sweep(X, W, T, key, resets, reset_key)
+        W, T, key, resets = jax.lax.fori_loop(0, BLOCK, body,
+                                              (W, T, key, resets))
+
+        def err_blk(i, parts):
+            Xb = jax.lax.dynamic_slice(X, (i * B, 0), (B, d)).astype(
+                jnp.float32)
+            Wb = jax.lax.dynamic_slice(W, (i * B, 0), (B, k)).astype(
+                jnp.float32)
+            Rb = Xb - Wb @ T.astype(jnp.float32)
+            return parts.at[i].set(jnp.sum(jnp.sum(Rb * Rb, axis=1)))
+        parts = jax.lax.fori_loop(0, nb, err_blk,
+                                  jnp.zeros((nb,), jnp.float32))
+        return W, T, key, resets, parts
+
+    X, W0, T0, xsq = gen(jax.random.PRNGKey(0))
+    xnorm = float(np.sqrt(np.sum(np.asarray(xsq, dtype=np.float64))))
+    key = jax.random.PRNGKey(1)
+    resets = jnp.asarray(0, jnp.int32)
+    Wc, Tc, kc, rc, parts = run_block(X, W0, T0, key, resets)
+    float(parts[0])
+
+    W, T = W0, T0
+    timer = SweepTimer()
+    sweeps = 0
+    rel = np.inf
+    best = np.inf
+    best_at = 0
+    while sweeps < max_sweeps:
+        W, T, key, resets, parts = run_block(X, W, T, key, resets)
+        rel = float(np.sqrt(np.sum(np.asarray(parts, np.float64)))) / xnorm
+        timer.mark()
+        sweeps += BLOCK
+        if rel < best * 0.99:
+            best, best_at = rel, sweeps
+        elif sweeps - best_at >= 100:
+            break
+    wall = timer.marks[-1]
+
+    np_per_sweep = bench_numpy(2048, 8192, k) * (n / 2048.0) * (d / 8192.0)
+    return {
+        'config': 'north_star_full_%dx%d_k%d_bf16' % (n, d, k),
+        'note': ('TRUE BASELINE #4 shape on one chip: bf16 X storage '
+                 '(10 GB; f32 would not fit), f32 factors/accumulation. '
+                 'bf16 X quantization bounds reachable rel err near 2e-3.'),
+        'reached_rel_frob_err': rel,
+        'sweeps': sweeps,
+        'wall_clock_seconds': wall,
+        'seconds_per_sweep': wall / max(sweeps, 1),
+        'reference_numpy_estimated_seconds': np_per_sweep * sweeps,
+        'speedup_at_equal_sweeps': np_per_sweep * sweeps / wall,
     }
 
 
@@ -391,6 +513,7 @@ ALL = {
         n_users=6040, n_items=3706, n_obs=1000000, k=40, baseline_sweeps=1),
     'dense_sweep': cfg_dense_sweep,
     'north_star': cfg_north_star,
+    'north_star_full': cfg_north_star_full,
     'sharded': cfg_sharded,
 }
 

@@ -24,7 +24,15 @@ import numpy as np
 
 @dataclasses.dataclass
 class NMFState:
-    """The complete resumable state of an ``nmf()`` run."""
+    """The complete resumable state of an ``nmf()`` run.
+
+    ``obj_tracked`` records whether the run that WROTE the checkpoint was
+    tracking the objective (``compute_obj_each_iter``). Grouped-dispatch
+    runs never track it, so their checkpoints carry an empty history by
+    construction, not by loss — a resume that wants objective-based
+    stopping can then be warned instead of silently trusting an empty
+    list.
+    """
     W: Any
     T: Any
     iteration: int
@@ -32,6 +40,7 @@ class NMFState:
     key: Any
     resets_left: int
     random_state: int
+    obj_tracked: bool = True
 
     def tree(self):
         return {
@@ -43,6 +52,7 @@ class NMFState:
             if hasattr(jax.random, 'key_data') else self.key,
             'resets_left': np.asarray(self.resets_left, np.int32),
             'random_state': np.asarray(self.random_state, np.int64),
+            'obj_tracked': np.asarray(self.obj_tracked, np.bool_),
         }
 
     @classmethod
@@ -55,7 +65,8 @@ class NMFState:
             obj_history=list(np.asarray(tree['obj_history'])),
             key=key,
             resets_left=int(tree['resets_left']),
-            random_state=int(tree['random_state']))
+            random_state=int(tree['random_state']),
+            obj_tracked=bool(tree.get('obj_tracked', True)))
 
 
 class NMFCheckpointer:

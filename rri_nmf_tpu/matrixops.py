@@ -162,6 +162,17 @@ def tfidf(X, return_idf=False):
         if return_idf:
             return rtvx, idf
         return rtvx
+    if isinstance(X, np.ndarray) and X.ndim == 2:
+        # host path: document frequencies via the native (C++/OpenMP)
+        # kernel — same counts, computed before the matrix ships to device
+        from rri_nmf_tpu import native
+        n = X.shape[0]
+        df = np.asarray(native.column_df(X), dtype=np.float64)
+        idf = jnp.asarray(np.log(n / (df + np.spacing(1))))
+        rtvx = jnp.asarray(X) * idf
+        if return_idf:
+            return rtvx, idf
+        return rtvx
     X = jnp.asarray(_densify(X))
     n, d = X.shape
     df = jnp.sum(X > 0, axis=0)

@@ -50,10 +50,6 @@ def _load():
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
-            lib.split_train_val.restype = None
-            lib.split_train_val.argtypes = [
-                ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
-                ctypes.POINTER(ctypes.c_uint8)]
             lib.column_df.restype = None
             lib.column_df.argtypes = [
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -106,26 +102,9 @@ def coo_to_dense_mask(rows, cols, vals, n, d):
     return X, M
 
 
-def split_train_val(nnz, val_frac, seed=0):
-    """Deterministic boolean validation flags for nnz observations."""
-    lib = _load()
-    if lib is not None:
-        flags = np.empty((nnz,), dtype=np.uint8)
-        lib.split_train_val(nnz, float(val_frac), int(seed) & (2**64 - 1),
-                            _ptr(flags, ctypes.c_uint8))
-        return flags.astype(bool)
-    # NumPy fallback replicating the splitmix64 stream
-    t = np.arange(1, nnz + 1, dtype=np.uint64)
-    z = np.uint64(seed) + t * np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
-    u = (z >> np.uint64(11)).astype(np.float64) / 9007199254740992.0
-    return u < val_frac
-
-
 def column_df(X):
-    """Per-column document frequency of a dense count matrix."""
+    """Per-column document frequency of a dense count matrix (the tfidf
+    host path, :func:`rri_nmf_tpu.matrixops.tfidf`)."""
     X = np.ascontiguousarray(X, dtype=np.float64)
     lib = _load()
     if lib is not None:

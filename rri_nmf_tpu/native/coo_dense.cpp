@@ -52,23 +52,8 @@ int coo_to_dense_mask(const int64_t* rows, const int64_t* cols,
     return 0;
 }
 
-// Deterministic train/validation split of nnz observations: marks each
-// index val (1) with probability val_frac using a splitmix64 stream seeded
-// by `seed` (stable across platforms, unlike rand()). Writes 0/1 flags.
-void split_train_val(int64_t nnz, double val_frac, uint64_t seed,
-                     uint8_t* is_val_out) {
-    #pragma omp parallel for schedule(static)
-    for (int64_t t = 0; t < nnz; ++t) {
-        uint64_t z = seed + (uint64_t)(t + 1) * 0x9E3779B97F4A7C15ULL;
-        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
-        z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
-        z ^= z >> 31;
-        double u = (double)(z >> 11) * (1.0 / 9007199254740992.0);
-        is_val_out[t] = (u < val_frac) ? 1 : 0;
-    }
-}
-
-// Column document frequencies of a dense count matrix (tfidf prep):
+// Column document frequencies of a dense count matrix (tfidf prep,
+// called by rri_nmf_tpu.matrixops.tfidf's host path):
 // df[j] = #rows with X[i,j] > 0. Parallel over columns.
 void column_df(const double* X, int64_t n, int64_t d, int64_t* df_out) {
     #pragma omp parallel for schedule(static)

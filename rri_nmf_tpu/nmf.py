@@ -117,7 +117,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
-        update_order='interleaved', sparse='auto'):
+        update_order='interleaved', sparse='auto', matmul_precision=None):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -162,6 +162,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         contractions batch into one ``X @ Tᵀ`` GEMM, cutting the dense
         sweep's HBM traffic from k+1 X-reads to 2. Ignored on the masked
         path.
+    matmul_precision : str, optional
+        Precision for the sweep's matmuls (``jax.default_matmul_precision``
+        names). On TPU the default f32 dot runs as a single bf16 MXU pass
+        (~2⁻⁹ relative noise), flooring reachable reconstruction error near
+        1e-3; pass ``'float32'`` to converge below that (≈1.5× slower
+        GEMMs). The reference (f64 NumPy) has no counterpart.
     sweeps_per_dispatch : int, optional
         Group this many sweeps into one jitted fori_loop per host dispatch.
         Only takes effect when no per-iteration host work is configured
@@ -384,7 +390,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     if (store_gradients and ind_rows_to_store is not None)
                     else None),
         update_order=update_order,
-        mesh=mesh)
+        mesh=mesh,
+        matmul_precision=matmul_precision)
 
     from rri_nmf_tpu.ops.dense_pallas import (
         make_dense_phase_sweep_pallas, supports_dense_pallas)
@@ -479,6 +486,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if _resumed is not None:
         # restored run: rebuild history so stopping conditions see it
         obj_history = list(_resumed.obj_history)
+        if compute_obj_each_iter and not _resumed.obj_tracked and \
+                _resumed.iteration > 0:
+            logger.warning(
+                'Checkpoint at step %d was written without objective '
+                'tracking (grouped dispatch); obj_history restarts empty, '
+                'so the universal stopping condition behaves as from a '
+                'fresh start.', _resumed.iteration)
 
     # ---- grouped fast path: many sweeps per dispatch ----------------------
     group = int(sweeps_per_dispatch)
@@ -526,7 +540,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 ckpt.save(iter_no, NMFState(
                     W=np.array(W_dev), T=np.array(T_dev), iteration=iter_no,
                     obj_history=[], key=key, resets_left=int(resets_left),
-                    random_state=random_state))
+                    random_state=random_state, obj_tracked=False))
             if time.time() - t_global_start >= max_time:
                 logger.info('STOPPING because max_time after iter %d',
                             iter_no - 1)
@@ -564,6 +578,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         it_start_time = time.time()
 
+        # DEBUG-level objective-delta instrumentation around the update
+        # block (the reference's _MeasureDelta, nmf.py:419,461,580-609;
+        # here the block is the whole fused sweep)
+        _md = None
+        if OBJ is not None and \
+                logger.getEffectiveLevel() <= logging.DEBUG:
+            from rri_nmf_tpu.utils.debug import MeasureDelta
+            OBJ.W, OBJ.T = W_dev, T_dev
+            _md = MeasureDelta(OBJ.true_objective,
+                               'iter %d sweep' % iter_no, log=logger)
+            _md.__enter__()
+
         out = sweep_fn(X_dev, W_dev, T_dev, key, resets_left, reset_key,
                        *extras)
         if store_gradients:
@@ -572,6 +598,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             rtv['denom_W'][iter_no] = np.array(denom_s)
         else:
             W_dev, T_dev, key, resets_left = out
+
+        if _md is not None:
+            OBJ.W, OBJ.T = W_dev, T_dev
+            _md.__exit__(None, None, None)
 
         if debug_checks:
             from rri_nmf_tpu.utils.debug import validate_factors
@@ -605,7 +635,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 W=np.array(W_dev), T=np.array(T_dev),
                 iteration=iter_no + 1, obj_history=list(obj_history),
                 key=key, resets_left=int(resets_left),
-                random_state=random_state))
+                random_state=random_state,
+                obj_tracked=bool(compute_obj_each_iter)))
 
         if time.time() - t_global_start >= max_time:
             logger.info('STOPPING because max_time after iter %d', iter_no)

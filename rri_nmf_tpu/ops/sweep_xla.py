@@ -111,6 +111,12 @@ class SweepConfig:
     # Only consulted by the reset path — everything else is
     # sharding-transparent through GSPMD.
     mesh: Optional[Any] = None
+    # matmul precision for the sweep's contractions (None = backend
+    # default). On TPU the default f32 dot is a single bf16 MXU pass
+    # (~2^-9 relative noise), which floors the reachable relative
+    # reconstruction error around 1e-3; pass 'float32' to converge below
+    # that (≈1.5x slower GEMMs; see benchmarks/exp_precision.py).
+    matmul_precision: Optional[str] = None
 
     @property
     def scale_transfer(self) -> bool:
@@ -163,7 +169,7 @@ def _gram_block_size(k: int) -> int:
 
 def make_objective(masked: bool, row_weighted: bool,
                    reg_w_l2=0.0, reg_t_l2=0.0, reg_w_l1=0.0, reg_t_l1=0.0,
-                   block_rows=None):
+                   block_rows=None, matmul_precision=None):
     """Build the jitted full-objective function.
 
     Mirrors ``TrueObjComputer.true_objective`` (reference ``nmf.py:71-94``):
@@ -227,6 +233,13 @@ def make_objective(masked: bool, row_weighted: bool,
         obj = obj + reg_t_l1 * jnp.sum(jnp.abs(T))
         obj = obj + reg_w_l1 * jnp.sum(jnp.abs(W))
         return obj
+
+    if matmul_precision is not None:
+        _obj_body = objective
+
+        def objective(*args):
+            with jax.default_matmul_precision(matmul_precision):
+                return _obj_body(*args)
 
     return jax.jit(objective)
 
@@ -826,6 +839,13 @@ def make_sweep(cfg: SweepConfig):
         if cfg.store_gradients:
             return W, T, key, resets_left, numer_store, denom_store
         return W, T, key, resets_left
+
+    if cfg.matmul_precision is not None:
+        _sweep_body = sweep
+
+        def sweep(*args):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _sweep_body(*args)
 
     return jax.jit(sweep)
 

@@ -44,25 +44,6 @@ def test_coo_out_of_range_raises():
                                  np.array([1.0]), 3, 4)
 
 
-def test_split_deterministic_and_matches_fallback():
-    f1 = native.split_train_val(10000, 0.05, seed=7)
-    f2 = native.split_train_val(10000, 0.05, seed=7)
-    assert np.array_equal(f1, f2)
-    # ~5% validation fraction
-    assert 0.03 < f1.mean() < 0.07
-    # native matches the numpy splitmix64 replica
-    if native.available():
-        import rri_nmf_tpu.native as nat
-        lib, nat._lib = nat._lib, None       # force fallback
-        tried = nat._tried
-        nat._tried = True
-        try:
-            f3 = native.split_train_val(10000, 0.05, seed=7)
-        finally:
-            nat._lib, nat._tried = lib, tried
-        assert np.array_equal(f1, f3)
-
-
 def test_column_df():
     X = np.array([[1.0, 0.0, 2.0], [0.0, 0.0, 3.0]])
     assert np.array_equal(native.column_df(X), [1, 0, 2])

@@ -262,15 +262,13 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
         Tg = jax.random.uniform(k2, (k, d), jnp.float32)
         with jax.default_matmul_precision('float32'):
             X = Wg @ Tg                   # exactly rank k: tol reachable
-        W0 = jax.random.uniform(k3, (n, k), jnp.float32)
-        T0 = jax.random.uniform(k4, (k, d), jnp.float32)
         xsq = jnp.zeros((nb,), jnp.float32)
 
         def xb(i, xsq):
             Xb = jax.lax.dynamic_slice(X, (i * B, 0), (B, d))
             return xsq.at[i].set(jnp.sum(jnp.sum(Xb * Xb, axis=1)))
         xsq = jax.lax.fori_loop(0, nb, xb, xsq)
-        return X, W0, T0, xsq
+        return X, xsq
 
     @jax.jit
     def run_block(X, W, T, key, resets):
@@ -291,8 +289,17 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
                                   jnp.zeros((nb,), jnp.float32))
         return W, T, key, resets, parts
 
-    X, W0, T0, xsq = gen(jax.random.PRNGKey(0))
+    X, xsq = gen(jax.random.PRNGKey(0))
     xnorm = float(np.sqrt(np.sum(np.asarray(xsq, dtype=np.float64))))
+    # NNDSVD init on device (the reference's default init too,
+    # initialization.py:73-77 there) — random init stalls near 4e-3 on
+    # this problem class regardless of solver
+    from rri_nmf_tpu.initialization import initialize_nmf
+    with jax.default_matmul_precision('float32'):
+        W0, T0 = initialize_nmf(X, k, 'nndsvd', random_state=0,
+                                svd_backend='jax')
+    W0 = jnp.asarray(W0, jnp.float32)
+    T0 = jnp.asarray(T0, jnp.float32)
     key = jax.random.PRNGKey(1)
     resets = jnp.asarray(0, jnp.int32)
     # compile

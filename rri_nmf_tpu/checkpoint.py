@@ -43,11 +43,17 @@ class NMFState:
     obj_tracked: bool = True
 
     def tree(self):
+        # orbax cannot serialize zero-size arrays: an empty history is
+        # padded with one NaN and its true length stored alongside
+        oh = np.asarray(self.obj_history, np.float64)
+        if oh.size == 0:
+            oh = np.asarray([np.nan], np.float64)
         return {
             'W': self.W,
             'T': self.T,
             'iteration': np.asarray(self.iteration, np.int64),
-            'obj_history': np.asarray(self.obj_history, np.float64),
+            'obj_history': oh,
+            'obj_history_len': np.asarray(len(self.obj_history), np.int64),
             'key': jax.random.key_data(self.key)
             if hasattr(jax.random, 'key_data') else self.key,
             'resets_left': np.asarray(self.resets_left, np.int32),
@@ -59,10 +65,12 @@ class NMFState:
     def from_tree(cls, tree):
         key = tree['key']
         key = jax.numpy.asarray(np.asarray(key, dtype=np.uint32))
+        oh = np.asarray(tree['obj_history'])
+        oh_len = int(tree.get('obj_history_len', oh.size))
         return cls(
             W=tree['W'], T=tree['T'],
             iteration=int(tree['iteration']),
-            obj_history=list(np.asarray(tree['obj_history'])),
+            obj_history=list(oh[:oh_len]),
             key=key,
             resets_left=int(tree['resets_left']),
             random_state=int(tree['random_state']),

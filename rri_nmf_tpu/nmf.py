@@ -694,6 +694,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         rtv['obj_calculator'] = OBJ
     rtv['iter_cputime'] = iter_cputime
     rtv['random_state'] = random_state
+    if ckpt is not None:
+        # orbax saves are async; commit them before handing control back
+        ckpt.manager.wait_until_finished()
     return rtv
 
 

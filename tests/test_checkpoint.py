@@ -53,3 +53,37 @@ def test_nmf_resume_equals_straight_run(tmp_path):
     assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
     assert np.allclose(resumed['obj_history'], straight['obj_history'],
                        atol=1e-10)
+
+
+def test_grouped_checkpoint_marks_untracked_objective(tmp_path, caplog):
+    """Grouped-dispatch checkpoints carry obj_tracked=False; resuming one
+    with objective-based stopping warns instead of silently trusting an
+    empty history (VERDICT r1 weak #3)."""
+    import logging
+    from rri_nmf_tpu.checkpoint import NMFCheckpointer
+
+    X = _problem()
+    ck_dir = str(tmp_path / 'grp')
+    # grouped run (no objective tracking possible)
+    nmf(X, 3, max_iter=4, random_state=0, sweeps_per_dispatch=2,
+        reset_topic_method=None, checkpoint=ck_dir, checkpoint_every=2)
+    state = NMFCheckpointer(ck_dir).restore()
+    assert state.obj_tracked is False
+    assert state.obj_history == []
+
+    with caplog.at_level(logging.WARNING, logger='rri_nmf_tpu.nmf'):
+        resumed = nmf(X, 3, max_iter=6, random_state=0,
+                      compute_obj_each_iter=True, reset_topic_method=None,
+                      checkpoint=ck_dir, checkpoint_every=100)
+    assert any('without objective tracking' in r.message
+               for r in caplog.records)
+    # history only covers the resumed iterations
+    assert len(resumed['obj_history']) == 2
+
+    # per-iteration checkpoints with tracking record obj_tracked=True
+    ck2 = str(tmp_path / 'tracked')
+    nmf(X, 3, max_iter=2, random_state=0, compute_obj_each_iter=True,
+        reset_topic_method=None, checkpoint=ck2, checkpoint_every=1)
+    st2 = NMFCheckpointer(ck2).restore()
+    assert st2.obj_tracked is True
+    assert len(st2.obj_history) == 2

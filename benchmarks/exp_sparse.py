@@ -114,27 +114,47 @@ if __name__ == '__main__':
             return acc + XT[0, 0] + WX[0, 0]
         return lax.fori_loop(0, REPS, body, jnp.float32(0))
 
-    timed('bcoo X @ T^T (n,k)', bcoo_xt, W, T)
-    timed('bcoo W^T X (k,d)', bcoo_wx, W, T)
-    timed('gather+segsum X @ T^T', seg_xt, W, T)
-    timed('gather+segsum W^T X', seg_wx, W, T)
-    Xd = jsparse.bcoo_todense(X_bcoo)
-    timed('dense GEMMs both (floor)', dense_both, Xd, W, T)
-
-    # full sweeps
+    # full sweeps: round-2 (bf16 contractions + Gram GS) and the
+    # densified-on-device dense hybrid path
+    import scipy.sparse as sp
     from rri_nmf_tpu.ops.sweep_xla import SweepConfig
-    from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
+    from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep, to_bcoo
+    Xsp = to_bcoo(sp.coo_matrix(
+        (vals, (rows, cols)), shape=(n, d)).tocsr(), jnp.float32)
     cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
-    sweep = make_sparse_sweep(cfg)
     key = jax.random.PRNGKey(0)
     rl = jnp.asarray(0, jnp.int32)
 
-    @jax.jit
-    def sparse_sweeps(W, T):
-        def body(i, carry):
-            W, T, key, rl = carry
-            return sweep(X_bcoo, W, T, key, rl, key)
-        out = lax.fori_loop(0, REPS, body, (W, T, key, rl))
-        return out[0]
+    def sweeps_fn(sweep, Xop):
+        @jax.jit
+        def f(W, T):
+            def body(i, carry):
+                W, T, key2, rl2 = carry
+                return sweep(Xop, W, T, key2, rl2, key2)
+            out = lax.fori_loop(0, REPS, body, (W, T, key, rl))
+            return out[0]
+        return f
 
-    timed('round-1 sparse sweep (bcoo)', sparse_sweeps, W, T)
+    # densified-on-device FIRST (clean HBM): one O(nnz) scatter, then
+    # the dense hybrid sweep
+    from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
+    t0 = time.perf_counter()
+    Xd = jax.block_until_ready(jsparse.bcoo_todense(Xsp))
+    float(jnp.sum(Xd[0]))
+    print('%-40s %8.3f ms' % ('on-device densify (one-time)',
+                              (time.perf_counter() - t0) * 1e3), flush=True)
+    timed('densified dense hybrid sweep',
+          sweeps_fn(make_dense_phase_sweep_pallas(cfg), Xd), W, T)
+    from rri_nmf_tpu.ops.sweep_xla import make_sweep as _mk
+    timed('densified dense XLA Gram sweep', sweeps_fn(_mk(cfg), Xd), W, T)
+    del Xd
+
+    timed('r2 sparse sweep (bf16 gemm, XLA GS)',
+          sweeps_fn(make_sparse_sweep(cfg, gemm_dtype=jnp.bfloat16), Xsp),
+          W, T)
+    timed('r2 sparse sweep (bf16 gemm, Pallas GS)',
+          sweeps_fn(make_sparse_sweep(cfg, gs_kernels=True,
+                                      gemm_dtype=jnp.bfloat16), Xsp),
+          W, T)
+    timed('r2 sparse sweep (f32 gemm, XLA GS)',
+          sweeps_fn(make_sparse_sweep(cfg), Xsp), W, T)

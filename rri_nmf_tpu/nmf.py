@@ -69,7 +69,7 @@ class TrueObjComputer(object):
         self.wr = wr
         self.sparse = sparse
         self.obj = np.inf
-        n, d = X.shape
+        n, d = X.csr.shape if hasattr(X, 'csr') else X.shape
         if sparse:
             from rri_nmf_tpu.ops.sweep_sparse import make_sparse_objective
             self._fn = make_sparse_objective(
@@ -348,8 +348,26 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     else:
         s_X = s_W = None
         if sparse_mode:
+            from jax.experimental import sparse as jsparse
             from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
             X_dev = to_bcoo(X, dtype)
+            # On-device densify policy (sparse='auto' only — sparse=True
+            # pins O(nnz) memory): the compressed form crosses the
+            # host->device link either way, but when the DENSE form fits
+            # HBM the MXU's dense hybrid sweep is strictly faster than
+            # gather/scatter contractions (benchmarks/exp_sparse.py), so
+            # densify with one O(nnz) scatter and take the dense path.
+            if sparse == 'auto' and jax.default_backend() not in ('cpu',):
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    budget = 0.45 * stats.get('bytes_limit', 13e9)
+                except Exception:
+                    budget = 6e9
+                if n * d * jnp.dtype(dtype).itemsize <= budget:
+                    logger.info('sparse auto: dense form fits HBM; '
+                                'densifying on device')
+                    X_dev = jsparse.bcoo_todense(X_dev)
+                    sparse_mode = False
         else:
             X_dev = jnp.asarray(X, dtype=dtype)
         W_dev = jnp.asarray(W, dtype=dtype)
@@ -406,9 +424,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         pallas_ok = supports_pallas(cfg)
         dense_pallas_ok = supports_dense_pallas(cfg)
     if use_pallas is None:
-        # auto: fused kernels on accelerators, f32/f64 only — measured on
-        # v5e, Mosaic's in-kernel bf16<->f32 conversions are a ~350x slow
-        # path, so low-precision masked runs take the XLA sweep instead
+        # auto: fused kernels on accelerators, f32/f64 only. For bf16
+        # storage the XLA masked sweep is measured FASTEST anyway
+        # (benchmarks/exp_bf16_masked.py at MovieLens scale: XLA bf16
+        # 10.7 ms < Pallas bf16 11.6 < Pallas f32 15.1 < XLA f32 33.9 —
+        # round 1's "Mosaic bf16 casts ~350x slow" no longer reproduces),
+        # so bf16 masked runs route to the XLA sweep and are ~1.4x faster
+        # than the f32 Pallas path.
         use_pallas = ((pallas_ok or dense_pallas_ok)
                       and jax.default_backend() not in ('cpu',)
                       and dtype not in (jnp.bfloat16, jnp.float16))
@@ -418,8 +440,20 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         use_pallas = False
     if sparse_mode:
         from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
+        # the sparse sweep can run its Gauss-Seidel topic loops as the
+        # fused Pallas GS kernels (gated off internally when the per-topic
+        # T projection is on). On accelerators the two contractions run
+        # with bf16 inputs (the same rounding the default f32 matmul
+        # applies; ~6x faster gather/scatter) unless full f32 is requested
+        # via matmul_precision.
+        _gd = (jnp.bfloat16
+               if (jax.default_backend() not in ('cpu',)
+                   and dtype == jnp.float32 and matmul_precision is None)
+               else None)
+        sweep_fn = make_sparse_sweep(
+            cfg, gs_kernels=bool(use_pallas),
+            interpret=(use_pallas == 'interpret'), gemm_dtype=_gd)
         use_pallas = False
-        sweep_fn = make_sparse_sweep(cfg)
     elif use_pallas and mesh is not None:
         # per-device fused kernels under shard_map with psum'd reductions
         from rri_nmf_tpu.parallel.sharded_pallas import (
@@ -475,8 +509,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                               reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row,
                               sparse=sparse_mode)
 
-    # callbacks see the host X (the scipy matrix itself in sparse mode)
-    X_host = X if sparse_mode else np.asarray(X)
+    # callbacks see the host X (the scipy matrix itself when the input was
+    # sparse — including the on-device-densified path, where the host
+    # never materializes the dense form)
+    X_host = X if (sparse_mode or hasattr(X, 'toarray')) else np.asarray(X)
 
     if len(diagnostics) > 0:
         for func in diagnostics:

@@ -2,14 +2,36 @@
 
 The reference *densifies* sparse input (its RS estimator materializes COO
 to dense, ``sklearn_interface.py:78-83``; SURVEY.md §5.7 flags this as the
-missing scale answer). With the phase update order the dense sweep touches
-X through exactly two contractions per sweep — ``WᵀX`` before the T-phase
-and ``X Tᵀ`` before the W-phase — both of which ``jax.experimental.sparse``
-lowers for BCOO operands. Everything else (the per-topic corrections,
-qf_min solves, projections) involves only the small dense factors.
+missing scale answer). With the phase update order the sweep touches X
+through exactly two contractions per sweep — ``WᵀX`` before the T-phase
+and ``X Tᵀ`` before the W-phase — and everything else involves only the
+small dense factors.
 
-A 1M×100k TF-IDF corpus at 1% density is ~4 GB as BCOO vs 400 GB dense:
+TPU-specific design (round 2, measured in ``benchmarks/exp_sparse.py`` at
+50k×30k 0.5% k=128):
+
+1. **bf16 contraction data.** TPU gather/scatter runs ~6× faster on
+   2-byte elements (measured: ``WᵀX`` 76→12.3 ms, ``X Tᵀ`` 140→21 ms at
+   this config; sort order, duplicate flags, BCSR, and transposed copies
+   all change nothing — the scatter path is element-size-bound). The
+   contractions therefore run with bf16 inputs and f32 Gauss-Seidel —
+   EXACTLY the numerics of the dense path's default TPU matmul (an f32
+   dot is a single bf16 MXU pass); ``matmul_precision='float32'`` keeps
+   full-f32 sparse contractions (slow path) for runs that need them. The
+   objective always evaluates against the f32 data.
+2. **Gram-blocked Gauss-Seidel topic loops** (same treatment as the dense
+   sweep): the frozen factor's Gram is computed once per phase and the
+   per-topic corrections touch only a ``(B, m)`` in-block delta slab
+   instead of re-reading the whole factor; with no per-topic simplex
+   projection the loops run as the fused VMEM-resident Pallas GS kernels
+   (``ops/dense_pallas._gs_call``).
+
+A 1M×100k TF-IDF corpus at 1% density is ~8 GB as BCOO vs 400 GB dense:
 this path runs single-chip what the dense path cannot hold even sharded.
+(When the DENSE form does fit device HBM, the driver instead transfers
+the compressed form and densifies ON DEVICE — one O(nnz) scatter — and
+runs the dense hybrid sweep, which is strictly faster on the MXU; this
+module is the beyond-HBM path.)
 
 Restrictions (asserted): unweighted (no mask — the masked path maintains a
 dense residual by construction), ``update_order='phase'``,
@@ -32,21 +54,22 @@ import numpy as np
 from jax import lax
 from jax.experimental import sparse as jsparse
 
-from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig, _gram_block_size
 from rri_nmf_tpu.optimization import qf_min_scalar_c
 from rri_nmf_tpu.matrixops import _proj_simplex_core
 
 
 def to_bcoo(X, dtype=None):
-    """SciPy sparse / dense array → jax BCOO."""
+    """SciPy sparse / dense array → jax BCOO (row-major sorted)."""
     if isinstance(X, jsparse.BCOO):
         return X if dtype is None else X.astype(dtype)
-    if hasattr(X, 'tocoo'):  # scipy sparse
-        coo = X.tocoo()
+    if hasattr(X, 'tocsr'):  # scipy sparse: csr->coo is row-major sorted
+        coo = X.tocsr().tocoo()
         indices = jnp.asarray(np.stack([coo.row, coo.col], axis=1),
                               dtype=jnp.int32)
         data = jnp.asarray(coo.data, dtype=dtype)
-        return jsparse.BCOO((data, indices), shape=coo.shape)
+        return jsparse.BCOO((data, indices), shape=coo.shape,
+                            indices_sorted=True, unique_indices=True)
     return jsparse.BCOO.fromdense(jnp.asarray(X, dtype=dtype))
 
 
@@ -57,68 +80,145 @@ def supports_sparse(cfg: SweepConfig) -> bool:
 
 
 @lru_cache(maxsize=16)
-def make_sparse_sweep(cfg: SweepConfig):
+def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
+                      gemm_dtype=None):
     """Phase-order sweep over a BCOO X. Same call signature as
     ``make_sweep`` (without mask extras)::
 
         sweep(X_bcoo, W, T, key, resets_left, reset_key[, w_row_sum_vec])
+
+    ``gs_kernels=True`` runs the Gauss-Seidel topic loops as the fused
+    Pallas kernels (TPU; requires no per-topic T projection — the driver
+    gates this). ``gemm_dtype=jnp.bfloat16`` runs the two sparse
+    contractions with bf16 inputs (~6× faster TPU gather/scatter; the
+    same input rounding the dense path's default f32 matmul applies) —
+    the Gauss-Seidel updates stay in the accumulation dtype.
     """
     assert supports_sparse(cfg), 'config not supported by the sparse sweep'
     k = cfg.k
+    B = _gram_block_size(k)
+    use_pallas_gs = bool(gs_kernels) and not (cfg.project_T_each_iter
+                                              and cfg.t_row_sum)
+
+    def _gs_topics_blocked(N, F, G, reg_l1, reg_l2, qf_s, qf_ub,
+                           reproject_rows, acc, dtype):
+        """Gram-blocked sequential topic updates over the rows of F (k, m):
+        F[t] <- qf_min(N[t] - Σ_{s≠t} G[t,s] F[s], G[t,t]); exact
+        Gauss-Seidel (same math as the dense sweep's blocked phases)."""
+        m = F.shape[1]
+        diag = jnp.diagonal(G)
+
+        def topic_body(i, carry):
+            F, C, F0, D, bs = carry
+            t = bs + i
+            g_blk = lax.dynamic_slice(G, (t, bs), (1, B))[0]
+            corr = (C[i] + jnp.dot(g_blk, D)
+                    - g_blk[i] * F0[i].astype(acc))
+            numer = N[t] - corr - reg_l1
+            denom = diag[t] + reg_l2
+            x, _ = qf_min_scalar_c(-numer, denom, s=qf_s, ub=qf_ub)
+            F = F.at[t].set(x.astype(dtype))
+            if reproject_rows:
+                trs = cfg.t_row_sum
+
+                def _reproj(F):
+                    return F.at[t].set(_proj_simplex_core(
+                        F[t], jnp.asarray(trs, dtype=dtype)))
+                F = lax.cond(jnp.abs(jnp.sum(F[t]) - trs) > 1e-15,
+                             _reproj, lambda F: F, F)
+            D = D.at[i].set((F[t] - F0[i]).astype(acc))
+            return F, C, F0, D, bs
+
+        def block_body(bi, F):
+            bs = bi * B
+            Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
+            C = jnp.dot(Gblk, F, preferred_element_type=acc)
+            F0 = lax.dynamic_slice(F, (bs, 0), (B, m))
+            D = jnp.zeros((B, m), acc)
+            F, C, F0, D, bs = lax.fori_loop(
+                0, B, topic_body, (F, C, F0, D, bs), unroll=True)
+            return F
+
+        return lax.fori_loop(0, k // B, block_body, F)
+
+    def _gs_pallas(N, F, G, reg_l1, reg_l2, bound, ub_vec, acc, dtype):
+        from rri_nmf_tpu.ops.dense_pallas import _gs_call, _round_up, BD
+        m = F.shape[1]
+        mpad = _round_up(m, BD)
+        diag = jnp.diagonal(G).reshape(k, 1)
+        if mpad != m:
+            N = jnp.zeros((k, mpad), acc).at[:, :m].set(N)
+            F = jnp.zeros((k, mpad), dtype).at[:, :m].set(F)
+        ub = None
+        if ub_vec is not None:
+            ub = jnp.zeros((1, mpad), acc).at[0, :m].set(
+                ub_vec.astype(acc))
+        F = _gs_call(k, BD, mpad // BD, reg_l1, reg_l2, bound, acc, dtype,
+                     G, diag, N, F, ub=ub, interpret=interpret)
+        return F[:, :m]
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
         w_row_sum_vec = (extras[0].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
         dtype = W.dtype
         acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
-
-        def t_body(t, carry):
-            W, T, WX = carry
-            w = W[:, t]
-            wW = jnp.dot(w, W, preferred_element_type=acc)
-            wW = wW.at[t].set(0.0)
-            wR = WX[t] - jnp.dot(wW, T.astype(acc))
-            nw = jnp.sum(w.astype(acc) ** 2)
-            numer = wR - cfg.reg_t_l1
-            denom = nw + cfg.reg_t_l2
-            t_new, _ = qf_min_scalar_c(-numer, denom, s=cfg.t_update_s,
-                                       ub=cfg.t_row_sum)
-            T = T.at[t].set(t_new.astype(dtype))
-            if cfg.t_row_sum and cfg.project_T_each_iter:
-                trs = cfg.t_row_sum
-
-                def _reproj(T):
-                    return T.at[t].set(_proj_simplex_core(
-                        T[t], jnp.asarray(trs, dtype=dtype)))
-                T = lax.cond(jnp.abs(jnp.sum(T[t]) - trs) > 1e-15,
-                             _reproj, lambda T: T, T)
-            return W, T, WX
-
-        def w_body(t, carry):
-            W, T, XT = carry
-            trow = T[t]
-            Tt = jnp.dot(T, trow, preferred_element_type=acc)
-            Tt = Tt.at[t].set(0.0)
-            Rt = XT[:, t] - jnp.dot(W.astype(acc), Tt)
-            nt = jnp.sum(trow.astype(acc) ** 2)
-            numer = Rt - cfg.reg_w_l1
-            denom = nt + cfg.reg_w_l2
-            ub = w_row_sum_vec if cfg.w_row_sum_is_vector else cfg.w_row_sum
-            w_new, _ = qf_min_scalar_c(-numer, denom, s=None, ub=ub)
-            W = W.at[:, t].set(w_new.astype(dtype))
-            return W, T, XT
+        if gemm_dtype is not None and X.data.dtype != gemm_dtype:
+            # materialize the converted data (optimization_barrier): if the
+            # cast fuses into the contraction's gather, the gather reads
+            # the 4-byte buffer and the fast 2-byte scatter path is lost
+            Xc = jsparse.BCOO(
+                (lax.optimization_barrier(X.data.astype(gemm_dtype)),
+                 X.indices), shape=X.shape,
+                indices_sorted=X.indices_sorted,
+                unique_indices=X.unique_indices)
+            cd = gemm_dtype
+        elif gemm_dtype is not None:
+            Xc = X
+            cd = gemm_dtype
+        else:
+            Xc = X
+            cd = acc
 
         if not cfg.fix_T:
-            # W^T X as one sparse contraction: (X^T (d,n)) @ W -> (d, k)
             WX = jsparse.bcoo_dot_general(
-                X, W.astype(acc),
-                dimension_numbers=(((0,), (0,)), ((), ()))).T  # (k, d)
-            W, T, _ = lax.fori_loop(0, k, t_body, (W, T, WX))
+                Xc, W.astype(cd),
+                dimension_numbers=(((0,), (0,)), ((), ()))
+                ).T.astype(acc)                                  # (k, d)
+            G = jnp.dot(W.T, W, preferred_element_type=acc)
+            if use_pallas_gs:
+                t_bound = (float(cfg.t_row_sum) if cfg.t_row_sum
+                           else float('inf'))
+                T = _gs_pallas(WX, T, G, cfg.reg_t_l1, cfg.reg_t_l2,
+                               t_bound, None, acc, dtype)
+            else:
+                T = _gs_topics_blocked(
+                    WX, T, G, cfg.reg_t_l1, cfg.reg_t_l2,
+                    qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
+                    reproject_rows=bool(cfg.t_row_sum
+                                        and cfg.project_T_each_iter),
+                    acc=acc, dtype=dtype)
+
         if not cfg.fix_W:
             XT = jsparse.bcoo_dot_general(
-                X, T.T.astype(acc),
-                dimension_numbers=(((1,), (0,)), ((), ())))    # (n, k)
-            W, T, _ = lax.fori_loop(0, k, w_body, (W, T, XT))
+                Xc, T.T.astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ()))
+                ).T.astype(acc)                                  # (k, n)
+            G2 = jnp.dot(T, T.T, preferred_element_type=acc)
+            if use_pallas_gs:
+                w_bound = (float(cfg.w_row_sum)
+                           if (cfg.w_row_sum is not None
+                               and not cfg.w_row_sum_is_vector)
+                           else float('inf'))
+                Wt = _gs_pallas(XT, W.T, G2, cfg.reg_w_l1, cfg.reg_w_l2,
+                                w_bound, w_row_sum_vec, acc, dtype)
+            else:
+                ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
+                      else cfg.w_row_sum)
+                Wt = _gs_topics_blocked(
+                    XT, W.T, G2, cfg.reg_w_l1, cfg.reg_w_l2,
+                    qf_s=None, qf_ub=ub, reproject_rows=False,
+                    acc=acc, dtype=dtype)
+            W = Wt.T
 
         if (cfg.project_W_each_iter and not cfg.fix_W
                 and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):

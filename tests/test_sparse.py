@@ -114,3 +114,48 @@ def test_sparse_fix_T_transform():
                random_state=0, early_stop=False, sparse=True)
     assert np.allclose(soln['T'], np.maximum(T0, 0))
     assert np.all(np.isfinite(soln['W']))
+
+
+def test_sparse_gs_kernels_match_xla_gs():
+    """The sparse sweep with gs_kernels=True (fused Pallas GS, interpret
+    mode on CPU) must match the Gram-blocked XLA GS exactly."""
+    Xd, W0, T0 = _problem(seed=3)
+    cfg = SweepConfig(k=5, reset_topic_method=None, update_order='phase',
+                      reg_t_l2=0.05)
+    a = make_sparse_sweep(cfg)
+    b = make_sparse_sweep(cfg, gs_kernels=True, interpret=True)
+    Xb = to_bcoo(scipy.sparse.csr_matrix(Xd), jnp.asarray(Xd).dtype)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Wa, Ta = jnp.asarray(W0), jnp.asarray(T0)
+    Wb, Tb = jnp.asarray(W0), jnp.asarray(T0)
+    for _ in range(3):
+        Wa, Ta, key, r = a(Xb, Wa, Ta, key, r, key)
+        Wb, Tb, key, r = b(Xb, Wb, Tb, key, r, key)
+    assert np.allclose(np.array(Wa), np.array(Wb), atol=1e-11)
+    assert np.allclose(np.array(Ta), np.array(Tb), atol=1e-11)
+
+
+def test_sparse_gemm_dtype_bf16_descends():
+    """gemm_dtype=bfloat16 (the TPU fast contraction path) still descends
+    monotonically; values track the f32 path to bf16-input-rounding
+    accuracy."""
+    Xd, W0, T0 = _problem(seed=5)
+    cfg = SweepConfig(k=5, reset_topic_method=None, update_order='phase')
+    f32 = make_sparse_sweep(cfg)
+    b16 = make_sparse_sweep(cfg, gemm_dtype=jnp.bfloat16)
+    Xb = to_bcoo(scipy.sparse.csr_matrix(Xd), jnp.float32)
+    obj = make_sparse_objective()
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Wa = jnp.asarray(W0, jnp.float32); Ta = jnp.asarray(T0, jnp.float32)
+    Wb, Tb = Wa, Ta
+    objs = []
+    for _ in range(5):
+        Wa, Ta, key, r = f32(Xb, Wa, Ta, key, r, key)
+        Wb, Tb, key, r = b16(Xb, Wb, Tb, key, r, key)
+        objs.append(float(obj(Xb, Wb, Tb)))
+    assert np.all(np.diff(objs) <= 1e-5 * np.abs(objs[0]))
+    # bf16 input rounding: agreement to ~1e-2 relative
+    assert np.allclose(np.array(Wa), np.array(Wb),
+                       atol=3e-2 * float(np.max(np.abs(np.array(Wa)))))

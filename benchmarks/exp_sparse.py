@@ -126,30 +126,53 @@ if __name__ == '__main__':
     rl = jnp.asarray(0, jnp.int32)
 
     def sweeps_fn(sweep, Xop):
+        # X must be an ARGUMENT: a closed-over array becomes a jit
+        # constant and is copied (via host!) into the executable
         @jax.jit
-        def f(W, T):
+        def f(Xop, W, T):
             def body(i, carry):
                 W, T, key2, rl2 = carry
                 return sweep(Xop, W, T, key2, rl2, key2)
             out = lax.fori_loop(0, REPS, body, (W, T, key, rl))
             return out[0]
-        return f
+        return lambda W, T: f(Xop, W, T)
 
     # densified-on-device FIRST (clean HBM): one O(nnz) scatter, then
     # the dense hybrid sweep
     from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
+    @jax.jit
+    def _densify(bc):
+        return jnp.zeros(bc.shape, bc.data.dtype).at[
+            bc.indices[:, 0], bc.indices[:, 1]].add(bc.data)
+
     t0 = time.perf_counter()
-    Xd = jax.block_until_ready(jsparse.bcoo_todense(Xsp))
+    Xd = _densify(Xsp)
     float(jnp.sum(Xd[0]))
-    print('%-40s %8.3f ms' % ('on-device densify (one-time)',
-                              (time.perf_counter() - t0) * 1e3), flush=True)
+    print('%-40s %8.3f ms (incl. compile)' % (
+        'on-device densify (one-time)',
+        (time.perf_counter() - t0) * 1e3), flush=True)
+    del Xd                      # two 6 GB results would not fit HBM
+    t0 = time.perf_counter()
+    Xd = _densify(Xsp)
+    float(jnp.sum(Xd[0]))
+    print('%-40s %8.3f ms (compiled)' % (
+        'on-device densify rerun',
+        (time.perf_counter() - t0) * 1e3), flush=True)
     timed('densified dense hybrid sweep',
           sweeps_fn(make_dense_phase_sweep_pallas(cfg), Xd), W, T)
     from rri_nmf_tpu.ops.sweep_xla import make_sweep as _mk
     timed('densified dense XLA Gram sweep', sweeps_fn(_mk(cfg), Xd), W, T)
     del Xd
 
-    timed('r2 sparse sweep (bf16 gemm, XLA GS)',
+    # bf16 data PRE-materialized (the driver's fast path): the in-jit cast
+    # variant loses the fast scatter path to cast/gather fusion
+    Xsp16 = jsparse.BCOO((Xsp.data.astype(jnp.bfloat16), Xsp.indices),
+                         shape=Xsp.shape, indices_sorted=True,
+                         unique_indices=True)
+    timed('r2 sparse sweep (bf16 DATA, XLA GS)',
+          sweeps_fn(make_sparse_sweep(cfg, gemm_dtype=jnp.bfloat16),
+                    Xsp16), W, T)
+    timed('r2 sparse sweep (bf16 cast-in-jit)',
           sweeps_fn(make_sparse_sweep(cfg, gemm_dtype=jnp.bfloat16), Xsp),
           W, T)
     timed('r2 sparse sweep (bf16 gemm, Pallas GS)',

@@ -338,6 +338,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         dp_sigma = _sqrt(c2 * df2 ** 2 * (1.0 / float(eps_gauss_t)) ** 2)
 
     # ---- device state -----------------------------------------------------
+    X_obj_dev = None   # sparse fast path keeps a separate f32 data copy
     if mesh is not None:
         from rri_nmf_tpu.parallel.mesh import problem_shardings
         s_X, s_W, s_T = problem_shardings(mesh)[:3]
@@ -366,7 +367,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 if n * d * jnp.dtype(dtype).itemsize <= budget:
                     logger.info('sparse auto: dense form fits HBM; '
                                 'densifying on device')
-                    X_dev = jsparse.bcoo_todense(X_dev)
+
+                    # jitted scatter so the zeros buffer is aliased (the
+                    # eager bcoo_todense double-buffers the dense output)
+                    @jax.jit
+                    def _densify(bc):
+                        return jnp.zeros(bc.shape, bc.data.dtype).at[
+                            bc.indices[:, 0], bc.indices[:, 1]].add(bc.data)
+
+                    X_dev = _densify(X_dev)
                     sparse_mode = False
         else:
             X_dev = jnp.asarray(X, dtype=dtype)
@@ -442,17 +451,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
         # the sparse sweep can run its Gauss-Seidel topic loops as the
         # fused Pallas GS kernels (gated off internally when the per-topic
-        # T projection is on). On accelerators the two contractions run
-        # with bf16 inputs (the same rounding the default f32 matmul
-        # applies; ~6x faster gather/scatter) unless full f32 is requested
-        # via matmul_precision.
-        _gd = (jnp.bfloat16
-               if (jax.default_backend() not in ('cpu',)
-                   and dtype == jnp.float32 and matmul_precision is None)
-               else None)
+        # T projection is on)
         sweep_fn = make_sparse_sweep(
             cfg, gs_kernels=bool(use_pallas),
-            interpret=(use_pallas == 'interpret'), gemm_dtype=_gd)
+            interpret=(use_pallas == 'interpret'))
         use_pallas = False
     elif use_pallas and mesh is not None:
         # per-device fused kernels under shard_map with psum'd reductions
@@ -504,7 +506,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         compute_obj_each_iter = True
     OBJ = None
     if compute_obj_each_iter:
-        OBJ = TrueObjComputer(X_dev, W_dev, T_dev, reg_w_l1=reg_w_l1,
+        OBJ = TrueObjComputer(X_obj_dev if X_obj_dev is not None else X_dev,
+                              W_dev, T_dev, reg_w_l1=reg_w_l1,
                               reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
                               reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row,
                               sparse=sparse_mode)

@@ -10,15 +10,14 @@ small dense factors.
 TPU-specific design (round 2, measured in ``benchmarks/exp_sparse.py`` at
 50k×30k 0.5% k=128):
 
-1. **bf16 contraction data.** TPU gather/scatter runs ~6× faster on
-   2-byte elements (measured: ``WᵀX`` 76→12.3 ms, ``X Tᵀ`` 140→21 ms at
-   this config; sort order, duplicate flags, BCSR, and transposed copies
-   all change nothing — the scatter path is element-size-bound). The
-   contractions therefore run with bf16 inputs and f32 Gauss-Seidel —
-   EXACTLY the numerics of the dense path's default TPU matmul (an f32
-   dot is a single bf16 MXU pass); ``matmul_precision='float32'`` keeps
-   full-f32 sparse contractions (slow path) for runs that need them. The
-   objective always evaluates against the f32 data.
+1. **The BCOO contractions are scatter-bound and invariant to layout
+   tricks.** Measured (DCE-proof, loop-carried operands): ``WᵀX`` 76 ms
+   and ``X Tᵀ`` 140 ms; sort order, uniqueness flags, BCSR, transposed
+   coordinate copies, and bf16 data all change NOTHING (an earlier 6×
+   bf16 reading was a loop-hoisting measurement artifact). XLA's TPU
+   gather/scatter runs ~30-50 GB/s — this is the hardware-honest cost of
+   O(nnz)-memory NMF on an MXU machine, which is why the driver prefers
+   the on-device-densify path whenever the dense form fits HBM.
 2. **Gram-blocked Gauss-Seidel topic loops** (same treatment as the dense
    sweep): the frozen factor's Gram is computed once per phase and the
    per-topic corrections touch only a ``(B, m)`` in-block delta slab
@@ -179,9 +178,16 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
             Xc = X
             cd = acc
 
+        def _cast_dense(A):
+            # materialize casts feeding the sparse contraction: a fused
+            # cast makes the gather read the wide buffer (slow path)
+            if A.dtype == cd:
+                return A
+            return lax.optimization_barrier(A.astype(cd))
+
         if not cfg.fix_T:
             WX = jsparse.bcoo_dot_general(
-                Xc, W.astype(cd),
+                Xc, _cast_dense(W),
                 dimension_numbers=(((0,), (0,)), ((), ()))
                 ).T.astype(acc)                                  # (k, d)
             G = jnp.dot(W.T, W, preferred_element_type=acc)
@@ -200,7 +206,7 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
 
         if not cfg.fix_W:
             XT = jsparse.bcoo_dot_general(
-                Xc, T.T.astype(cd),
+                Xc, _cast_dense(T.T),
                 dimension_numbers=(((1,), (0,)), ((), ()))
                 ).T.astype(acc)                                  # (k, n)
             G2 = jnp.dot(T, T.T, preferred_element_type=acc)

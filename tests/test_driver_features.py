@@ -144,3 +144,21 @@ def test_n_le_k_forces_random_init():
     soln = nmf(X, 5, max_iter=2, random_state=0, early_stop=False)
     assert soln['W'].shape == (3, 5)
     assert np.all(np.isfinite(soln['W']))
+
+
+def test_matmul_precision_kwarg():
+    """matmul_precision threads through to the sweeps and the objective
+    (on CPU f64 the precision context is a no-op, so results must match
+    the default exactly — the knob matters on TPU, where the default f32
+    dot is a single bf16 MXU pass)."""
+    import numpy as np
+    from rri_nmf_tpu.nmf import nmf
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(30, 4) @ rng.rand(4, 25))
+    kw = dict(k=4, max_iter=6, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase')
+    a = nmf(X, **kw)
+    b = nmf(X, matmul_precision='float32', **kw)
+    assert np.allclose(a['W'], b['W'], atol=1e-13)
+    assert np.all(np.diff(b['obj_history']) <= 0)

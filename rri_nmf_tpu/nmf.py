@@ -57,7 +57,7 @@ class TrueObjComputer(object):
     """
 
     def __init__(self, X, W, T, reg_w_l2, reg_t_l2, reg_w_l1, reg_t_l1,
-                 Wm, wr, sparse=False):
+                 Wm, wr, sparse=False, mesh=None):
         self.X = X
         self.W = W
         self.T = T
@@ -70,7 +70,13 @@ class TrueObjComputer(object):
         self.sparse = sparse
         self.obj = np.inf
         n, d = X.csr.shape if hasattr(X, 'csr') else X.shape
-        if sparse:
+        if sparse and mesh is not None:
+            from rri_nmf_tpu.parallel.sparse_mesh import \
+                make_sharded_sparse_objective
+            self._fn = make_sharded_sparse_objective(
+                mesh, reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
+                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
+        elif sparse:
             from rri_nmf_tpu.ops.sweep_sparse import make_sparse_objective
             self._fn = make_sparse_objective(
                 reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
@@ -151,8 +157,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         A ``jax.sharding.Mesh`` with axes ``(dp, tp)``. When given, X (and
         the mask) shard over both axes, W rows over ``dp``, T columns over
         ``tp``, and the same jitted sweep runs under GSPMD with ``psum``
-        collectives over ICI (see :mod:`rri_nmf_tpu.parallel`). Disables
-        the Pallas path (per-device kernels come later).
+        collectives over ICI (see :mod:`rri_nmf_tpu.parallel`). Combined
+        with scipy-sparse X (``sparse=True`` or viable ``'auto'``
+        settings), X instead stays sparse as per-device COO blocks and
+        the phase contractions psum over the mesh
+        (:mod:`rri_nmf_tpu.parallel.sparse_mesh` — the beyond-HBM corpus
+        path; T-row sum constraints need a ``(n_devices, 1)`` mesh).
     update_order : str, optional
         ``'interleaved'`` (default) follows the reference's per-topic
         T-then-W interleaving exactly. ``'phase'`` updates all T rows, then
@@ -192,12 +202,22 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
     sparse_mode = False
     _viable = (W_mat is None and w_row is None and not store_gradients
-               and not (eps_gauss_t and delta_gauss_t) and mesh is None)
+               and not (eps_gauss_t and delta_gauss_t))
+    # sharded sparse (parallel/sparse_mesh.py): T-row sum constraints sort
+    # a whole T row, so they need the row device-local (tp == 1)
+    _mesh_sp_ok = (mesh is None or mesh.devices.shape[1] == 1
+                   or not (project_T_each_iter and t_row_sum))
     if sparse is True:
         if not _viable:
             raise ValueError(
                 'sparse=True requires: no W_mat, no w_row, no '
-                'store_gradients, no DP noise, no mesh')
+                'store_gradients, no DP noise')
+        if not _mesh_sp_ok:
+            raise ValueError(
+                'sparse=True with a column-sharded mesh (tp > 1) does not '
+                'support project_T_each_iter with t_row_sum (the T-row '
+                'simplex projection needs the row device-local); use a '
+                '(n_devices, 1) mesh')
         sparse_mode = True
         if update_order != 'phase':
             logger.info('sparse mode uses the phase update order')
@@ -210,7 +230,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # conservative: engage only when the requested settings already
         # match the sparse sweep (no silent semantic changes vs the
         # reference's densify-and-proceed behavior)
-        sparse_mode = (_viable and update_order == 'phase'
+        sparse_mode = (_viable and _mesh_sp_ok and update_order == 'phase'
                        and reset_topic_method is None)
 
     # ---- host-side input normalization -----------------------------------
@@ -343,7 +363,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.parallel.mesh import problem_shardings
         s_X, s_W, s_T = problem_shardings(mesh)[:3]
         _put = jax.device_put
-        X_dev = _put(jnp.asarray(X, dtype=dtype), s_X)
+        if sparse_mode:
+            # beyond-HBM scale path: per-device COO blocks, factors in the
+            # canonical mesh layouts (parallel/sparse_mesh.py). n/d need
+            # not divide the mesh: the sweep zero-pads and constrains the
+            # factor layouts internally, so hand W/T over replicated.
+            from jax.sharding import NamedSharding, PartitionSpec
+            from rri_nmf_tpu.parallel.sparse_mesh import partition_coo
+            X_dev = partition_coo(X, mesh, dtype)
+            s_W = s_T = NamedSharding(mesh, PartitionSpec())
+        else:
+            X_dev = _put(jnp.asarray(X, dtype=dtype), s_X)
         W_dev = _put(jnp.asarray(W, dtype=dtype), s_W)
         T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
     else:
@@ -395,8 +425,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         wrs_dev = jnp.asarray(w_row_sum, dtype=dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            wrs_dev = jax.device_put(
-                wrs_dev, NamedSharding(mesh, P(mesh.axis_names[0], None)))
+            # sparse mesh sweep pads/reshards internally (n need not
+            # divide dp), so hand the bound vector over replicated there
+            spec = P() if sparse_mode else P(mesh.axis_names[0], None)
+            wrs_dev = jax.device_put(wrs_dev, NamedSharding(mesh, spec))
         extras.append(wrs_dev)
 
     cfg = SweepConfig(
@@ -447,7 +479,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernels; falling back to the XLA sweep.')
         use_pallas = False
-    if sparse_mode:
+    if sparse_mode and mesh is not None:
+        from rri_nmf_tpu.parallel.sparse_mesh import \
+            make_sharded_sparse_sweep
+        sweep_fn = make_sharded_sparse_sweep(cfg, mesh)
+        use_pallas = False
+    elif sparse_mode:
         from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
         # the sparse sweep can run its Gauss-Seidel topic loops as the
         # fused Pallas GS kernels (gated off internally when the per-topic
@@ -510,7 +547,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                               W_dev, T_dev, reg_w_l1=reg_w_l1,
                               reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
                               reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row,
-                              sparse=sparse_mode)
+                              sparse=sparse_mode, mesh=mesh)
 
     # callbacks see the host X (the scipy matrix itself when the input was
     # sparse — including the on-device-densified path, where the host

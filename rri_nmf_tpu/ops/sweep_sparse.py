@@ -78,6 +78,51 @@ def supports_sparse(cfg: SweepConfig) -> bool:
             and not cfg.store_gradients and cfg.dp_sigma is None)
 
 
+def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
+                      reproject_sum, acc, dtype):
+    """Gram-blocked sequential topic updates over the rows of F (k, m):
+    ``F[t] <- qf_min(N[t] - Σ_{s≠t} G[t,s] F[s], G[t,t])``; exact
+    Gauss-Seidel (same math as the dense sweep's blocked phases). Shared by
+    the single-device sparse sweep and the shard_map'd mesh sparse sweep
+    (where N, G arrive already psum'd and the columns of F are local).
+
+    ``reproject_sum``: when set, rows whose sum drifted from it are
+    re-projected onto the simplex (the per-iteration T projection)."""
+    m = F.shape[1]
+    diag = jnp.diagonal(G)
+
+    def topic_body(i, carry):
+        F, C, F0, D, bs = carry
+        t = bs + i
+        g_blk = lax.dynamic_slice(G, (t, bs), (1, B))[0]
+        corr = (C[i] + jnp.dot(g_blk, D)
+                - g_blk[i] * F0[i].astype(acc))
+        numer = N[t] - corr - reg_l1
+        denom = diag[t] + reg_l2
+        x, _ = qf_min_scalar_c(-numer, denom, s=qf_s, ub=qf_ub)
+        F = F.at[t].set(x.astype(dtype))
+        if reproject_sum is not None:
+            def _reproj(F):
+                return F.at[t].set(_proj_simplex_core(
+                    F[t], jnp.asarray(reproject_sum, dtype=dtype)))
+            F = lax.cond(jnp.abs(jnp.sum(F[t]) - reproject_sum) > 1e-15,
+                         _reproj, lambda F: F, F)
+        D = D.at[i].set((F[t] - F0[i]).astype(acc))
+        return F, C, F0, D, bs
+
+    def block_body(bi, F):
+        bs = bi * B
+        Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
+        C = jnp.dot(Gblk, F, preferred_element_type=acc)
+        F0 = lax.dynamic_slice(F, (bs, 0), (B, m))
+        D = jnp.zeros((B, m), acc)
+        F, C, F0, D, bs = lax.fori_loop(
+            0, B, topic_body, (F, C, F0, D, bs), unroll=True)
+        return F
+
+    return lax.fori_loop(0, k // B, block_body, F)
+
+
 @lru_cache(maxsize=16)
 def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                       gemm_dtype=None):
@@ -98,47 +143,6 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
     B = _gram_block_size(k)
     use_pallas_gs = bool(gs_kernels) and not (cfg.project_T_each_iter
                                               and cfg.t_row_sum)
-
-    def _gs_topics_blocked(N, F, G, reg_l1, reg_l2, qf_s, qf_ub,
-                           reproject_rows, acc, dtype):
-        """Gram-blocked sequential topic updates over the rows of F (k, m):
-        F[t] <- qf_min(N[t] - Σ_{s≠t} G[t,s] F[s], G[t,t]); exact
-        Gauss-Seidel (same math as the dense sweep's blocked phases)."""
-        m = F.shape[1]
-        diag = jnp.diagonal(G)
-
-        def topic_body(i, carry):
-            F, C, F0, D, bs = carry
-            t = bs + i
-            g_blk = lax.dynamic_slice(G, (t, bs), (1, B))[0]
-            corr = (C[i] + jnp.dot(g_blk, D)
-                    - g_blk[i] * F0[i].astype(acc))
-            numer = N[t] - corr - reg_l1
-            denom = diag[t] + reg_l2
-            x, _ = qf_min_scalar_c(-numer, denom, s=qf_s, ub=qf_ub)
-            F = F.at[t].set(x.astype(dtype))
-            if reproject_rows:
-                trs = cfg.t_row_sum
-
-                def _reproj(F):
-                    return F.at[t].set(_proj_simplex_core(
-                        F[t], jnp.asarray(trs, dtype=dtype)))
-                F = lax.cond(jnp.abs(jnp.sum(F[t]) - trs) > 1e-15,
-                             _reproj, lambda F: F, F)
-            D = D.at[i].set((F[t] - F0[i]).astype(acc))
-            return F, C, F0, D, bs
-
-        def block_body(bi, F):
-            bs = bi * B
-            Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
-            C = jnp.dot(Gblk, F, preferred_element_type=acc)
-            F0 = lax.dynamic_slice(F, (bs, 0), (B, m))
-            D = jnp.zeros((B, m), acc)
-            F, C, F0, D, bs = lax.fori_loop(
-                0, B, topic_body, (F, C, F0, D, bs), unroll=True)
-            return F
-
-        return lax.fori_loop(0, k // B, block_body, F)
 
     def _gs_pallas(N, F, G, reg_l1, reg_l2, bound, ub_vec, acc, dtype):
         from rri_nmf_tpu.ops.dense_pallas import _gs_call, _round_up, BD
@@ -197,11 +201,14 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                 T = _gs_pallas(WX, T, G, cfg.reg_t_l1, cfg.reg_t_l2,
                                t_bound, None, acc, dtype)
             else:
-                T = _gs_topics_blocked(
-                    WX, T, G, cfg.reg_t_l1, cfg.reg_t_l2,
+                T = gs_topics_blocked(
+                    WX, T, G, k=k, B=B,
+                    reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
                     qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
-                    reproject_rows=bool(cfg.t_row_sum
-                                        and cfg.project_T_each_iter),
+                    reproject_sum=(cfg.t_row_sum
+                                   if (cfg.t_row_sum
+                                       and cfg.project_T_each_iter)
+                                   else None),
                     acc=acc, dtype=dtype)
 
         if not cfg.fix_W:
@@ -220,9 +227,10 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
             else:
                 ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
                       else cfg.w_row_sum)
-                Wt = _gs_topics_blocked(
-                    XT, W.T, G2, cfg.reg_w_l1, cfg.reg_w_l2,
-                    qf_s=None, qf_ub=ub, reproject_rows=False,
+                Wt = gs_topics_blocked(
+                    XT, W.T, G2, k=k, B=B,
+                    reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
+                    qf_s=None, qf_ub=ub, reproject_sum=None,
                     acc=acc, dtype=dtype)
             W = Wt.T
 

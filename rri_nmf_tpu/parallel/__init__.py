@@ -3,5 +3,11 @@
 from rri_nmf_tpu.parallel.mesh import (
     make_mesh, shard_problem, make_sharded_training_step,
 )
+from rri_nmf_tpu.parallel.sparse_mesh import (
+    ShardedCOO, partition_coo, make_sharded_sparse_sweep,
+    make_sharded_sparse_objective,
+)
 
-__all__ = ['make_mesh', 'shard_problem', 'make_sharded_training_step']
+__all__ = ['make_mesh', 'shard_problem', 'make_sharded_training_step',
+           'ShardedCOO', 'partition_coo', 'make_sharded_sparse_sweep',
+           'make_sharded_sparse_objective']

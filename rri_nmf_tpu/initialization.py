@@ -23,6 +23,7 @@ SVD initialization the reference lists as TODO #1 for recommender systems
 (reference ``README.md:18``) and never implemented.
 """
 
+from functools import lru_cache
 from math import sqrt
 
 import jax
@@ -44,25 +45,53 @@ def _randomized_svd_sklearn(X, k, random_state):
     return randomized_svd(X, k, random_state=random_state)
 
 
+def _ortho_eigh(Y):
+    """Orthonormal basis of range(Y) via the (p, p) Gram eigendecomposition:
+    ``Q = Y·V·diag(λ^{-1/2})``, two passes for orthogonality.
+
+    TPU-first replacement for tall-skinny ``jnp.linalg.qr``: XLA lowers QR
+    to a sequential Householder loop that measures ~100 s on a (32k, 266)
+    panel, while this form is two GEMMs + one tiny eigh per pass (~ms).
+    Rank-deficient Y (e.g. exactly low-rank X with oversampling) is safe:
+    near-null eigenvalues are clamped to zero instead of dividing."""
+    for _ in range(2):
+        G = Y.T @ Y
+        lam, V = jnp.linalg.eigh(G)                     # ascending
+        lmax = jnp.maximum(lam[-1], jnp.finfo(Y.dtype).tiny)
+        good = lam > lmax * (100.0 * jnp.finfo(Y.dtype).eps)
+        inv = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, lam, 1.0)),
+                        0.0)
+        Y = Y @ (V * inv)
+    return Y
+
+
 def randomized_svd_jax(X, k, key, n_oversamples=10, n_iter=4):
     """Jittable randomized SVD (Halko et al. 2011) returning (U, S, Vt).
 
-    Range-finder with power iterations and QR re-orthonormalization; all ops
-    (GEMMs + thin QR/SVD on (k+p)-sized panels) lower to XLA and shard under
-    GSPMD — the big GEMMs against X carry the sharding, the small panel
-    factorizations replicate.
+    Range-finder with power iterations; everything lowers to GEMMs plus
+    (k+p)-sized symmetric eigendecompositions (see :func:`_ortho_eigh` —
+    no tall-skinny QR and no wide SVD, both of which are sequential-loop
+    slow paths on TPU), so the whole init runs at MXU speed and shards
+    under GSPMD — the big GEMMs against X carry the sharding, the small
+    panel factorizations replicate.
     """
     X = jnp.asarray(X)
     n, d = X.shape
     p = min(k + n_oversamples, min(n, d))
     Omega = jax.random.normal(key, (d, p), dtype=X.dtype)
-    Y = X @ Omega
-    Q, _ = jnp.linalg.qr(Y)
+    Q = _ortho_eigh(X @ Omega)
     for _ in range(n_iter):
-        Z, _ = jnp.linalg.qr(X.T @ Q)
-        Q, _ = jnp.linalg.qr(X @ Z)
+        Q = _ortho_eigh(X @ _ortho_eigh(X.T @ Q))
     B = Q.T @ X                      # (p, d)
-    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    # SVD of the small panel via its (p, p) Gram: B = U_b S Vt with
+    # U_b, S² from eigh(B Bᵀ) and Vt = S⁻¹ U_bᵀ B
+    lam, Ub = jnp.linalg.eigh(B @ B.T)
+    order = jnp.argsort(lam)[::-1]
+    lam = jnp.maximum(lam[order], 0.0)
+    Ub = Ub[:, order]
+    S = jnp.sqrt(lam)
+    safe = jnp.where(S > 0, S, 1.0)
+    Vt = (Ub.T @ B) / safe[:, None]
     U = Q @ Ub
     return U[:, :k], S[:k], Vt[:k, :]
 
@@ -121,6 +150,16 @@ def _nndsvd_from_svd(U, S, Vt, eps):
     return W, H
 
 
+@lru_cache(maxsize=8)
+def _nndsvd_device_jit(k, eps):
+    """Jitted (X, key) -> (W, H): randomized SVD + NNDSVD section split as
+    one device program, cached per (k, eps)."""
+    def f(X, key):
+        U, S, Vt = randomized_svd_jax(X, k, key)
+        return _nndsvd_from_svd(U, S, Vt, eps)
+    return jax.jit(f)
+
+
 # ---------------------------------------------------------------------------
 # public dispatch
 # ---------------------------------------------------------------------------
@@ -177,20 +216,25 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
                        'nndsvdar', 'coherence_pmi')))
 
     if svd_backend == 'jax':
+        # ONE jitted program (SVD + NNDSVD split) and ONE W/H fetch: on the
+        # tunnel-hosted backend an eager op-by-op SVD queues dozens of
+        # dispatches with trailing fetches, which stalls for minutes
+        # (CLAUDE.md); the fused form runs at GEMM speed.
         key = jax.random.PRNGKey(0 if random_state is None else random_state)
-        U, S, Vt = randomized_svd_jax(X, n_components, key)
-        U, S, Vt = np.asarray(U), np.asarray(S), np.asarray(Vt)
+        W, H = _nndsvd_device_jit(n_components, float(eps))(
+            jnp.asarray(X), key)
+        W, H = np.array(W), np.array(H)   # writable copies (nndsvda/ar)
     else:
         U, S, Vt = _randomized_svd_sklearn(X, n_components, random_state)
+        W, H = _nndsvd_from_svd(U, S, Vt, eps)
 
-    W, H = _nndsvd_from_svd(U, S, Vt, eps)
-
-    X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
     if init == 'nndsvda':
+        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
         avg = X_host.mean()
         W[W == 0] = avg
         H[H == 0] = avg
     elif init == 'nndsvdar':
+        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
         rng = np.random.RandomState(random_state) \
             if not isinstance(random_state, np.random.RandomState) \
             else random_state

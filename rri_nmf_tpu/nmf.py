@@ -123,7 +123,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
-        update_order='interleaved', sparse='auto', matmul_precision=None):
+        update_order='interleaved', sparse='auto', matmul_precision=None,
+        inner_reps=1):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -172,6 +173,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         contractions batch into one ``X @ Tᵀ`` GEMM, cutting the dense
         sweep's HBM traffic from k+1 X-reads to 2. Ignored on the masked
         path.
+    inner_reps : int, optional
+        Extra Gauss-Seidel passes per phase (phase order only; default 1
+        = reference semantics). Within a phase the frozen factor's Gram
+        and the X-contraction numerators are constant, so the topic loop
+        can re-run ``inner_reps`` times at O(k²·(n+d)) each while the
+        O(ndk) GEMM is paid once — each pass is another exact cyclic BCD
+        sweep (monotone descent preserved; the accelerated-HALS inner
+        iteration of Gillis & Glineur 2012). 2-4 typically reaches a given
+        objective in substantially less wall-clock when k ≪ min(n, d).
+        Requires ``update_order='phase'``, no mask, no resets, no gradient
+        stores, no DP noise.
     matmul_precision : str, optional
         Precision for the sweep's matmuls (``jax.default_matmul_precision``
         names). On TPU the default f32 dot runs as a single bf16 MXU pass
@@ -431,6 +443,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             wrs_dev = jax.device_put(wrs_dev, NamedSharding(mesh, spec))
         extras.append(wrs_dev)
 
+    inner_reps = int(inner_reps)
+    if inner_reps < 1:
+        raise ValueError('inner_reps must be >= 1')
+    if inner_reps > 1 and (update_order != 'phase' or masked
+                           or reset_topic_method is not None
+                           or store_gradients
+                           or (eps_gauss_t and delta_gauss_t)):
+        raise ValueError(
+            "inner_reps > 1 requires update_order='phase', no W_mat, "
+            "reset_topic_method=None, no store_gradients, no DP noise "
+            '(the extra Gauss-Seidel passes reuse the per-phase '
+            'numerators, which those features invalidate)')
+
     cfg = SweepConfig(
         k=k, fix_W=fix_W, fix_T=fix_T, masked=masked,
         project_T_each_iter=project_T_each_iter,
@@ -450,7 +475,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     else None),
         update_order=update_order,
         mesh=mesh,
-        matmul_precision=matmul_precision)
+        matmul_precision=matmul_precision,
+        inner_reps=inner_reps)
 
     from rri_nmf_tpu.ops.dense_pallas import (
         make_dense_phase_sweep_pallas, supports_dense_pallas)

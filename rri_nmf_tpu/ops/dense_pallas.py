@@ -64,9 +64,14 @@ def supports_dense_pallas(cfg) -> bool:
             and cfg.dp_sigma is None)
 
 
-def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt):
+def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt,
+                    reps=1):
     """Gauss-Seidel topic loop over the k rows of a VMEM-resident factor
-    tile. Shared by both phases (the W-phase passes W transposed)."""
+    tile. Shared by both phases (the W-phase passes W transposed).
+
+    ``reps`` repeats the whole k-topic loop in-kernel
+    (``SweepConfig.inner_reps``): the tile stays VMEM-resident, so extra
+    exact-BCD passes cost only VPU/MXU time, no HBM traffic."""
 
     def kernel(*refs):
         if ub_is_vector:
@@ -93,13 +98,17 @@ def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt):
                                                 neg).astype(dtype)
             return 0
 
-        lax.fori_loop(0, k, body, 0)
+        def rep(r, _):
+            lax.fori_loop(0, k, body, 0)
+            return 0
+
+        lax.fori_loop(0, reps, rep, 0)
 
     return kernel
 
 
 def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
-             G, diag, N, F, ub=None, interpret=False):
+             G, diag, N, F, ub=None, interpret=False, reps=1):
     """Run the GS kernel over ``nblk`` column-blocks of width ``B``."""
     in_specs = [
         pl.BlockSpec((k, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -113,7 +122,8 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
                                      memory_space=pltpu.VMEM))
         args.append(ub)
     return pl.pallas_call(
-        _make_gs_kernel(k, reg_l1, reg_l2, bound, ub is not None, acc_dt),
+        _make_gs_kernel(k, reg_l1, reg_l2, bound, ub is not None, acc_dt,
+                        reps=reps),
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, B), lambda j: (0, j),
@@ -121,7 +131,7 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
         out_shape=jax.ShapeDtypeStruct((k, B * nblk), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * k * k * B * nblk,
+            flops=2 * k * k * B * nblk * reps,
             bytes_accessed=3 * k * B * nblk * jnp.dtype(dtype).itemsize,
             transcendentals=0),
     )(*args)
@@ -169,7 +179,7 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
                 Tk = T
             Tk = _gs_call(k, BD, dpad // BD, cfg.reg_t_l1, cfg.reg_t_l2,
                           t_bound, acc_dt, dtype, G, diag, WX, Tk,
-                          interpret=interpret)
+                          interpret=interpret, reps=cfg.inner_reps)
             # negative L1 can grow the zero-padded columns; slice exactly
             T = Tk[:, :d]
 
@@ -190,7 +200,8 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
                     w_row_sum_vec.astype(acc_dt))
             Wt = _gs_call(k, BN, npad // BN, cfg.reg_w_l1, cfg.reg_w_l2,
                           w_bound, acc_dt, dtype, G2, diag2, XTt, Wt,
-                          ub=ub, interpret=interpret)
+                          ub=ub, interpret=interpret,
+                          reps=cfg.inner_reps)
             W = Wt[:, :n].T
 
         # per-iteration W row projection (reference nmf.py:481-484), same

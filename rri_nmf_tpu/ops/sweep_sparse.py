@@ -79,7 +79,7 @@ def supports_sparse(cfg: SweepConfig) -> bool:
 
 
 def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
-                      reproject_sum, acc, dtype):
+                      reproject_sum, acc, dtype, reps=1):
     """Gram-blocked sequential topic updates over the rows of F (k, m):
     ``F[t] <- qf_min(N[t] - Σ_{s≠t} G[t,s] F[s], G[t,t])``; exact
     Gauss-Seidel (same math as the dense sweep's blocked phases). Shared by
@@ -87,7 +87,11 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
     (where N, G arrive already psum'd and the columns of F are local).
 
     ``reproject_sum``: when set, rows whose sum drifted from it are
-    re-projected onto the simplex (the per-iteration T projection)."""
+    re-projected onto the simplex (the per-iteration T projection).
+
+    ``reps``: extra full GS passes over the k topics; N and G are
+    constant through the phase, so each pass is another exact cyclic BCD
+    sweep (``SweepConfig.inner_reps``)."""
     m = F.shape[1]
     diag = jnp.diagonal(G)
 
@@ -111,7 +115,7 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
         return F, C, F0, D, bs
 
     def block_body(bi, F):
-        bs = bi * B
+        bs = (bi % (k // B)) * B
         Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
         C = jnp.dot(Gblk, F, preferred_element_type=acc)
         F0 = lax.dynamic_slice(F, (bs, 0), (B, m))
@@ -120,7 +124,7 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
             0, B, topic_body, (F, C, F0, D, bs), unroll=True)
         return F
 
-    return lax.fori_loop(0, k // B, block_body, F)
+    return lax.fori_loop(0, reps * (k // B), block_body, F)
 
 
 @lru_cache(maxsize=16)
@@ -157,7 +161,8 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
             ub = jnp.zeros((1, mpad), acc).at[0, :m].set(
                 ub_vec.astype(acc))
         F = _gs_call(k, BD, mpad // BD, reg_l1, reg_l2, bound, acc, dtype,
-                     G, diag, N, F, ub=ub, interpret=interpret)
+                     G, diag, N, F, ub=ub, interpret=interpret,
+                     reps=cfg.inner_reps)
         return F[:, :m]
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
@@ -209,7 +214,7 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                                    if (cfg.t_row_sum
                                        and cfg.project_T_each_iter)
                                    else None),
-                    acc=acc, dtype=dtype)
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps)
 
         if not cfg.fix_W:
             XT = jsparse.bcoo_dot_general(
@@ -231,7 +236,7 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                     XT, W.T, G2, k=k, B=B,
                     reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
                     qf_s=None, qf_ub=ub, reproject_sum=None,
-                    acc=acc, dtype=dtype)
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps)
             W = Wt.T
 
         if (cfg.project_W_each_iter and not cfg.fix_W

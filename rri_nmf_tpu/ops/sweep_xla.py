@@ -117,6 +117,16 @@ class SweepConfig:
     # reconstruction error around 1e-3; pass 'float32' to converge below
     # that (≈1.5x slower GEMMs; see benchmarks/exp_precision.py).
     matmul_precision: Optional[str] = None
+    # Inner Gauss-Seidel repetitions per phase (phase order only). The
+    # numerators (WᵀX / X Tᵀ) and the frozen factor's Gram are CONSTANT
+    # through a phase, so the GS topic loop can re-run ``inner_reps``
+    # times at O(k²·m) each while the O(ndk) X-contraction is paid once —
+    # every pass is still exact cyclic BCD on the same subproblems, so
+    # descent stays monotone (the accelerated-HALS inner iteration of
+    # Gillis & Glineur 2012, rebuilt for the MXU-cost model where the
+    # GEMM:GS cost gap is widest). Requires reset_topic_method=None for
+    # >1 (a reset would invalidate the cached numerator row).
+    inner_reps: int = 1
 
     @property
     def scale_transfer(self) -> bool:
@@ -725,7 +735,11 @@ def make_sweep(cfg: SweepConfig):
 
             def block_body(bi, carry):
                 W, T, G, key, resets_left = carry
-                bs = bi * B
+                # inner_reps > 1 cycles over the k//B blocks again: WX_pre
+                # and G depend only on W, frozen for the whole T-phase
+                # (resets are disallowed for >1), so each pass is another
+                # exact GS sweep over the same subproblems
+                bs = (bi % (k // B)) * B
                 Gblk = lax.dynamic_slice(G, (bs, 0), (B, k))
                 C = jnp.dot(Gblk, T, preferred_element_type=acc)  # (B, d)
                 T_blk0 = lax.dynamic_slice(T, (bs, 0), (B, d))
@@ -740,7 +754,8 @@ def make_sweep(cfg: SweepConfig):
                 return W, T, G, key, resets_left
 
             W, T, G, key, resets_left = lax.fori_loop(
-                0, k // B, block_body, (W, T, G, key, resets_left))
+                0, cfg.inner_reps * (k // B), block_body,
+                (W, T, G, key, resets_left))
             return W, T, key, resets_left
 
         def w_phase_blocked(W, T, key, resets_left):
@@ -783,7 +798,9 @@ def make_sweep(cfg: SweepConfig):
 
             def block_body(bi, carry):
                 W, T, G, key, resets_left = carry
-                bs = bi * B
+                # see t_phase_blocked: extra passes reuse XT and G (T is
+                # frozen for the whole W-phase when inner_reps > 1)
+                bs = (bi % (k // B)) * B
                 Gcols = lax.dynamic_slice(G, (0, bs), (k, B))
                 C = jnp.dot(W, Gcols, preferred_element_type=acc)  # (n, B)
                 W_blk0 = lax.dynamic_slice(W, (0, bs), (n, B))
@@ -795,7 +812,8 @@ def make_sweep(cfg: SweepConfig):
                 return W, T, G, key, resets_left
 
             W, T, G, key, resets_left = lax.fori_loop(
-                0, k // B, block_body, (W, T, G, key, resets_left))
+                0, cfg.inner_reps * (k // B), block_body,
+                (W, T, G, key, resets_left))
             return W, T, key, resets_left
 
         carry = (W, T, R, key, resets_left, numer_store, denom_store)

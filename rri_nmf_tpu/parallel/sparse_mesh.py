@@ -193,7 +193,7 @@ def make_sharded_sparse_sweep(cfg: SweepConfig, mesh):
                 reproject_sum=(cfg.t_row_sum
                                if (cfg.t_row_sum and
                                    cfg.project_T_each_iter) else None),
-                acc=acc, dtype=dtype)
+                acc=acc, dtype=dtype, reps=cfg.inner_reps)
 
         if not cfg.fix_W:
             XT = jsparse.bcoo_dot_general(
@@ -207,7 +207,7 @@ def make_sharded_sparse_sweep(cfg: SweepConfig, mesh):
                 XT, W.T, G2, k=k, B=B,
                 reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
                 qf_s=None, qf_ub=ub, reproject_sum=None,
-                acc=acc, dtype=dtype)
+                acc=acc, dtype=dtype, reps=cfg.inner_reps)
             W = Wt.T
 
         if (cfg.project_W_each_iter and not cfg.fix_W

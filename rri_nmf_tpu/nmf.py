@@ -483,10 +483,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
     if mesh is not None:
+        from rri_nmf_tpu.parallel.sharded_dense import \
+            supports_sharded_dense
         from rri_nmf_tpu.parallel.sharded_pallas import \
             supports_sharded_pallas
         pallas_ok = supports_sharded_pallas(cfg)
-        dense_pallas_ok = False   # mesh dense path: XLA GSPMD sweep
+        dense_pallas_ok = supports_sharded_dense(cfg)
     else:
         pallas_ok = supports_pallas(cfg)
         dense_pallas_ok = supports_dense_pallas(cfg)
@@ -519,11 +521,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             cfg, gs_kernels=bool(use_pallas),
             interpret=(use_pallas == 'interpret'))
         use_pallas = False
-    elif use_pallas and mesh is not None:
+    elif use_pallas and mesh is not None and cfg.masked:
         # per-device fused kernels under shard_map with psum'd reductions
         from rri_nmf_tpu.parallel.sharded_pallas import (
             make_sharded_masked_sweep_pallas)
         sweep_fn = make_sharded_masked_sweep_pallas(
+            cfg, mesh, interpret=(use_pallas == 'interpret'))
+    elif use_pallas and mesh is not None:
+        # per-device dense GS kernels under shard_map: k×k Grams + the
+        # per-phase numerator panels psum over ICI, topic loops run
+        # VMEM-resident on each device's tile
+        from rri_nmf_tpu.parallel.sharded_dense import (
+            make_sharded_dense_sweep_pallas)
+        sweep_fn = make_sharded_dense_sweep_pallas(
             cfg, mesh, interpret=(use_pallas == 'interpret'))
     elif use_pallas and pallas_ok:
         sweep_fn = make_masked_sweep_pallas(

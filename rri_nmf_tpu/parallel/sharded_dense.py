@@ -1,0 +1,164 @@
+"""Multi-chip dense phase sweep: per-device GS Pallas kernels + ICI psum.
+
+Carries the single-chip hybrid dense sweep (:mod:`rri_nmf_tpu.ops
+.dense_pallas`: XLA GEMMs for the X contractions + fused Gauss-Seidel
+Pallas kernels for the topic loops) to a ``(dp, tp)`` mesh with
+``shard_map``. Communication per sweep is four psums of SMALL operands —
+nothing proportional to X moves:
+
+- T-phase: ``G = WᵀW`` (k×k, psum over ``dp``) and the numerator panel
+  ``WᵀX`` (k × d/tp local columns, partial over ``dp`` rows → psum over
+  ``dp``). T columns are independent within the phase, so each device's
+  GS kernel on its local ``(k, d_loc)`` T tile IS the global Gauss-Seidel
+  update restricted to its columns — bitwise the same subproblems.
+- W-phase: ``G₂ = TTᵀ`` (k×k, psum over ``tp``) and ``T X_locᵀ``
+  (k × n/dp, psum over ``tp``); W rows are independent, same argument.
+
+Per-device wire traffic per sweep: ``k·d/tp + k·n/dp + 2k²`` floats —
+the same collective pattern as the sharded sparse path
+(:mod:`rri_nmf_tpu.parallel.sparse_mesh`), here feeding the VMEM-resident
+GS kernels instead of the XLA Gram-blocked loop. The reference has no
+distributed runtime at all (SURVEY.md §2.2; vestigial hooks at reference
+``nmf.py:233-235,653-660``).
+
+Layouts (matching :mod:`rri_nmf_tpu.parallel.mesh`):
+``X: P(dp, tp)``; ``W: P(dp, None)``; ``T: P(None, tp)``. Global shapes
+are zero-padded to ``(BN·|dp|, BD·|tp|)`` multiples once per sweep;
+padded rows/columns are sliced away on return.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map              # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from rri_nmf_tpu.matrixops import _proj_simplex_core
+from rri_nmf_tpu.ops.dense_pallas import (
+    BD, BN, _gs_call, _round_up, supports_dense_pallas)
+
+
+def supports_sharded_dense(cfg) -> bool:
+    """Config coverage: the single-chip dense GS kernels' restrictions
+    (phase order, unmasked, no resets/stores/DP, no per-topic T
+    projection)."""
+    return supports_dense_pallas(cfg)
+
+
+@lru_cache(maxsize=16)
+def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
+    """Build the mesh-sharded dense phase sweep.
+
+    Same call signature as the single-device sweeps::
+
+        sweep(X, W, T, key, resets_left, reset_key[, w_row_sum_vec])
+            -> (W, T, key, resets_left)
+    """
+    assert supports_sharded_dense(cfg), \
+        'config not supported by the sharded dense GS kernels'
+    k = cfg.k
+    dp, tp = mesh.axis_names
+    dp_size, tp_size = mesh.devices.shape
+
+    t_bound = float(cfg.t_row_sum) if cfg.t_row_sum else float('inf')
+    w_bound = (float(cfg.w_row_sum)
+               if (cfg.w_row_sum is not None
+                   and not cfg.w_row_sum_is_vector) else float('inf'))
+
+    def local_sweep(X, W, T, ub_vec):
+        # per-device code on local tiles: X (n_loc, d_loc), W (n_loc, k),
+        # T (k, d_loc); ub_vec (n_loc,) or None
+        n_loc, d_loc = X.shape
+        dtype = X.dtype
+        acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
+            else dtype
+
+        # ---------------- T-phase --------------------------------------
+        if not cfg.fix_T:
+            G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc_dt),
+                         dp)
+            diag = jnp.diagonal(G).reshape(k, 1)
+            WX = lax.psum(
+                lax.dot_general(W, X, (((0,), (0,)), ((), ())),
+                                preferred_element_type=acc_dt), dp)
+            T = _gs_call(k, BD, d_loc // BD, cfg.reg_t_l1, cfg.reg_t_l2,
+                         t_bound, acc_dt, dtype, G, diag, WX, T,
+                         interpret=interpret, reps=cfg.inner_reps)
+
+        # ---------------- W-phase --------------------------------------
+        if not cfg.fix_W:
+            G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc_dt),
+                          tp)
+            diag2 = jnp.diagonal(G2).reshape(k, 1)
+            XTt = lax.psum(
+                lax.dot_general(T, X, (((1,), (1,)), ((), ())),
+                                preferred_element_type=acc_dt), tp)
+            ub = None
+            if cfg.w_row_sum_is_vector:
+                ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
+            Wt = _gs_call(k, BN, n_loc // BN, cfg.reg_w_l1, cfg.reg_w_l2,
+                          w_bound, acc_dt, dtype, G2, diag2, XTt, W.T,
+                          ub=ub, interpret=interpret, reps=cfg.inner_reps)
+            W = Wt.T
+
+        # per-iteration W row projection: rows are dp-local, no
+        # communication. Padded rows project to garbage but are sliced
+        # away by the caller.
+        if (cfg.project_W_each_iter and not cfg.fix_W
+                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
+            if cfg.w_row_sum_is_vector:
+                s_vec = ub_vec.astype(dtype)
+            else:
+                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+        return W, T
+
+    ub_spec = P(dp) if cfg.w_row_sum_is_vector else P()
+    sharded = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(dp, tp), P(dp, None), P(None, tp), ub_spec),
+        out_specs=(P(dp, None), P(None, tp)),
+        check_vma=False)  # pallas_call outputs carry no varying-axis info
+
+    def sweep(X, W, T, key, resets_left, reset_key, *extras):
+        n, d = X.shape
+        dtype = X.dtype
+        npad = _round_up(n, BN * dp_size)
+        dpad = _round_up(d, BD * tp_size)
+
+        Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
+        Wp = jnp.zeros((npad, k), dtype).at[:n].set(W)
+        Tp = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
+        if cfg.w_row_sum_is_vector:
+            ub = jnp.zeros((npad,), dtype).at[:n].set(
+                extras[0].reshape(-1).astype(dtype))
+        else:
+            ub = jnp.zeros((), dtype)
+
+        Xp = lax.with_sharding_constraint(
+            Xp, NamedSharding(mesh, P(dp, tp)))
+        Wp = lax.with_sharding_constraint(
+            Wp, NamedSharding(mesh, P(dp, None)))
+        Tp = lax.with_sharding_constraint(
+            Tp, NamedSharding(mesh, P(None, tp)))
+        if cfg.w_row_sum_is_vector:
+            ub = lax.with_sharding_constraint(
+                ub, NamedSharding(mesh, P(dp)))
+
+        Wp, Tp = sharded(Xp, Wp, Tp, ub)
+        return Wp[:n], Tp[:, :d], key, resets_left
+
+    if cfg.matmul_precision is not None:
+        _sweep_body = sweep
+
+        def sweep(*args):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _sweep_body(*args)
+
+    return jax.jit(sweep)

@@ -1,0 +1,113 @@
+"""Mesh-sharded dense GS-kernel sweep (parallel/sharded_dense.py).
+
+Parity pins: the shard_map'd hybrid sweep (psum'd Grams/numerators +
+per-device Pallas GS kernels, interpret-mode on the virtual CPU mesh)
+must reproduce the single-chip dense GS sweep and the XLA GSPMD mesh
+path exactly — the per-device topic subproblems are bitwise the global
+ones (T columns / W rows are independent within a phase)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.nmf import nmf
+from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+from rri_nmf_tpu.parallel.mesh import make_mesh
+from rri_nmf_tpu.parallel.sharded_dense import (
+    make_sharded_dense_sweep_pallas, supports_sharded_dense)
+
+
+def _problem(n=100, d=80, k=6, seed=0):
+    rng = np.random.RandomState(seed)
+    return (np.abs(rng.rand(n, d)), np.abs(rng.rand(n, k)),
+            np.abs(rng.rand(k, d)))
+
+
+def _run(sweep, X, W, T):
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    W1, T1, _, _ = sweep(jnp.asarray(X), jnp.asarray(W), jnp.asarray(T),
+                         key, r, key)
+    return np.array(W1), np.array(T1)
+
+
+@pytest.mark.parametrize('mesh_shape', [(8, 1), (4, 2)])
+def test_sharded_dense_matches_single_chip(mesh_shape):
+    X, W0, T0 = _problem()
+    cfg = SweepConfig(k=6, reset_topic_method=None, update_order='phase',
+                      reg_t_l2=0.02, reg_w_l1=0.01)
+    assert supports_sharded_dense(cfg)
+    mesh = make_mesh(8, mesh_shape=mesh_shape)
+    a = make_dense_phase_sweep_pallas(cfg, interpret=True)
+    b = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+    Wa, Ta = _run(a, X, W0, T0)
+    Wb, Tb = _run(b, X, W0, T0)
+    assert np.allclose(Wa, Wb, atol=1e-11)
+    assert np.allclose(Ta, Tb, atol=1e-11)
+
+
+def test_sharded_dense_inner_reps_parity():
+    X, W0, T0 = _problem(seed=1)
+    cfg = SweepConfig(k=6, reset_topic_method=None, update_order='phase',
+                      inner_reps=3)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    a = make_dense_phase_sweep_pallas(cfg, interpret=True)
+    b = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+    Wa, Ta = _run(a, X, W0, T0)
+    Wb, Tb = _run(b, X, W0, T0)
+    assert np.allclose(Wa, Wb, atol=1e-11)
+    assert np.allclose(Ta, Tb, atol=1e-11)
+
+
+def test_sharded_dense_w_row_sum_vector():
+    """Per-row W bound vector: sharded over dp, padded rows inert."""
+    X, W0, T0 = _problem(seed=2)
+    ub = 0.5 + np.random.RandomState(3).rand(100)
+    cfg = SweepConfig(k=6, reset_topic_method=None, update_order='phase',
+                      w_row_sum=None, w_row_sum_is_vector=True,
+                      project_W_each_iter=True)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    a = make_dense_phase_sweep_pallas(cfg, interpret=True)
+    b = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Wa, Ta, _, _ = a(jnp.asarray(X), jnp.asarray(W0), jnp.asarray(T0),
+                     key, r, key, jnp.asarray(ub))
+    Wb, Tb, _, _ = b(jnp.asarray(X), jnp.asarray(W0), jnp.asarray(T0),
+                     key, r, key, jnp.asarray(ub))
+    assert np.allclose(np.array(Wa), np.array(Wb), atol=1e-11)
+    assert np.allclose(np.array(Ta), np.array(Tb), atol=1e-11)
+
+
+def test_driver_mesh_dense_pallas_parity():
+    """nmf(mesh=..., use_pallas='interpret') on a dense phase-order config
+    routes to the sharded dense GS kernels and matches both the
+    single-device run and the XLA GSPMD mesh path."""
+    X, _, _ = _problem(n=96, d=64, seed=4)
+    kw = dict(k=5, max_iter=4, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              compute_obj_each_iter=True, eps_stop=0)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    single = nmf(X, use_pallas='interpret', **kw)
+    sharded = nmf(X, mesh=mesh, use_pallas='interpret', **kw)
+    gspmd = nmf(X, mesh=mesh, use_pallas=False, **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-11)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-11)
+    assert np.allclose(sharded['obj_history'], gspmd['obj_history'],
+                       atol=1e-9)
+
+
+def test_driver_mesh_dense_pallas_tm_preset():
+    """TM-style config (w_row_sum + per-iteration W projection) through
+    the driver on the mesh."""
+    X, _, _ = _problem(n=80, d=60, seed=5)
+    kw = dict(k=4, max_iter=3, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              w_row_sum=1.0, project_W_each_iter=True, eps_stop=0)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    single = nmf(X, use_pallas='interpret', **kw)
+    sharded = nmf(X, mesh=mesh, use_pallas='interpret', **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-11)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-11)

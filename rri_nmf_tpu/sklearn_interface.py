@@ -275,11 +275,20 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
 
     def transform(self, Xnew):
         """Express ``Xnew`` in terms of the learned topics: a few fixed-T
-        sweeps (reference ``sklearn_interface.py:320-334``)."""
+        sweeps (reference ``sklearn_interface.py:320-334``). SciPy-sparse
+        input stays sparse through the idf multiply and normalization;
+        the driver decides whether the fixed-T sweep runs on the BCOO
+        path or densifies."""
         if self.handle_tfidf:
-            Xnew = np.asarray(Xnew) * self.idf
+            if sp.issparse(Xnew):
+                Xnew = Xnew.multiply(
+                    np.asarray(self.idf).reshape(1, -1)).tocsr()
+            else:
+                Xnew = np.asarray(Xnew) * self.idf
         if self.handle_normalization:
-            Xnew = np.asarray(normalize(Xnew))
+            Xnew = normalize(Xnew)
+            if not sp.issparse(Xnew):
+                Xnew = np.asarray(Xnew)
 
         soln = nmf(Xnew, self.k, max_iter=4, max_time=7200,
                    project_W_each_iter=False, w_row_sum=1.0,
@@ -295,7 +304,26 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
 
     def score(self, X, y=None):
         """R² of reconstructing new X (reference
-        ``sklearn_interface.py:339-345``)."""
+        ``sklearn_interface.py:339-345``). Sparse input is scored without
+        densifying X: ``SST = Σx² − n·Σμ_j²`` and the cross term uses the
+        nonzero pattern only."""
+        if sp.issparse(X):
+            X = X.tocsr()
+            n = X.shape[0]
+            mu = np.asarray(X.mean(axis=0)).ravel()
+            sumsq = float(X.multiply(X).sum())
+            SST = sumsq - n * float((mu ** 2).sum())
+            W = np.asarray(self.transform(X))
+            T = np.asarray(self.T)
+            # ||X - WT||² = Σx² − 2·Σ X⊙(WT) + ||WT||²; the middle term
+            # touches only the nonzeros, the last is k×k Gram work
+            ii, jj = X.nonzero()
+            cross = float(np.sum(np.asarray(X[ii, jj]).ravel()
+                                 * np.einsum('ik,ki->i', W[ii], T[:, jj])))
+            wtw = W.T @ W
+            ttt = T @ T.T
+            SSE = sumsq - 2 * cross + float(np.sum(wtw * ttt))
+            return 1 - SSE / SST
         X = np.asarray(X)
         SST = ((X - np.mean(X, axis=0)) ** 2).sum()
         W = self.transform(X)
@@ -313,7 +341,7 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
         """
         from rri_nmf_tpu.metrics import (
             frobenius_relative_error, r2_reconstruction, umass_coherence)
-        X = np.asarray(X)
+        X = X.toarray() if sp.issparse(X) else np.asarray(X)
         W = self.transform(X)
         out = {
             'r2': r2_reconstruction(X, W, self.T),

@@ -68,3 +68,22 @@ def test_sparsify_densify_roundtrip(recsys_train):
     assert sp.issparse(E.W) and sp.issparse(E.T)
     E.densify()
     assert np.allclose(E.W, W)
+
+
+def test_tm_sparse_transform_and_score(text_train):
+    """SciPy-sparse input threads through transform (idf multiply +
+    normalize stay sparse) and score (no densification of X); results
+    match the dense-input call exactly."""
+    X = sp.csr_matrix((text_train > 0).astype(float) * 3.0)
+    n, d = X.shape
+    M = NMF_TM_Estimator(n, d, 4, random_state=0, max_iter=5,
+                         handle_tfidf=True, handle_normalization=True)
+    M.fit(X.toarray())
+    W_sp = np.asarray(M.transform(X))
+    W_de = np.asarray(M.transform(X.toarray()))
+    assert np.allclose(W_sp, W_de, atol=1e-10)
+    s_sp = M.score(X)
+    s_de = M.score(X.toarray())
+    assert abs(s_sp - s_de) < 1e-8
+    out = M.score_all(X)
+    assert np.isfinite(out['r2']) and np.isfinite(out['rel_frobenius_error'])

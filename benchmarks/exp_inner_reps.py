@@ -24,7 +24,8 @@ def main():
     # ---------------- A: sweep cost --------------------------------------
     n, d, k = 16384, 8192, 128
     reset_key = jax.random.PRNGKey(0)
-    for kernel in ('pallas', 'xla'):
+    kernels = () if '--b-only' in sys.argv else ('pallas', 'xla')
+    for kernel in kernels:
         for reps in (1, 2, 4):
             cfg = SweepConfig(k=k, reset_topic_method=None,
                               update_order='phase', inner_reps=reps)

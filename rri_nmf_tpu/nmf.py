@@ -219,6 +219,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # a whole T row, so they need the row device-local (tp == 1)
     _mesh_sp_ok = (mesh is None or mesh.devices.shape[1] == 1
                    or not (project_T_each_iter and t_row_sum))
+    mxu_mode = sparse == 'mxu'
+    if mxu_mode:
+        # tile-bucketed one-hot MXU contractions (ops/sparse_mxu.py): the
+        # beyond-HBM fast path — all flops on the MXU, no gather/scatter
+        if not _is_sp:
+            raise ValueError("sparse='mxu' requires a scipy-sparse X")
+        if mesh is not None:
+            raise ValueError("sparse='mxu' is single-device (shard the "
+                             'corpus with sparse=True + mesh instead)')
+        sparse = True
     if sparse is True:
         if not _viable:
             raise ValueError(
@@ -390,7 +400,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
     else:
         s_X = s_W = None
-        if sparse_mode:
+        if sparse_mode and mxu_mode:
+            from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
+            X_dev = plan_sparse_matrix(X, np.dtype(dtype))
+        elif sparse_mode:
             from jax.experimental import sparse as jsparse
             from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
             X_dev = to_bcoo(X, dtype)
@@ -519,7 +532,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # T projection is on)
         sweep_fn = make_sparse_sweep(
             cfg, gs_kernels=bool(use_pallas),
-            interpret=(use_pallas == 'interpret'))
+            interpret=((use_pallas == 'interpret')
+                       or (mxu_mode
+                           and jax.default_backend() == 'cpu')),
+            mxu=mxu_mode)
         use_pallas = False
     elif use_pallas and mesh is not None and cfg.masked:
         # per-device fused kernels under shard_map with psum'd reductions
@@ -578,6 +594,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if logger.getEffectiveLevel() <= logging.DEBUG:
         compute_obj_each_iter = True
     OBJ = None
+    if compute_obj_each_iter and sparse_mode and mxu_mode \
+            and X_obj_dev is None:
+        # the MXU sweep's X is a chunk plan; the objective's cross term
+        # wants the plain coordinate list
+        from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
+        X_obj_dev = to_bcoo(X, dtype)
     if compute_obj_each_iter:
         OBJ = TrueObjComputer(X_obj_dev if X_obj_dev is not None else X_dev,
                               W_dev, T_dev, reg_w_l1=reg_w_l1,

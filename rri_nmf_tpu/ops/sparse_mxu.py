@@ -1,0 +1,240 @@
+"""Tile-bucketed one-hot MXU kernel for the sparse sweep's contractions.
+
+The beyond-HBM sparse path needs two contractions per sweep — ``WᵀX``
+(k×d) before the T-phase and ``T Xᵀ`` (k×n) before the W-phase — and
+XLA's BCOO lowering runs them as gather/scatter at ~30-50 GB/s (measured
+~216 ms/sweep at 50k×30k 0.5%, ``benchmarks/exp_sparse.py``): TPU has no
+hardware sparse path. This module reformulates the contraction so ALL
+flops run on the MXU:
+
+1. Nonzeros are bucketed by their (128, 128) tile of X and packed into
+   fixed-size chunks of ``C`` slots, output-tile-major (host-side, once
+   per matrix — like building a CSR). Padding slots carry ``v = 0`` and
+   vanish from every product. Duplicate coordinates accumulate (scipy
+   COO semantics).
+2. Per chunk, the kernel reconstructs the dense 128×128 X-tile with two
+   one-hot matmuls — ``Xt = (1[g_i = a]·v_i)ᵀ (1[s_i = b])``, a (C,128)ᵀ
+   × (C,128) MXU contraction — then accumulates ``F_tile @ Xt`` into the
+   VMEM-resident output tile. Grid order is output-tile-major, so each
+   (k, 128) output tile is revisited across consecutive steps and written
+   back once.
+3. The factor tile to gather from (``Wᵀ`` or ``T``, laid out (k, m)) is
+   DMA'd per chunk via a scalar-prefetched tile index
+   (``PrefetchScalarGridSpec``), double-buffered by the Mosaic pipeline.
+
+Cost per chunk: ``2·C·128² + 2·k·128²`` MXU flops + one (k, 128) factor
+tile DMA. At 0.5% density a 128-tile holds ~80 nnz, so the arithmetic is
+~dense-tile cost — but only O(nnz) bytes of X ever exist, which is the
+point: this is the path for corpora whose dense form exceeds HBM
+(the driver densifies on device below that; reference densifies on the
+HOST unconditionally, ``sklearn_interface.py:78-83``).
+"""
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+class ContractPlan(NamedTuple):
+    """One contraction direction: chunked nonzeros, output-tile-major.
+
+    vals/gloc/sloc: (nchunks, C) — values, local gather index (position
+    along the contracted axis within its 128-tile), local scatter index.
+    ftile/otile: (nchunks,) int32 — which (k, 128) factor tile to gather
+    from / output tile to accumulate into.
+    mask: (1, n_otiles*128) — 1 where the output column's tile contains
+    any nonzero (untouched output tiles are undefined; their true value
+    is 0, so the caller multiplies by this).
+    """
+    vals: jnp.ndarray
+    gloc: jnp.ndarray
+    sloc: jnp.ndarray
+    ftile: jnp.ndarray
+    otile: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class SparseMXUPlan:
+    """Both directions + shape metadata for one sparse matrix. A pytree
+    whose ``n``/``d`` are STATIC aux data (they size the jitted program;
+    as leaves they would be traced and break shape computation)."""
+
+    def __init__(self, t_phase, w_phase, n, d):
+        self.t_phase = t_phase    # out = WᵀX   (k, dpad)
+        self.w_phase = w_phase    # out = T Xᵀ  (k, npad)
+        self.n = int(n)
+        self.d = int(d)
+
+
+jax.tree_util.register_pytree_node(
+    SparseMXUPlan,
+    lambda p: ((p.t_phase, p.w_phase), (p.n, p.d)),
+    lambda aux, ch: SparseMXUPlan(ch[0], ch[1], aux[0], aux[1]))
+
+
+def _plan_direction(g, s, v, n_gtiles, n_stiles, C, dtype):
+    """Bucket nonzeros by (scatter-tile, gather-tile), output-tile-major,
+    padded to C-slot chunks."""
+    if len(v) == 0:
+        # degenerate: one all-padding chunk, all-zero mask → zeros out
+        return ContractPlan(
+            jnp.zeros((1, C), dtype), jnp.zeros((1, C), jnp.int32),
+            jnp.zeros((1, C), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, n_stiles * TILE), dtype))
+    gt, gl = g // TILE, (g % TILE).astype(np.int32)
+    st, sl = s // TILE, (s % TILE).astype(np.int32)
+    order = np.lexsort((gt, st))          # st-major, gt within
+    gt, gl, st, sl, v = gt[order], gl[order], st[order], sl[order], v[order]
+    pair = st.astype(np.int64) * n_gtiles + gt
+    _, first, counts = np.unique(pair, return_index=True,
+                                 return_counts=True)
+    chunks_per = -(-counts // C)
+    nchunks = int(chunks_per.sum())
+    choff = np.zeros(len(first) + 1, np.int64)
+    choff[1:] = np.cumsum(chunks_per)
+    within = np.arange(len(v)) - np.repeat(first, counts)
+    dst = np.repeat(choff[:-1], counts) * C + within
+
+    vals = np.zeros(nchunks * C, dtype)
+    vals[dst] = v
+    glo = np.zeros(nchunks * C, np.int32)
+    glo[dst] = gl
+    slo = np.zeros(nchunks * C, np.int32)
+    slo[dst] = sl
+    ftile = np.repeat(gt[first], chunks_per).astype(np.int32)
+    otile = np.repeat(st[first], chunks_per).astype(np.int32)
+
+    mask = np.zeros((n_stiles, 1), dtype)
+    mask[np.unique(st)] = 1.0
+    mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
+
+    return ContractPlan(
+        jnp.asarray(vals.reshape(nchunks, C)),
+        jnp.asarray(glo.reshape(nchunks, C)),
+        jnp.asarray(slo.reshape(nchunks, C)),
+        jnp.asarray(ftile), jnp.asarray(otile),
+        jnp.asarray(np.ascontiguousarray(mask)))
+
+
+def plan_sparse_matrix(X, dtype=None, C=TILE):
+    """SciPy sparse (n, d) matrix → :class:`SparseMXUPlan` (host-side,
+    one-off — the sparse analog of ``to_bcoo``)."""
+    coo = X.tocoo()
+    n, d = coo.shape
+    if dtype is None:
+        dtype = coo.data.dtype
+    dtype = np.dtype(dtype)
+    n_rt = -(-n // TILE)
+    n_ct = -(-d // TILE)
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    vals = coo.data.astype(dtype)
+    return SparseMXUPlan(
+        t_phase=_plan_direction(rows, cols, vals, n_rt, n_ct, C, dtype),
+        w_phase=_plan_direction(cols, rows, vals, n_ct, n_rt, C, dtype),
+        n=n, d=d)
+
+
+def _make_contract_kernel(C, acc_dt):
+    def kernel(ft_ref, ot_ref, vals_ref, gloc_ref, sloc_ref, F_ref,
+               out_ref):
+        c = pl.program_id(0)
+        prev = ot_ref[jnp.maximum(c - 1, 0)]
+        is_first = jnp.logical_or(c == 0, ot_ref[c] != prev)
+
+        v = vals_ref[0, :].astype(acc_dt)                     # (C,)
+        g = gloc_ref[0, :]
+        s = sloc_ref[0, :]
+        lane = lax.broadcasted_iota(jnp.int32, (C, TILE), 1)
+        # value-scaled gather one-hot and scatter one-hot; padding slots
+        # have v = 0 and vanish. Duplicates sum (two slots, same (g, s)).
+        OG = jnp.where(g[:, None] == lane, v[:, None],
+                       jnp.zeros((), acc_dt)).astype(acc_dt)  # (C, 128)
+        OS = (s[:, None] == lane).astype(acc_dt)              # (C, 128)
+        Xt = lax.dot_general(OG, OS, (((0,), (0,)), ((), ())),
+                             preferred_element_type=acc_dt)   # (128, 128)
+        contrib = jnp.dot(F_ref[:].astype(acc_dt), Xt,
+                          preferred_element_type=acc_dt)      # (k, 128)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = contrib
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+
+    return kernel
+
+
+def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
+    """``out[k, spad] = Σ_nnz v · F[:, g] e_sᵀ`` — i.e. ``F @ X_dense``
+    for the direction this plan encodes. ``F`` must be (k, gpad) with
+    gpad a 128-multiple covering every ftile."""
+    k = F.shape[0]
+    nchunks, C = plan.vals.shape
+    spad = plan.mask.shape[1]
+    if acc_dt is None:
+        acc_dt = jnp.float32 if F.dtype in (jnp.bfloat16, jnp.float16) \
+            else F.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
+            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
+            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
+            pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ft[c])),
+        ],
+        out_specs=pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ot[c])),
+    )
+    out = pl.pallas_call(
+        _make_contract_kernel(C, acc_dt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, spad), acc_dt),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nchunks * (C + k) * TILE * TILE,
+            bytes_accessed=nchunks * (k * TILE + 3 * C)
+            * jnp.dtype(acc_dt).itemsize,
+            transcendentals=0),
+    )(plan.ftile, plan.otile, plan.vals, plan.gloc, plan.sloc, F)
+    # never-visited output tiles are undefined (possibly NaN bits); their
+    # true value is 0 — select, don't multiply (0·NaN = NaN)
+    return jnp.where(plan.mask > 0, out, jnp.zeros((), acc_dt))
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def contract_wtx(plan: SparseMXUPlan, W, acc_dt=None, interpret=False):
+    """``WᵀX`` → (k, d): gather W rows, scatter into columns."""
+    n, d = plan.n, plan.d
+    k = W.shape[1]
+    npad = _round_up(n, TILE)
+    Wt = jnp.zeros((k, npad), W.dtype).at[:, :n].set(W.T)
+    out = mxu_contract(plan.t_phase, Wt, acc_dt, interpret)
+    return out[:, :d]
+
+
+def contract_xtt(plan: SparseMXUPlan, T, acc_dt=None, interpret=False):
+    """``T Xᵀ`` → (k, n): gather T columns, scatter into rows."""
+    n, d = plan.n, plan.d
+    k = T.shape[0]
+    dpad = _round_up(d, TILE)
+    Tp = jnp.zeros((k, dpad), T.dtype).at[:, :d].set(T)
+    out = mxu_contract(plan.w_phase, Tp, acc_dt, interpret)
+    return out[:, :n]

@@ -129,7 +129,7 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
 
 @lru_cache(maxsize=16)
 def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
-                      gemm_dtype=None):
+                      gemm_dtype=None, mxu=False):
     """Phase-order sweep over a BCOO X. Same call signature as
     ``make_sweep`` (without mask extras)::
 
@@ -141,6 +141,13 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
     contractions with bf16 inputs (~6× faster TPU gather/scatter; the
     same input rounding the dense path's default f32 matmul applies) —
     the Gauss-Seidel updates stay in the accumulation dtype.
+
+    ``mxu=True``: the sweep's ``X`` argument is a
+    :class:`rri_nmf_tpu.ops.sparse_mxu.SparseMXUPlan` (tile-bucketed
+    chunks) instead of a BCOO, and the two contractions run as the
+    one-hot MXU Pallas kernel instead of XLA's gather/scatter lowering —
+    the beyond-HBM fast path (``gemm_dtype`` is ignored; the kernel
+    accumulates in the factor dtype's accumulation type).
     """
     assert supports_sparse(cfg), 'config not supported by the sparse sweep'
     k = cfg.k
@@ -170,7 +177,10 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                          if cfg.w_row_sum_is_vector else None)
         dtype = W.dtype
         acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
-        if gemm_dtype is not None and X.data.dtype != gemm_dtype:
+        if mxu:
+            Xc = X
+            cd = acc
+        elif gemm_dtype is not None and X.data.dtype != gemm_dtype:
             # materialize the converted data (optimization_barrier): if the
             # cast fuses into the contraction's gather, the gather reads
             # the 4-byte buffer and the fast 2-byte scatter path is lost
@@ -195,10 +205,14 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
             return lax.optimization_barrier(A.astype(cd))
 
         if not cfg.fix_T:
-            WX = jsparse.bcoo_dot_general(
-                Xc, _cast_dense(W),
-                dimension_numbers=(((0,), (0,)), ((), ()))
-                ).T.astype(acc)                                  # (k, d)
+            if mxu:
+                from rri_nmf_tpu.ops.sparse_mxu import contract_wtx
+                WX = contract_wtx(X, W, acc, interpret)          # (k, d)
+            else:
+                WX = jsparse.bcoo_dot_general(
+                    Xc, _cast_dense(W),
+                    dimension_numbers=(((0,), (0,)), ((), ()))
+                    ).T.astype(acc)                              # (k, d)
             G = jnp.dot(W.T, W, preferred_element_type=acc)
             if use_pallas_gs:
                 t_bound = (float(cfg.t_row_sum) if cfg.t_row_sum
@@ -217,10 +231,14 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                     acc=acc, dtype=dtype, reps=cfg.inner_reps)
 
         if not cfg.fix_W:
-            XT = jsparse.bcoo_dot_general(
-                Xc, _cast_dense(T.T),
-                dimension_numbers=(((1,), (0,)), ((), ()))
-                ).T.astype(acc)                                  # (k, n)
+            if mxu:
+                from rri_nmf_tpu.ops.sparse_mxu import contract_xtt
+                XT = contract_xtt(X, T, acc, interpret)          # (k, n)
+            else:
+                XT = jsparse.bcoo_dot_general(
+                    Xc, _cast_dense(T.T),
+                    dimension_numbers=(((1,), (0,)), ((), ()))
+                    ).T.astype(acc)                              # (k, n)
             G2 = jnp.dot(T, T.T, preferred_element_type=acc)
             if use_pallas_gs:
                 w_bound = (float(cfg.w_row_sum)

@@ -1,0 +1,98 @@
+"""Tile-bucketed one-hot MXU sparse contractions (ops/sparse_mxu.py).
+
+The kernel reconstructs each 128x128 X tile from its chunked nonzeros
+with two one-hot MXU matmuls and accumulates F @ X_tile into revisited
+output tiles. Pins: exact contraction parity vs dense, duplicate
+summation (scipy COO semantics), empty tile bands, and driver-level
+sparse='mxu' == dense fit parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from rri_nmf_tpu.nmf import nmf
+from rri_nmf_tpu.ops.sparse_mxu import (
+    contract_wtx, contract_xtt, plan_sparse_matrix)
+
+
+@pytest.mark.parametrize('n,d,k,dens', [
+    (300, 260, 7, 0.02),        # non-multiple-of-128 edges
+    (128, 128, 4, 0.05),        # exactly one tile
+    (513, 200, 16, 0.005),      # sparse tail tiles
+    (64, 1000, 3, 0.01),        # wide
+])
+def test_mxu_contractions_match_dense(n, d, k, dens):
+    rng = np.random.RandomState(hash((n, d)) % 2**31)
+    Xd = rng.rand(n, d) * (rng.rand(n, d) < dens)
+    plan = plan_sparse_matrix(sp.csr_matrix(Xd), np.float64)
+    W = rng.rand(n, k)
+    T = rng.rand(k, d)
+    wtx = np.array(contract_wtx(plan, jnp.asarray(W), interpret=True))
+    xtt = np.array(contract_xtt(plan, jnp.asarray(T), interpret=True))
+    assert np.abs(wtx - W.T @ Xd).max() < 1e-11
+    assert np.abs(xtt - T @ Xd.T).max() < 1e-11
+
+
+def test_mxu_duplicates_sum_and_empty_bands():
+    """Duplicate COO entries sum (scipy semantics); output tiles in
+    all-zero 128-column bands come back exactly zero, not garbage."""
+    X = sp.coo_matrix((np.array([1.0, 2.0, 3.0]),
+                       (np.array([5, 5, 9]), np.array([7, 7, 130]))),
+                      shape=(200, 400))
+    plan = plan_sparse_matrix(X, np.float64)
+    rng = np.random.RandomState(0)
+    W = rng.rand(200, 3)
+    out = np.array(contract_wtx(plan, jnp.asarray(W), interpret=True))
+    ref = W.T @ X.toarray()
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 1e-12
+    assert np.all(out[:, 256:] == 0.0)
+
+
+def test_mxu_empty_matrix():
+    X = sp.csr_matrix((50, 70))
+    plan = plan_sparse_matrix(X, np.float64)
+    W = np.random.RandomState(0).rand(50, 3)
+    out = np.array(contract_wtx(plan, jnp.asarray(W), interpret=True))
+    assert out.shape == (3, 70) and np.all(out == 0.0)
+
+
+def test_driver_sparse_mxu_matches_dense():
+    """nmf(X, sparse='mxu') == the dense fit to 1e-11 (same sweeps)."""
+    rng = np.random.RandomState(3)
+    Xd = np.abs(rng.rand(150, 90))
+    Xd[Xd < 0.7] = 0.0
+    kw = dict(k=6, max_iter=5, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              compute_obj_each_iter=True, eps_stop=0)
+    dense = nmf(Xd, **kw)
+    mxu = nmf(sp.csr_matrix(Xd), sparse='mxu', **kw)
+    assert np.allclose(dense['W'], mxu['W'], atol=1e-11)
+    assert np.allclose(dense['T'], mxu['T'], atol=1e-11)
+    assert np.allclose(dense['obj_history'], mxu['obj_history'], atol=1e-9)
+    assert np.all(np.diff(mxu['obj_history']) <= 1e-10)
+
+
+def test_driver_sparse_mxu_inner_reps_and_tm_preset():
+    """mxu path with inner_reps and the TM constraint set (simplex T via
+    Gram-blocked loops, W row sums)."""
+    rng = np.random.RandomState(4)
+    Xd = np.abs(rng.rand(130, 80))
+    Xd[Xd < 0.6] = 0.0
+    kw = dict(k=5, max_iter=4, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              project_T_each_iter=True, t_row_sum=1.0, w_row_sum=1.0,
+              inner_reps=2, eps_stop=0)
+    dense = nmf(Xd, **kw)
+    mxu = nmf(sp.csr_matrix(Xd), sparse='mxu', **kw)
+    assert np.allclose(dense['W'], mxu['W'], atol=1e-11)
+    assert np.allclose(dense['T'], mxu['T'], atol=1e-11)
+
+
+def test_driver_sparse_mxu_validation():
+    rng = np.random.RandomState(5)
+    Xd = np.abs(rng.rand(40, 30))
+    with pytest.raises(ValueError):
+        nmf(Xd, 4, sparse='mxu')        # dense input

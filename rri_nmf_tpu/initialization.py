@@ -47,20 +47,30 @@ def _randomized_svd_sklearn(X, k, random_state):
 
 def _ortho_eigh(Y):
     """Orthonormal basis of range(Y) via the (p, p) Gram eigendecomposition:
-    ``Q = Y·V·diag(λ^{-1/2})``, two passes for orthogonality.
+    ``Q = Y·V·diag(λ^{-1/2})``, two passes for orthogonality (the
+    CholeskyQR2 regime: exact to working precision for κ(Y) ≲ ε^{-1/2}).
 
     TPU-first replacement for tall-skinny ``jnp.linalg.qr``: XLA lowers QR
     to a sequential Householder loop that measures ~100 s on a (32k, 266)
     panel, while this form is two GEMMs + one tiny eigh per pass (~ms).
+
     Rank-deficient Y (e.g. exactly low-rank X with oversampling) is safe:
-    near-null eigenvalues are clamped to zero instead of dividing."""
+    eigenvalues are FLOORED at the Gram's additive rounding level
+    (ε·λmax) rather than hard-zeroed. λ ratios scale as (σ/σmax)², so any
+    cut at c·ε silently kills every direction with σ < √(cε)·σmax — on a
+    mean-dominated matrix (σ2/σ1 ~ 1/400 for uniform-factor products) an
+    earlier 100ε hard-zero killed ALL of them, collapsing the basis to
+    the Perron vector and dead-topicing the NNDSVD init (measured:
+    255/256 dead at 32k×16k k=256). A floored direction yields a noisy
+    but valid basis vector: the second pass re-orthonormalizes it and the
+    final top-k cut drops true oversampling nulls, while a zeroed column
+    stays zero forever."""
     for _ in range(2):
         G = Y.T @ Y
         lam, V = jnp.linalg.eigh(G)                     # ascending
         lmax = jnp.maximum(lam[-1], jnp.finfo(Y.dtype).tiny)
-        good = lam > lmax * (100.0 * jnp.finfo(Y.dtype).eps)
-        inv = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, lam, 1.0)),
-                        0.0)
+        inv = 1.0 / jnp.sqrt(
+            jnp.maximum(lam, lmax * jnp.finfo(Y.dtype).eps))
         Y = Y @ (V * inv)
     return Y
 

@@ -115,3 +115,26 @@ def test_coherence_pmi_reachable(text_train):
     assert np.allclose(T.sum(1), 1.0, atol=1e-12)
     # each topic selected 5 distinct words
     assert np.all((T > 0).sum(1) <= 5)
+
+
+def test_jax_svd_backend_mean_dominated_no_dead_topics():
+    """Regression: the Gram-eigh orthonormalization must FLOOR near-null
+    eigenvalues, not hard-zero them. λ ratios are (σ/σmax)², so a clamp
+    at c·ε kills every direction with σ < √(cε)·σmax — on mean-dominated
+    matrices (uniform-factor products: σ2/σ1 ~ 1/400) an early 100ε cut
+    dead-topiced 255/256 NNDSVD components. Pin: f32 exactly-rank-k
+    mean-dominated X → zero dead topics, recon error matches the sklearn
+    backend."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    n, d, k = 1024, 512, 32
+    X = (rng.rand(n, k) @ rng.rand(k, d)).astype(np.float32)
+    Wj, Tj = initialize_nmf(jnp.asarray(X), k, 'nndsvd', random_state=0,
+                            svd_backend='jax')
+    Ws, Ts = initialize_nmf(X.astype(np.float64), k, 'nndsvd',
+                            random_state=0, svd_backend='sklearn')
+    assert int((np.asarray(Wj).sum(0) == 0).sum()) == 0
+    ej = np.linalg.norm(X - np.asarray(Wj) @ np.asarray(Tj)) \
+        / np.linalg.norm(X)
+    es = np.linalg.norm(X - Ws @ Ts) / np.linalg.norm(X)
+    assert abs(ej - es) < 0.02, (ej, es)

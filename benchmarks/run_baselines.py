@@ -227,7 +227,7 @@ def cfg_recsys_masked(n_users=1500, n_items=1000, n_obs=120000, k=40,
 
 
 def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
-                   max_sweeps=3000):
+                   max_sweeps=3000, inner_reps=4, kernel='pallas'):
     """The north-star criterion at single-chip scale: wall-clock to
     ``tol`` relative Frobenius error on a dense rank-k matrix (the
     BASELINE target is 100k×50k k=256 on v5p-8; this chip's HBM caps the
@@ -247,9 +247,18 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
     from rri_nmf_tpu.utils.profiling import SweepTimer
     from bench import bench_numpy
 
+    # inner_reps: extra exact cyclic-BCD passes per phase (accelerated
+    # HALS) — measured ~1.8-2.3x less wall-clock to a given error at this
+    # shape (benchmarks/exp_inner_reps.py part B: at 600 sweeps reps=1
+    # reaches 6.7e-3, reps=4 reaches 3.8e-3 at 1.6x the per-sweep cost)
     cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
-                      matmul_precision='float32')
-    sweep = make_sweep(cfg)
+                      matmul_precision='float32', inner_reps=inner_reps)
+    if kernel == 'pallas':
+        from rri_nmf_tpu.ops.dense_pallas import (
+            make_dense_phase_sweep_pallas)
+        sweep = make_dense_phase_sweep_pallas(cfg)
+    else:
+        sweep = make_sweep(cfg)
     reset_key = jax.random.PRNGKey(0)
     BLOCK = 10
     B = 4096
@@ -329,7 +338,9 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
         'note': ('single-chip scaled version of the 100kx50k v5p-8 target; '
                  'matmul_precision=float32 (TPU default f32 dot is bf16 '
                  '1-pass, which floors rel err near 1e-3); residual '
-                 'accumulated per-row f32 + host float64'),
+                 'accumulated per-row f32 + host float64; %s kernel, '
+                 'inner_reps=%d (accelerated-HALS inner passes)'
+                 % (kernel, inner_reps)),
         'reached_rel_frob_err': rel,
         'reached_target': bool(rel <= tol),
         'target': tol,

@@ -34,20 +34,21 @@ def main():
 
     rng = np.random.RandomState(0)
     nnz = int(n * d * DENSITY)
-    flat = rng.choice(n * d, nnz, replace=False)
-    flat.sort()
-    rows = (flat // d).astype(np.int64)
-    cols = (flat % d).astype(np.int64)
+    # sample coordinates WITH replacement (duplicates sum in the plan and
+    # in scipy; ~0.25% collisions at this density) — rng.choice without
+    # replacement permutes all n*d = 1.5e9 cells and takes ~35 min
+    rows = rng.randint(0, n, nnz).astype(np.int64)
+    cols = rng.randint(0, d, nnz).astype(np.int64)
     vals = rng.rand(nnz).astype(np.float32)
     Xsp = sp.coo_matrix((vals, (rows, cols)), shape=(n, d)).tocsr()
-    print('nnz = %.1fM' % (nnz / 1e6), flush=True)
+    print('nnz = %.1fM' % (Xsp.nnz / 1e6), flush=True)
 
     t0 = time.perf_counter()
     plan = plan_sparse_matrix(Xsp, np.float32)
     jax.block_until_ready(plan.t_phase.vals)
     print('plan build (host+transfer)  %7.2f s  chunks %s/%s'
-          % (time.perf_counter() - t0, plan.t_phase.vals.shape[0],
-             plan.w_phase.vals.shape[0]), flush=True)
+          % (time.perf_counter() - t0, plan.t_phase.ftile.shape[0],
+             plan.w_phase.ftile.shape[0]), flush=True)
 
     W = jnp.asarray(np.abs(rng.rand(n, k)).astype(np.float32))
     T = jnp.asarray(np.abs(rng.rand(k, d)).astype(np.float32))

@@ -256,12 +256,13 @@ def cfg_north_star(n=32768, d=16384, k=256, tol=1e-4,
     if kernel == 'pallas':
         from rri_nmf_tpu.ops.dense_pallas import (
             make_dense_phase_sweep_pallas)
-        sweep = make_dense_phase_sweep_pallas(cfg)
+        sweep = make_dense_phase_sweep_pallas(
+            cfg, interpret=jax.default_backend() == 'cpu')
     else:
         sweep = make_sweep(cfg)
     reset_key = jax.random.PRNGKey(0)
     BLOCK = 10
-    B = 4096
+    B = min(4096, n)
     nb = n // B
 
     @jax.jit

@@ -46,13 +46,15 @@ TILE = 128
 class ContractPlan(NamedTuple):
     """One contraction direction: chunked nonzeros, output-tile-major.
 
-    vals/gloc/sloc: (nchunks, C) — values, local gather index (position
-    along the contracted axis within its 128-tile), local scatter index.
+    vals/gloc/sloc: (1, nchunks·C) — values, local gather index (position
+    along the contracted axis within its 128-tile), local scatter index;
+    flat (1, ·) layout because Mosaic block shapes must tile the array
+    ((1, C) blocks over (nchunks, C) are rejected: 1 ∤ 8).
     ftile/otile: (nchunks,) int32 — which (k, 128) factor tile to gather
     from / output tile to accumulate into.
     mask: (1, n_otiles*128) — 1 where the output column's tile contains
     any nonzero (untouched output tiles are undefined; their true value
-    is 0, so the caller multiplies by this).
+    is 0, so the caller selects against this).
     """
     vals: jnp.ndarray
     gloc: jnp.ndarray
@@ -118,9 +120,9 @@ def _plan_direction(g, s, v, n_gtiles, n_stiles, C, dtype):
     mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
 
     return ContractPlan(
-        jnp.asarray(vals.reshape(nchunks, C)),
-        jnp.asarray(glo.reshape(nchunks, C)),
-        jnp.asarray(slo.reshape(nchunks, C)),
+        jnp.asarray(vals.reshape(1, nchunks * C)),
+        jnp.asarray(glo.reshape(1, nchunks * C)),
+        jnp.asarray(slo.reshape(1, nchunks * C)),
         jnp.asarray(ftile), jnp.asarray(otile),
         jnp.asarray(np.ascontiguousarray(mask)))
 
@@ -181,7 +183,8 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
     for the direction this plan encodes. ``F`` must be (k, gpad) with
     gpad a 128-multiple covering every ftile."""
     k = F.shape[0]
-    nchunks, C = plan.vals.shape
+    nchunks = plan.ftile.shape[0]
+    C = plan.vals.shape[1] // nchunks
     spad = plan.mask.shape[1]
     if acc_dt is None:
         acc_dt = jnp.float32 if F.dtype in (jnp.bfloat16, jnp.float16) \
@@ -191,9 +194,9 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
         num_scalar_prefetch=2,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
-            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
-            pl.BlockSpec((1, C), lambda c, ft, ot: (c, 0)),
+            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
+            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
+            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
             pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ft[c])),
         ],
         out_specs=pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ot[c])),

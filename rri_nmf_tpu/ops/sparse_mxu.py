@@ -69,28 +69,31 @@ class SparseMXUPlan:
     whose ``n``/``d`` are STATIC aux data (they size the jitted program;
     as leaves they would be traced and break shape computation)."""
 
-    def __init__(self, t_phase, w_phase, n, d):
+    def __init__(self, t_phase, w_phase, n, d, group=1):
         self.t_phase = t_phase    # out = WᵀX   (k, dpad)
         self.w_phase = w_phase    # out = T Xᵀ  (k, npad)
         self.n = int(n)
         self.d = int(d)
+        self.group = int(group)   # chunks per kernel grid step
 
 
 jax.tree_util.register_pytree_node(
     SparseMXUPlan,
-    lambda p: ((p.t_phase, p.w_phase), (p.n, p.d)),
-    lambda aux, ch: SparseMXUPlan(ch[0], ch[1], aux[0], aux[1]))
+    lambda p: ((p.t_phase, p.w_phase), (p.n, p.d, p.group)),
+    lambda aux, ch: SparseMXUPlan(ch[0], ch[1], *aux))
 
 
-def _plan_direction(g, s, v, n_gtiles, n_stiles, C, dtype):
+def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     """Bucket nonzeros by (scatter-tile, gather-tile), output-tile-major,
-    padded to C-slot chunks."""
+    padded to C-slot chunks; chunks grouped G per grid step (each group
+    stays within ONE output tile — groups are padded with dummy chunks,
+    v = 0, so the kernel's output-revisit logic works at group level)."""
     if len(v) == 0:
-        # degenerate: one all-padding chunk, all-zero mask → zeros out
+        # degenerate: one all-padding group, all-zero mask → zeros out
         return ContractPlan(
-            jnp.zeros((1, C), dtype), jnp.zeros((1, C), jnp.int32),
-            jnp.zeros((1, C), jnp.int32), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, G * C), dtype), jnp.zeros((1, G * C), jnp.int32),
+            jnp.zeros((1, G * C), jnp.int32),
+            jnp.zeros((G,), jnp.int32), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, n_stiles * TILE), dtype))
     gt, gl = g // TILE, (g % TILE).astype(np.int32)
     st, sl = s // TILE, (s % TILE).astype(np.int32)
@@ -115,6 +118,33 @@ def _plan_direction(g, s, v, n_gtiles, n_stiles, C, dtype):
     ftile = np.repeat(gt[first], chunks_per).astype(np.int32)
     otile = np.repeat(st[first], chunks_per).astype(np.int32)
 
+    if G > 1:
+        # pad each otile's chunk run to a multiple of G (dummy chunks:
+        # v = 0, ftile = 0) so no group straddles an output tile
+        uo, ofirst, ocnt = np.unique(otile, return_index=True,
+                                     return_counts=True)
+        opad = -(-ocnt // G) * G
+        tot = int(opad.sum())
+        ooff = np.zeros(len(uo) + 1, np.int64)
+        ooff[1:] = np.cumsum(opad)
+        within_o = np.arange(nchunks) - np.repeat(ofirst, ocnt)
+        dstc = np.repeat(ooff[:-1], ocnt) + within_o
+
+        def scatter_chunks(a, width, dt):
+            out = np.zeros((tot, width), dt)
+            out[dstc] = a.reshape(nchunks, width)
+            return out
+
+        vals = scatter_chunks(vals, C, dtype)
+        glo = scatter_chunks(glo, C, np.int32)
+        slo = scatter_chunks(slo, C, np.int32)
+        ft2 = np.zeros(tot, np.int32)
+        ft2[dstc] = ftile
+        ftile = ft2
+        otile = np.repeat(uo, opad // G).astype(np.int32)  # per GROUP
+        nchunks = tot
+    # otile per group (G == 1: group == chunk)
+
     mask = np.zeros((n_stiles, 1), dtype)
     mask[np.unique(st)] = 1.0
     mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
@@ -127,9 +157,14 @@ def _plan_direction(g, s, v, n_gtiles, n_stiles, C, dtype):
         jnp.asarray(np.ascontiguousarray(mask)))
 
 
-def plan_sparse_matrix(X, dtype=None, C=TILE):
+def plan_sparse_matrix(X, dtype=None, C=TILE, group=8):
     """SciPy sparse (n, d) matrix → :class:`SparseMXUPlan` (host-side,
-    one-off — the sparse analog of ``to_bcoo``)."""
+    one-off — the sparse analog of ``to_bcoo``).
+
+    ``group``: chunks per kernel grid step. Mosaic's fixed per-step cost
+    (~0.5 µs) dominates a one-chunk step (~0.25 µs of DMA+MXU), so
+    batching G chunks per step recovers most of it; padding waste is
+    < G per output tile (<1% at production shapes)."""
     coo = X.tocoo()
     n, d = coo.shape
     if dtype is None:
@@ -141,49 +176,61 @@ def plan_sparse_matrix(X, dtype=None, C=TILE):
     cols = coo.col.astype(np.int64)
     vals = coo.data.astype(dtype)
     return SparseMXUPlan(
-        t_phase=_plan_direction(rows, cols, vals, n_rt, n_ct, C, dtype),
-        w_phase=_plan_direction(cols, rows, vals, n_ct, n_rt, C, dtype),
-        n=n, d=d)
+        t_phase=_plan_direction(rows, cols, vals, n_rt, n_ct, C, group,
+                                dtype),
+        w_phase=_plan_direction(cols, rows, vals, n_ct, n_rt, C, group,
+                                dtype),
+        n=n, d=d, group=group)
 
 
-def _make_contract_kernel(C, acc_dt):
-    def kernel(ft_ref, ot_ref, vals_ref, gloc_ref, sloc_ref, F_ref,
-               out_ref):
+def _make_contract_kernel(C, G, acc_dt):
+    def kernel(ft_ref, ot_ref, vals_ref, gloc_ref, sloc_ref, *rest):
+        F_refs = rest[:G]
+        out_ref = rest[G]
         c = pl.program_id(0)
         prev = ot_ref[jnp.maximum(c - 1, 0)]
         is_first = jnp.logical_or(c == 0, ot_ref[c] != prev)
 
-        v = vals_ref[0, :].astype(acc_dt)                     # (C,)
-        g = gloc_ref[0, :]
-        s = sloc_ref[0, :]
         lane = lax.broadcasted_iota(jnp.int32, (C, TILE), 1)
-        # value-scaled gather one-hot and scatter one-hot; padding slots
-        # have v = 0 and vanish. Duplicates sum (two slots, same (g, s)).
-        OG = jnp.where(g[:, None] == lane, v[:, None],
-                       jnp.zeros((), acc_dt)).astype(acc_dt)  # (C, 128)
-        OS = (s[:, None] == lane).astype(acc_dt)              # (C, 128)
-        Xt = lax.dot_general(OG, OS, (((0,), (0,)), ((), ())),
-                             preferred_element_type=acc_dt)   # (128, 128)
-        contrib = jnp.dot(F_ref[:].astype(acc_dt), Xt,
-                          preferred_element_type=acc_dt)      # (k, 128)
+        total = None
+        for j in range(G):
+            v = vals_ref[0, j * C:(j + 1) * C].astype(acc_dt)   # (C,)
+            g = gloc_ref[0, j * C:(j + 1) * C]
+            s = sloc_ref[0, j * C:(j + 1) * C]
+            # value-scaled gather one-hot and scatter one-hot; padding
+            # slots have v = 0 and vanish. Duplicates sum (two slots,
+            # same (g, s)).
+            OG = jnp.where(g[:, None] == lane, v[:, None],
+                           jnp.zeros((), acc_dt)).astype(acc_dt)
+            OS = (s[:, None] == lane).astype(acc_dt)            # (C, 128)
+            Xt = lax.dot_general(OG, OS, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=acc_dt)
+            contrib = jnp.dot(F_refs[j][:].astype(acc_dt), Xt,
+                              preferred_element_type=acc_dt)    # (k, 128)
+            total = contrib if total is None else total + contrib
 
         @pl.when(is_first)
         def _():
-            out_ref[:] = contrib
+            out_ref[:] = total
 
         @pl.when(jnp.logical_not(is_first))
         def _():
-            out_ref[:] = out_ref[:] + contrib
+            out_ref[:] = out_ref[:] + total
 
     return kernel
 
 
-def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
+def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
+                 group=1):
     """``out[k, spad] = Σ_nnz v · F[:, g] e_sᵀ`` — i.e. ``F @ X_dense``
     for the direction this plan encodes. ``F`` must be (k, gpad) with
-    gpad a 128-multiple covering every ftile."""
+    gpad a 128-multiple covering every ftile. ``group`` must match the
+    plan's chunk grouping (G chunks per grid step; groups never straddle
+    an output tile)."""
     k = F.shape[0]
+    G = group
     nchunks = plan.ftile.shape[0]
+    ngroups = nchunks // G
     C = plan.vals.shape[1] // nchunks
     spad = plan.mask.shape[1]
     if acc_dt is None:
@@ -192,17 +239,20 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nchunks,),
+        grid=(ngroups,),
         in_specs=[
-            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
-            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
-            pl.BlockSpec((1, C), lambda c, ft, ot: (0, c)),
-            pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ft[c])),
+            pl.BlockSpec((1, G * C), lambda c, ft, ot: (0, c)),
+            pl.BlockSpec((1, G * C), lambda c, ft, ot: (0, c)),
+            pl.BlockSpec((1, G * C), lambda c, ft, ot: (0, c)),
+        ] + [
+            pl.BlockSpec((k, TILE),
+                         lambda c, ft, ot, j=j: (0, ft[G * c + j]))
+            for j in range(G)
         ],
         out_specs=pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ot[c])),
     )
     out = pl.pallas_call(
-        _make_contract_kernel(C, acc_dt),
+        _make_contract_kernel(C, G, acc_dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, spad), acc_dt),
         interpret=interpret,
@@ -213,7 +263,8 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False):
             bytes_accessed=nchunks * (k * TILE + 3 * C)
             * jnp.dtype(acc_dt).itemsize,
             transcendentals=0),
-    )(plan.ftile, plan.otile, plan.vals, plan.gloc, plan.sloc, F)
+    )(plan.ftile, plan.otile, plan.vals, plan.gloc, plan.sloc,
+      *([F] * G))
     # never-visited output tiles are undefined (possibly NaN bits); their
     # true value is 0 — select, don't multiply (0·NaN = NaN)
     return jnp.where(plan.mask > 0, out, jnp.zeros((), acc_dt))
@@ -229,7 +280,8 @@ def contract_wtx(plan: SparseMXUPlan, W, acc_dt=None, interpret=False):
     k = W.shape[1]
     npad = _round_up(n, TILE)
     Wt = jnp.zeros((k, npad), W.dtype).at[:, :n].set(W.T)
-    out = mxu_contract(plan.t_phase, Wt, acc_dt, interpret)
+    out = mxu_contract(plan.t_phase, Wt, acc_dt, interpret,
+                       group=plan.group)
     return out[:, :d]
 
 
@@ -239,5 +291,6 @@ def contract_xtt(plan: SparseMXUPlan, T, acc_dt=None, interpret=False):
     k = T.shape[0]
     dpad = _round_up(d, TILE)
     Tp = jnp.zeros((k, dpad), T.dtype).at[:, :d].set(T)
-    out = mxu_contract(plan.w_phase, Tp, acc_dt, interpret)
+    out = mxu_contract(plan.w_phase, Tp, acc_dt, interpret,
+                       group=plan.group)
     return out[:, :n]

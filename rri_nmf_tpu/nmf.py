@@ -432,6 +432,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
                     X_dev = _densify(X_dev)
                     sparse_mode = False
+                else:
+                    # beyond-HBM corpus: the one-hot MXU chunk kernel
+                    # beats the BCOO gather/scatter lowering
+                    # (benchmarks/exp_sparse_mxu.py)
+                    logger.info('sparse auto: dense form exceeds HBM; '
+                                'MXU chunk-plan contractions')
+                    from rri_nmf_tpu.ops.sparse_mxu import \
+                        plan_sparse_matrix
+                    X_dev = plan_sparse_matrix(X, np.dtype(dtype))
+                    mxu_mode = True
         else:
             X_dev = jnp.asarray(X, dtype=dtype)
         W_dev = jnp.asarray(W, dtype=dtype)

@@ -222,12 +222,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     mxu_mode = sparse == 'mxu'
     if mxu_mode:
         # tile-bucketed one-hot MXU contractions (ops/sparse_mxu.py): the
-        # beyond-HBM fast path — all flops on the MXU, no gather/scatter
+        # beyond-HBM fast path — all flops on the MXU, no gather/scatter.
+        # With a mesh, per-device chunk plans run under shard_map
+        # (parallel/sparse_mesh.py:make_sharded_mxu_sweep).
         if not _is_sp:
             raise ValueError("sparse='mxu' requires a scipy-sparse X")
-        if mesh is not None:
-            raise ValueError("sparse='mxu' is single-device (shard the "
-                             'corpus with sparse=True + mesh instead)')
         sparse = True
     if sparse is True:
         if not _viable:
@@ -391,8 +390,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             # not divide the mesh: the sweep zero-pads and constrains the
             # factor layouts internally, so hand W/T over replicated.
             from jax.sharding import NamedSharding, PartitionSpec
-            from rri_nmf_tpu.parallel.sparse_mesh import partition_coo
-            X_dev = partition_coo(X, mesh, dtype)
+            from rri_nmf_tpu.parallel.sparse_mesh import (
+                partition_coo, partition_mxu)
+            if mxu_mode:
+                X_dev = partition_mxu(X, mesh, np.dtype(dtype))
+            else:
+                X_dev = partition_coo(X, mesh, dtype)
             s_W = s_T = NamedSharding(mesh, PartitionSpec())
         else:
             X_dev = _put(jnp.asarray(X, dtype=dtype), s_X)
@@ -530,7 +533,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernels; falling back to the XLA sweep.')
         use_pallas = False
-    if sparse_mode and mesh is not None:
+    if sparse_mode and mesh is not None and mxu_mode:
+        from rri_nmf_tpu.parallel.sparse_mesh import make_sharded_mxu_sweep
+        sweep_fn = make_sharded_mxu_sweep(
+            cfg, mesh, interpret=jax.default_backend() == 'cpu')
+        use_pallas = False
+    elif sparse_mode and mesh is not None:
         from rri_nmf_tpu.parallel.sparse_mesh import \
             make_sharded_sparse_sweep
         sweep_fn = make_sharded_sparse_sweep(cfg, mesh)
@@ -608,8 +616,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             and X_obj_dev is None:
         # the MXU sweep's X is a chunk plan; the objective's cross term
         # wants the plain coordinate list
-        from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
-        X_obj_dev = to_bcoo(X, dtype)
+        if mesh is not None:
+            from rri_nmf_tpu.parallel.sparse_mesh import partition_coo
+            X_obj_dev = partition_coo(X, mesh, dtype)
+        else:
+            from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
+            X_obj_dev = to_bcoo(X, dtype)
     if compute_obj_each_iter:
         OBJ = TrueObjComputer(X_obj_dev if X_obj_dev is not None else X_dev,
                               W_dev, T_dev, reg_w_l1=reg_w_l1,

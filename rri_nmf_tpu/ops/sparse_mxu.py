@@ -83,18 +83,18 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: SparseMXUPlan(ch[0], ch[1], *aux))
 
 
-def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):
+def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     """Bucket nonzeros by (scatter-tile, gather-tile), output-tile-major,
     padded to C-slot chunks; chunks grouped G per grid step (each group
     stays within ONE output tile — groups are padded with dummy chunks,
-    v = 0, so the kernel's output-revisit logic works at group level)."""
+    v = 0, so the kernel's output-revisit logic works at group level).
+    Returns host (NumPy) arrays in ContractPlan field order."""
     if len(v) == 0:
         # degenerate: one all-padding group, all-zero mask → zeros out
-        return ContractPlan(
-            jnp.zeros((1, G * C), dtype), jnp.zeros((1, G * C), jnp.int32),
-            jnp.zeros((1, G * C), jnp.int32),
-            jnp.zeros((G,), jnp.int32), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, n_stiles * TILE), dtype))
+        return (np.zeros((1, G * C), dtype), np.zeros((1, G * C), np.int32),
+                np.zeros((1, G * C), np.int32),
+                np.zeros((G,), np.int32), np.zeros((1,), np.int32),
+                np.zeros((1, n_stiles * TILE), dtype))
     gt, gl = g // TILE, (g % TILE).astype(np.int32)
     st, sl = s // TILE, (s % TILE).astype(np.int32)
     order = np.lexsort((gt, st))          # st-major, gt within
@@ -149,12 +149,14 @@ def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     mask[np.unique(st)] = 1.0
     mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
 
-    return ContractPlan(
-        jnp.asarray(vals.reshape(1, nchunks * C)),
-        jnp.asarray(glo.reshape(1, nchunks * C)),
-        jnp.asarray(slo.reshape(1, nchunks * C)),
-        jnp.asarray(ftile), jnp.asarray(otile),
-        jnp.asarray(np.ascontiguousarray(mask)))
+    return (vals.reshape(1, nchunks * C), glo.reshape(1, nchunks * C),
+            slo.reshape(1, nchunks * C), ftile, otile,
+            np.ascontiguousarray(mask))
+
+
+def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):
+    return ContractPlan(*map(jnp.asarray, _plan_direction_np(
+        g, s, v, n_gtiles, n_stiles, C, G, dtype)))
 
 
 def plan_sparse_matrix(X, dtype=None, C=TILE, group=8):

@@ -312,3 +312,228 @@ def make_sharded_sparse_objective(mesh, reg_w_l2=0.0, reg_t_l2=0.0,
         return sharded(Xs.data, Xs.rows, Xs.cols, Wp, Tp)
 
     return jax.jit(objective)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded one-hot MXU contractions (ops/sparse_mxu.py under shard_map)
+# ---------------------------------------------------------------------------
+
+@register_pytree_node_class
+class ShardedMXUPlan:
+    """A (dp, tp) grid of per-device :class:`~rri_nmf_tpu.ops.sparse_mxu`
+    chunk plans, padded to uniform chunk counts so every device runs the
+    same kernel shape (dummy groups carry v = 0 and an otile equal to the
+    device's last real otile, so they accumulate exact zeros).
+
+    Leading (dp, tp) axes are sharded ``P(dp, tp, ...)``; each device's
+    local slice reconstitutes one direction's ContractPlan. ``n_loc`` and
+    ``d_loc`` are 128-multiples (the MXU tile grid)."""
+
+    _fields = ('t_vals', 't_gloc', 't_sloc', 't_ftile', 't_otile',
+               't_mask', 'w_vals', 'w_gloc', 'w_sloc', 'w_ftile',
+               'w_otile', 'w_mask')
+
+    def __init__(self, t_vals, t_gloc, t_sloc, t_ftile, t_otile, t_mask,
+                 w_vals, w_gloc, w_sloc, w_ftile, w_otile, w_mask,
+                 shape, n_loc, d_loc, group):
+        self.t_vals, self.t_gloc, self.t_sloc = t_vals, t_gloc, t_sloc
+        self.t_ftile, self.t_otile, self.t_mask = t_ftile, t_otile, t_mask
+        self.w_vals, self.w_gloc, self.w_sloc = w_vals, w_gloc, w_sloc
+        self.w_ftile, self.w_otile, self.w_mask = w_ftile, w_otile, w_mask
+        self.shape = tuple(shape)
+        self.n_loc = int(n_loc)
+        self.d_loc = int(d_loc)
+        self.group = int(group)
+
+    @property
+    def dtype(self):
+        return self.t_vals.dtype
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._fields),
+                (self.shape, self.n_loc, self.d_loc, self.group))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, n_loc, d_loc, group = aux
+        return cls(*children, shape=shape, n_loc=n_loc, d_loc=d_loc,
+                   group=group)
+
+
+def partition_mxu(X, mesh, dtype=None, C=128, group=8):
+    """Host-side: scipy sparse → :class:`ShardedMXUPlan` on ``mesh``.
+    Each device's (n_loc, d_loc) block gets both direction plans from
+    :func:`rri_nmf_tpu.ops.sparse_mxu._plan_direction_np`; all devices
+    are padded to the max group count per direction."""
+    import scipy.sparse as sps
+
+    from rri_nmf_tpu.ops.sparse_mxu import TILE, _plan_direction_np
+
+    if not sps.issparse(X):
+        X = sps.csr_matrix(np.asarray(X))
+    coo = X.tocsr().tocoo()
+    n, d = coo.shape
+    dp_size, tp_size = mesh.devices.shape
+    n_loc = -(-(-(-n // dp_size)) // TILE) * TILE
+    d_loc = -(-(-(-d // tp_size)) // TILE) * TILE
+    if dtype is None:
+        dtype = coo.data.dtype
+    dtype = np.dtype(dtype)
+    n_gt, n_ct = n_loc // TILE, d_loc // TILE
+
+    bi = coo.row // n_loc
+    bj = coo.col // d_loc
+    plans_t, plans_w = [], []
+    for i in range(dp_size):
+        for j in range(tp_size):
+            sel = (bi == i) & (bj == j)
+            r = (coo.row[sel] % n_loc).astype(np.int64)
+            c = (coo.col[sel] % d_loc).astype(np.int64)
+            v = coo.data[sel].astype(dtype)
+            plans_t.append(_plan_direction_np(r, c, v, n_gt, n_ct, C,
+                                              group, dtype))
+            plans_w.append(_plan_direction_np(c, r, v, n_ct, n_gt, C,
+                                              group, dtype))
+
+    def pad_stack(plans, G):
+        ng_max = max(p[4].shape[0] for p in plans)
+        out = []
+        for p in plans:
+            vals, glo, slo, ftile, otile, mask = p
+            add = ng_max - otile.shape[0]
+            if add:
+                z = np.zeros((1, add * G * C), vals.dtype)
+                vals = np.concatenate([vals, z], axis=1)
+                zi = np.zeros((1, add * G * C), np.int32)
+                glo = np.concatenate([glo, zi], axis=1)
+                slo = np.concatenate([slo, zi], axis=1)
+                ftile = np.concatenate(
+                    [ftile, np.zeros((add * G,), np.int32)])
+                # dummy groups revisit the last real otile and add zero
+                otile = np.concatenate(
+                    [otile, np.full((add,), otile[-1], np.int32)])
+            out.append((vals, glo, slo, ftile, otile, mask))
+        stacked = [np.stack([p[f] for p in out]).reshape(
+            (dp_size, tp_size) + out[0][f].shape) for f in range(6)]
+        return stacked
+
+    st = pad_stack(plans_t, group)
+    sw = pad_stack(plans_w, group)
+    dp, tp = mesh.axis_names
+
+    def put(a):
+        spec = P(dp, tp, *([None] * (a.ndim - 2)))
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    return ShardedMXUPlan(*(put(a) for a in st + sw),
+                          shape=(n, d), n_loc=n_loc, d_loc=d_loc,
+                          group=group)
+
+
+@lru_cache(maxsize=16)
+def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False):
+    """shard_map'd phase-order sweep over a :class:`ShardedMXUPlan`:
+    per-device one-hot MXU contractions, numerators + Grams psum over
+    ICI, Gram-blocked GS topic loops device-local. Same call signature
+    as the other sparse sweeps."""
+    assert supports_sharded_sparse(cfg, mesh), \
+        'config not supported by the sharded sparse sweep'
+    k = cfg.k
+    B = _gram_block_size(k)
+    dp, tp = mesh.axis_names
+    dp_size, tp_size = mesh.devices.shape
+
+    from rri_nmf_tpu.ops.sparse_mxu import ContractPlan, mxu_contract
+
+    def local_sweep(tv, tg, ts, tf, to, tm, wv, wg, ws, wf, wo, wm,
+                    W, T, *extras):
+        n_loc, d_loc = W.shape[0], T.shape[1]
+        dtype = W.dtype
+        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+        w_row_sum_vec = (extras[0].reshape(-1)
+                         if cfg.w_row_sum_is_vector else None)
+
+        def local_plan(v, g, s, f, o, m):
+            return ContractPlan(v.reshape(1, -1), g.reshape(1, -1),
+                                s.reshape(1, -1), f.reshape(-1),
+                                o.reshape(-1), m.reshape(1, -1))
+
+        if not cfg.fix_T:
+            WX = mxu_contract(local_plan(tv, tg, ts, tf, to, tm), W.T,
+                              acc, interpret, group=_G)    # (k, d_loc)
+            WX = lax.psum(WX, dp)
+            G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc), dp)
+            T = gs_topics_blocked(
+                WX, T, G, k=k, B=B,
+                reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
+                qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
+                reproject_sum=(cfg.t_row_sum
+                               if (cfg.t_row_sum and
+                                   cfg.project_T_each_iter) else None),
+                acc=acc, dtype=dtype, reps=cfg.inner_reps)
+
+        if not cfg.fix_W:
+            XT = mxu_contract(local_plan(wv, wg, ws, wf, wo, wm), T,
+                              acc, interpret, group=_G)    # (k, n_loc)
+            XT = lax.psum(XT, tp)
+            G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc), tp)
+            ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
+                  else cfg.w_row_sum)
+            Wt = gs_topics_blocked(
+                XT, W.T, G2, k=k, B=B,
+                reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
+                qf_s=None, qf_ub=ub, reproject_sum=None,
+                acc=acc, dtype=dtype, reps=cfg.inner_reps)
+            W = Wt.T
+
+        if (cfg.project_W_each_iter and not cfg.fix_W
+                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
+            if cfg.w_row_sum_is_vector:
+                s_vec = w_row_sum_vec.astype(dtype)
+            else:
+                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+
+        return W, T
+
+    data_specs = [P(dp, tp, None, None), P(dp, tp, None, None),
+                  P(dp, tp, None, None), P(dp, tp, None),
+                  P(dp, tp, None), P(dp, tp, None, None)]
+    in_specs = data_specs * 2 + [P(dp, None), P(None, tp)]
+    if cfg.w_row_sum_is_vector:
+        in_specs.append(P(dp))
+    _G = None  # set at first call from the plan aux (static per build)
+
+    def sweep(Xs, W, T, key, resets_left, reset_key, *extras):
+        nonlocal _G
+        _G = Xs.group
+        sharded = shard_map(local_sweep, mesh=mesh,
+                            in_specs=tuple(in_specs),
+                            out_specs=(P(dp, None), P(None, tp)),
+                            check_vma=False)
+        n, d = Xs.shape
+        npad = Xs.n_loc * dp_size
+        dpad = Xs.d_loc * tp_size
+        dtype = W.dtype
+        Wp = W if npad == n else \
+            jnp.zeros((npad, k), dtype).at[:n].set(W)
+        Tp = T if dpad == d else \
+            jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
+        Wp = lax.with_sharding_constraint(
+            Wp, NamedSharding(mesh, P(dp, None)))
+        Tp = lax.with_sharding_constraint(
+            Tp, NamedSharding(mesh, P(None, tp)))
+        ex = ()
+        if cfg.w_row_sum_is_vector:
+            v = extras[0].reshape(-1)
+            vp = v if npad == n else \
+                jnp.zeros((npad,), v.dtype).at[:n].set(v)
+            ex = (lax.with_sharding_constraint(
+                vp, NamedSharding(mesh, P(dp))),)
+        Wp, Tp = sharded(
+            Xs.t_vals, Xs.t_gloc, Xs.t_sloc, Xs.t_ftile, Xs.t_otile,
+            Xs.t_mask, Xs.w_vals, Xs.w_gloc, Xs.w_sloc, Xs.w_ftile,
+            Xs.w_otile, Xs.w_mask, Wp, Tp, *ex)
+        return Wp[:n], Tp[:, :d], key, resets_left
+
+    return jax.jit(sweep)

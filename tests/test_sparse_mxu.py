@@ -96,3 +96,45 @@ def test_driver_sparse_mxu_validation():
     Xd = np.abs(rng.rand(40, 30))
     with pytest.raises(ValueError):
         nmf(Xd, 4, sparse='mxu')        # dense input
+
+
+def test_sharded_mxu_matches_single_device():
+    """Mesh-sharded MXU sweep (per-device chunk plans under shard_map,
+    psum'd numerators/Grams) == the single-device mxu fit == the sharded
+    BCOO fit, on (8,1) and (4,2) meshes."""
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(6)
+    Xd = np.abs(rng.rand(300, 260))
+    Xd[Xd < 0.8] = 0.0
+    Xs = sp.csr_matrix(Xd)
+    kw = dict(k=6, max_iter=4, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              compute_obj_each_iter=True, eps_stop=0)
+    single = nmf(Xs, sparse='mxu', **kw)
+    for shape in [(8, 1), (4, 2)]:
+        mesh = make_mesh(8, mesh_shape=shape)
+        sharded = nmf(Xs, sparse='mxu', mesh=mesh, **kw)
+        assert np.allclose(single['W'], sharded['W'], atol=1e-11), shape
+        assert np.allclose(single['obj_history'], sharded['obj_history'],
+                           atol=1e-9), shape
+        bcoo = nmf(Xs, sparse=True, mesh=mesh, **kw)
+        assert np.allclose(bcoo['W'], sharded['W'], atol=1e-11), shape
+
+
+def test_sharded_mxu_inner_reps_and_empty_device():
+    """A device with an all-zero block (empty plan padding) plus
+    inner_reps through the sharded MXU path."""
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(7)
+    Xd = np.abs(rng.rand(200, 150))
+    Xd[Xd < 0.85] = 0.0
+    Xd[:50] = 0.0          # first dp block row mostly empty
+    Xs = sp.csr_matrix(Xd)
+    kw = dict(k=5, max_iter=3, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              inner_reps=2, eps_stop=0)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    single = nmf(Xs, sparse='mxu', **kw)
+    sharded = nmf(Xs, sparse='mxu', mesh=mesh, **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-11)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-11)

@@ -76,6 +76,26 @@ def main():
                                   (time.perf_counter() - t0) / REPS * 1e3),
               flush=True)
 
+    # ---- bf16 compute mode: bf16 plan + bf16 factors --------------------
+    plan16 = plan_sparse_matrix(Xsp, np.dtype('bfloat16'))
+    W16 = W.astype(jnp.bfloat16)
+    T16 = T.astype(jnp.bfloat16)
+
+    @jax.jit
+    def wtx16_n(plan, W):
+        def body(i, acc):
+            r = contract_wtx(plan, W)
+            return acc + r[0, 0]
+        return lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    s = float(wtx16_n(plan16, W16))
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    s = float(wtx16_n(plan16, W16))
+    print('%-28s %8.3f ms' % ('mxu WᵀX bf16',
+                              (time.perf_counter() - t0) / REPS * 1e3),
+          flush=True)
+
     cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
     sweep = make_sparse_sweep(cfg, gs_kernels=True, mxu=True)
     key = jax.random.PRNGKey(0)

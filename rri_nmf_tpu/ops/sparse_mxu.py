@@ -185,7 +185,12 @@ def plan_sparse_matrix(X, dtype=None, C=TILE, group=8):
         n=n, d=d, group=group)
 
 
-def _make_contract_kernel(C, G, acc_dt):
+def _make_contract_kernel(C, G, acc_dt, cmp_dt):
+    """``cmp_dt``: dot-operand dtype. Equal to ``acc_dt`` for exact f32;
+    bfloat16 when the fit runs in bf16 storage — the MXU's native rate
+    (all dots still accumulate via ``preferred_element_type=acc_dt``;
+    the intermediate X tile is rounded to bf16, the same ~2⁻⁸ input
+    rounding the bf16 BCOO gemm mode applies)."""
     def kernel(ft_ref, ot_ref, vals_ref, gloc_ref, sloc_ref, *rest):
         F_refs = rest[:G]
         out_ref = rest[G]
@@ -196,18 +201,19 @@ def _make_contract_kernel(C, G, acc_dt):
         lane = lax.broadcasted_iota(jnp.int32, (C, TILE), 1)
         total = None
         for j in range(G):
-            v = vals_ref[0, j * C:(j + 1) * C].astype(acc_dt)   # (C,)
+            v = vals_ref[0, j * C:(j + 1) * C].astype(cmp_dt)   # (C,)
             g = gloc_ref[0, j * C:(j + 1) * C]
             s = sloc_ref[0, j * C:(j + 1) * C]
             # value-scaled gather one-hot and scatter one-hot; padding
             # slots have v = 0 and vanish. Duplicates sum (two slots,
             # same (g, s)).
             OG = jnp.where(g[:, None] == lane, v[:, None],
-                           jnp.zeros((), acc_dt)).astype(acc_dt)
-            OS = (s[:, None] == lane).astype(acc_dt)            # (C, 128)
+                           jnp.zeros((), cmp_dt)).astype(cmp_dt)
+            OS = (s[:, None] == lane).astype(cmp_dt)            # (C, 128)
             Xt = lax.dot_general(OG, OS, (((0,), (0,)), ((), ())),
                                  preferred_element_type=acc_dt)
-            contrib = jnp.dot(F_refs[j][:].astype(acc_dt), Xt,
+            contrib = jnp.dot(F_refs[j][:].astype(cmp_dt),
+                              Xt.astype(cmp_dt),
                               preferred_element_type=acc_dt)    # (k, 128)
             total = contrib if total is None else total + contrib
 
@@ -238,6 +244,9 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
     if acc_dt is None:
         acc_dt = jnp.float32 if F.dtype in (jnp.bfloat16, jnp.float16) \
             else F.dtype
+    # bf16/f16 storage → dots run at the MXU's native reduced-precision
+    # rate (f32 accumulation); otherwise operate in the accumulation dtype
+    cmp_dt = F.dtype if F.dtype in (jnp.bfloat16, jnp.float16) else acc_dt
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -254,7 +263,7 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
         out_specs=pl.BlockSpec((k, TILE), lambda c, ft, ot: (0, ot[c])),
     )
     out = pl.pallas_call(
-        _make_contract_kernel(C, G, acc_dt),
+        _make_contract_kernel(C, G, acc_dt, cmp_dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, spad), acc_dt),
         interpret=interpret,

@@ -138,3 +138,18 @@ def test_sharded_mxu_inner_reps_and_empty_device():
     sharded = nmf(Xs, sparse='mxu', mesh=mesh, **kw)
     assert np.allclose(single['W'], sharded['W'], atol=1e-11)
     assert np.allclose(single['T'], sharded['T'], atol=1e-11)
+
+
+def test_mxu_bf16_compute_mode():
+    """bf16 storage engages bf16 dot operands (f32 accumulation): result
+    within bf16 input-rounding tolerance of the f64 contraction."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(8)
+    Xd = rng.rand(300, 260) * (rng.rand(300, 260) < 0.03)
+    plan16 = plan_sparse_matrix(sp.csr_matrix(Xd), np.dtype('bfloat16'))
+    W = rng.rand(300, 5)
+    out = np.array(contract_wtx(plan16, jnp.asarray(W, jnp.bfloat16),
+                                interpret=True), np.float64)
+    ref = W.T @ Xd
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 4e-2 * scale

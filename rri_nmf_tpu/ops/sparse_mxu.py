@@ -201,14 +201,16 @@ def _make_contract_kernel(C, G, acc_dt, cmp_dt):
         lane = lax.broadcasted_iota(jnp.int32, (C, TILE), 1)
         total = None
         for j in range(G):
-            v = vals_ref[0, j * C:(j + 1) * C].astype(cmp_dt)   # (C,)
+            # v broadcast happens in 32-bit (Mosaic cannot insert a minor
+            # dim on 16-bit vectors); the (C, 128) one-hot then casts down
+            v = vals_ref[0, j * C:(j + 1) * C].astype(acc_dt)   # (C,)
             g = gloc_ref[0, j * C:(j + 1) * C]
             s = sloc_ref[0, j * C:(j + 1) * C]
             # value-scaled gather one-hot and scatter one-hot; padding
             # slots have v = 0 and vanish. Duplicates sum (two slots,
             # same (g, s)).
             OG = jnp.where(g[:, None] == lane, v[:, None],
-                           jnp.zeros((), cmp_dt)).astype(cmp_dt)
+                           jnp.zeros((), acc_dt)).astype(cmp_dt)
             OS = (s[:, None] == lane).astype(cmp_dt)            # (C, 128)
             Xt = lax.dot_general(OG, OS, (((0,), (0,)), ((), ())),
                                  preferred_element_type=acc_dt)

@@ -46,12 +46,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rri_nmf_tpu.matrixops import EPS_DIV_BY_ZERO, _proj_simplex_core
 
-BN = 512    # row-block of the W-phase GS kernel
-BD = 1024   # column-block of the T-phase GS kernel
+BN = 512    # pad quantum (rows) of the W-phase GS kernel
+BD = 1024   # pad quantum (columns) of the T-phase GS kernel
+BLOCK_CAP = 4096  # largest GS tile (on-device sweep: 512→4096 block is
+#                   2.29→1.90 ms/sweep at 16384×8192 k=128 — fewer grid
+#                   steps; 8192 exceeds VMEM. benchmarks/exp_gs_tiles.py)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _pick_block(m, quantum, cap=BLOCK_CAP):
+    """(padded_size, block): pad ``m`` to the ``quantum`` then choose the
+    largest block ≤ ``cap`` that divides the padded size exactly — big
+    tiles amortize Mosaic's per-grid-step cost without extra padding."""
+    mpad = _round_up(m, quantum)
+    q = mpad // quantum
+    for f in range(min(cap // quantum, q), 0, -1):
+        if q % f == 0:
+            return mpad, quantum * f
+    return mpad, quantum
 
 
 def supports_dense_pallas(cfg) -> bool:
@@ -157,7 +172,8 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         dtype = X.dtype
         acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
             else dtype
-        npad, dpad = _round_up(n, BN), _round_up(d, BD)
+        npad, bn = _pick_block(n, BN)
+        dpad, bd = _pick_block(d, BD)
 
         # static upper bounds for the concave qf branch (reference
         # semantics: the positive branch does NOT enforce ub)
@@ -177,7 +193,7 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
                 Tk = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
             else:
                 Tk = T
-            Tk = _gs_call(k, BD, dpad // BD, cfg.reg_t_l1, cfg.reg_t_l2,
+            Tk = _gs_call(k, bd, dpad // bd, cfg.reg_t_l1, cfg.reg_t_l2,
                           t_bound, acc_dt, dtype, G, diag, WX, Tk,
                           interpret=interpret, reps=cfg.inner_reps)
             # negative L1 can grow the zero-padded columns; slice exactly
@@ -198,7 +214,7 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
             if cfg.w_row_sum_is_vector:
                 ub = jnp.zeros((1, npad), acc_dt).at[0, :n].set(
                     w_row_sum_vec.astype(acc_dt))
-            Wt = _gs_call(k, BN, npad // BN, cfg.reg_w_l1, cfg.reg_w_l2,
+            Wt = _gs_call(k, bn, npad // bn, cfg.reg_w_l1, cfg.reg_w_l2,
                           w_bound, acc_dt, dtype, G2, diag2, XTt, Wt,
                           ub=ub, interpret=interpret,
                           reps=cfg.inner_reps)

@@ -156,9 +156,9 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
                                               and cfg.t_row_sum)
 
     def _gs_pallas(N, F, G, reg_l1, reg_l2, bound, ub_vec, acc, dtype):
-        from rri_nmf_tpu.ops.dense_pallas import _gs_call, _round_up, BD
+        from rri_nmf_tpu.ops.dense_pallas import _gs_call, _pick_block, BD
         m = F.shape[1]
-        mpad = _round_up(m, BD)
+        mpad, blk = _pick_block(m, BD)
         diag = jnp.diagonal(G).reshape(k, 1)
         if mpad != m:
             N = jnp.zeros((k, mpad), acc).at[:, :m].set(N)
@@ -167,7 +167,7 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
         if ub_vec is not None:
             ub = jnp.zeros((1, mpad), acc).at[0, :m].set(
                 ub_vec.astype(acc))
-        F = _gs_call(k, BD, mpad // BD, reg_l1, reg_l2, bound, acc, dtype,
+        F = _gs_call(k, blk, mpad // blk, reg_l1, reg_l2, bound, acc, dtype,
                      G, diag, N, F, ub=ub, interpret=interpret,
                      reps=cfg.inner_reps)
         return F[:, :m]

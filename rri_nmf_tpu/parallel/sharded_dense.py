@@ -41,7 +41,7 @@ except ImportError:  # pragma: no cover
 
 from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.ops.dense_pallas import (
-    BD, BN, _gs_call, _round_up, supports_dense_pallas)
+    BD, BN, _gs_call, _pick_block, _round_up, supports_dense_pallas)
 
 
 def supports_sharded_dense(cfg) -> bool:
@@ -87,7 +87,8 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             WX = lax.psum(
                 lax.dot_general(W, X, (((0,), (0,)), ((), ())),
                                 preferred_element_type=acc_dt), dp)
-            T = _gs_call(k, BD, d_loc // BD, cfg.reg_t_l1, cfg.reg_t_l2,
+            _, bd = _pick_block(d_loc, BD)
+            T = _gs_call(k, bd, d_loc // bd, cfg.reg_t_l1, cfg.reg_t_l2,
                          t_bound, acc_dt, dtype, G, diag, WX, T,
                          interpret=interpret, reps=cfg.inner_reps)
 
@@ -102,7 +103,8 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             ub = None
             if cfg.w_row_sum_is_vector:
                 ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
-            Wt = _gs_call(k, BN, n_loc // BN, cfg.reg_w_l1, cfg.reg_w_l2,
+            _, bn = _pick_block(n_loc, BN)
+            Wt = _gs_call(k, bn, n_loc // bn, cfg.reg_w_l1, cfg.reg_w_l2,
                           w_bound, acc_dt, dtype, G2, diag2, XTt, W.T,
                           ub=ub, interpret=interpret, reps=cfg.inner_reps)
             W = Wt.T

@@ -90,27 +90,32 @@ def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt,
 
     def kernel(*refs):
         if ub_is_vector:
-            G_ref, diag_ref, N_ref, F_ref, ub_ref, out_ref = refs
+            G_ref, diag_ref, N_ref, F_ref, ub_ref, out_ref = refs[:6]
         else:
-            G_ref, diag_ref, N_ref, F_ref, out_ref = refs
-        out_ref[:] = F_ref[:]
-        dtype = out_ref.dtype
+            G_ref, diag_ref, N_ref, F_ref, out_ref = refs[:5]
+        # 16-bit storage: Mosaic cannot dynamic-slice single (1, B) rows
+        # of a 16-bit tile (sublane granularity is 16); run the loop on an
+        # f32 VMEM scratch and cast once at the edges
+        narrow = refs[-1] if out_ref.dtype != acc_dt else None
+        work = narrow if narrow is not None else out_ref
+        work[:] = F_ref[:].astype(work.dtype)
+        dtype = work.dtype
         ub = ub_ref[:].astype(acc_dt) if ub_is_vector else bound
 
         def body(t, _):
             g = G_ref[pl.ds(t, 1), :]                    # (1, k)
             corr = lax.dot_general(
-                g, out_ref[:].astype(acc_dt),
+                g, work[:].astype(acc_dt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dt)           # (1, B)
             gtt = diag_ref[pl.ds(t, 1), :]               # (1, 1)
-            fold = out_ref[pl.ds(t, 1), :].astype(acc_dt)
+            fold = work[pl.ds(t, 1), :].astype(acc_dt)
             numer = N_ref[pl.ds(t, 1), :] - corr + gtt * fold - reg_l1
             denom = gtt + reg_l2
             pos = jnp.maximum(numer, 0.0) / (denom + EPS_DIV_BY_ZERO)
             neg = jnp.where(denom - numer < 0, ub, jnp.zeros_like(numer))
-            out_ref[pl.ds(t, 1), :] = jnp.where(denom > 0, pos,
-                                                neg).astype(dtype)
+            work[pl.ds(t, 1), :] = jnp.where(denom > 0, pos,
+                                             neg).astype(dtype)
             return 0
 
         def rep(r, _):
@@ -118,6 +123,8 @@ def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt,
             return 0
 
         lax.fori_loop(0, reps, rep, 0)
+        if narrow is not None:
+            out_ref[:] = work[:].astype(out_ref.dtype)
 
     return kernel
 
@@ -136,6 +143,10 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
         in_specs.append(pl.BlockSpec((1, B), lambda j: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(ub)
+    scratch = []
+    if jnp.dtype(dtype) != jnp.dtype(acc_dt):
+        # 16-bit tiles: the GS loop runs on an f32 scratch (see kernel)
+        scratch = [pltpu.VMEM((k, B), acc_dt)]
     return pl.pallas_call(
         _make_gs_kernel(k, reg_l1, reg_l2, bound, ub is not None, acc_dt,
                         reps=reps),
@@ -144,6 +155,7 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
         out_specs=pl.BlockSpec((k, B), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, B * nblk), dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * k * B * nblk * reps,

@@ -519,16 +519,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         pallas_ok = supports_pallas(cfg)
         dense_pallas_ok = supports_dense_pallas(cfg)
     if use_pallas is None:
-        # auto: fused kernels on accelerators, f32/f64 only. For bf16
-        # storage the XLA masked sweep is measured FASTEST anyway
-        # (benchmarks/exp_bf16_masked.py at MovieLens scale: XLA bf16
-        # 10.7 ms < Pallas bf16 11.6 < Pallas f32 15.1 < XLA f32 33.9 —
-        # round 1's "Mosaic bf16 casts ~350x slow" no longer reproduces),
-        # so bf16 masked runs route to the XLA sweep and are ~1.4x faster
-        # than the f32 Pallas path.
+        # auto: fused kernels on accelerators. bf16 exception is
+        # MASKED-only: the XLA masked sweep measures fastest for bf16
+        # storage (benchmarks/exp_bf16_masked.py at MovieLens scale: XLA
+        # bf16 10.7 ms < Pallas bf16 11.6 < Pallas f32 15.1 < XLA f32
+        # 33.9). For DENSE bf16 the GS kernels (f32 scratch loop) beat
+        # the XLA sweep (2.56 vs 2.94 ms/sweep at the headline shape).
         use_pallas = ((pallas_ok or dense_pallas_ok)
                       and jax.default_backend() not in ('cpu',)
-                      and dtype not in (jnp.bfloat16, jnp.float16))
+                      and not (cfg.masked
+                               and dtype in (jnp.bfloat16, jnp.float16)))
     if use_pallas and not (pallas_ok or dense_pallas_ok):
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernels; falling back to the XLA sweep.')

@@ -367,7 +367,10 @@ def cfg_north_star_full(n=100000, d=50000, k=256, max_sweeps=400):
     from bench import bench_numpy
 
     cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
-    sweep = make_sweep(cfg)
+    # bf16 storage now runs the fused GS kernels (f32-scratch topic loop)
+    from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
+    sweep = make_dense_phase_sweep_pallas(
+        cfg, interpret=jax.default_backend() == 'cpu')
     reset_key = jax.random.PRNGKey(0)
     BLOCK = 10
     B = 2500

@@ -57,10 +57,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _pick_block(m, quantum, cap=BLOCK_CAP):
+def _pick_block(m, quantum, k=128, narrow=False, cap=BLOCK_CAP):
     """(padded_size, block): pad ``m`` to the ``quantum`` then choose the
-    largest block ≤ ``cap`` that divides the padded size exactly — big
-    tiles amortize Mosaic's per-grid-step cost without extra padding."""
+    largest block ≤ the VMEM-budgeted cap that divides the padded size
+    exactly — big tiles amortize Mosaic's per-grid-step cost without
+    extra padding.
+
+    The cap scales with ``k`` and the scratch: the kernel holds N, F, and
+    the output tile (plus an f32 scratch when the storage is 16-bit,
+    ``narrow=True``) in VMEM simultaneously; budget ~12 MB of the 16."""
+    buffers = 4 if narrow else 3
+    cap = min(cap, max(quantum,
+                       (12 * 2**20 // (4 * k * buffers))
+                       // quantum * quantum))
     mpad = _round_up(m, quantum)
     q = mpad // quantum
     for f in range(min(cap // quantum, q), 0, -1):
@@ -184,8 +193,9 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         dtype = X.dtype
         acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
             else dtype
-        npad, bn = _pick_block(n, BN)
-        dpad, bd = _pick_block(d, BD)
+        narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
+        npad, bn = _pick_block(n, BN, k=k, narrow=narrow)
+        dpad, bd = _pick_block(d, BD, k=k, narrow=narrow)
 
         # static upper bounds for the concave qf branch (reference
         # semantics: the positive branch does NOT enforce ub)

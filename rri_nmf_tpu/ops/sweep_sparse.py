@@ -158,7 +158,8 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
     def _gs_pallas(N, F, G, reg_l1, reg_l2, bound, ub_vec, acc, dtype):
         from rri_nmf_tpu.ops.dense_pallas import _gs_call, _pick_block, BD
         m = F.shape[1]
-        mpad, blk = _pick_block(m, BD)
+        mpad, blk = _pick_block(m, BD, k=k,
+                                narrow=jnp.dtype(dtype) != jnp.dtype(acc))
         diag = jnp.diagonal(G).reshape(k, 1)
         if mpad != m:
             N = jnp.zeros((k, mpad), acc).at[:, :m].set(N)

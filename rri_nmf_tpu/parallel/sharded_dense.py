@@ -87,7 +87,8 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             WX = lax.psum(
                 lax.dot_general(W, X, (((0,), (0,)), ((), ())),
                                 preferred_element_type=acc_dt), dp)
-            _, bd = _pick_block(d_loc, BD)
+            narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
+            _, bd = _pick_block(d_loc, BD, k=k, narrow=narrow)
             T = _gs_call(k, bd, d_loc // bd, cfg.reg_t_l1, cfg.reg_t_l2,
                          t_bound, acc_dt, dtype, G, diag, WX, T,
                          interpret=interpret, reps=cfg.inner_reps)
@@ -103,7 +104,8 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             ub = None
             if cfg.w_row_sum_is_vector:
                 ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
-            _, bn = _pick_block(n_loc, BN)
+            narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
+            _, bn = _pick_block(n_loc, BN, k=k, narrow=narrow)
             Wt = _gs_call(k, bn, n_loc // bn, cfg.reg_w_l1, cfg.reg_w_l2,
                           w_bound, acc_dt, dtype, G2, diag2, XTt, W.T,
                           ub=ub, interpret=interpret, reps=cfg.inner_reps)

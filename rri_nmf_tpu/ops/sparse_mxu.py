@@ -240,6 +240,9 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
     k = F.shape[0]
     G = group
     nchunks = plan.ftile.shape[0]
+    assert nchunks % G == 0, \
+        'plan chunk count %d is not a multiple of group=%d (plan built ' \
+        'with a different group?)' % (nchunks, G)
     ngroups = nchunks // G
     C = plan.vals.shape[1] // nchunks
     spad = plan.mask.shape[1]

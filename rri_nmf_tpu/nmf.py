@@ -407,44 +407,48 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
             X_dev = plan_sparse_matrix(X, np.dtype(dtype))
         elif sparse_mode:
-            from jax.experimental import sparse as jsparse
             from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
-            X_dev = to_bcoo(X, dtype)
             # On-device densify policy (sparse='auto' only — sparse=True
-            # pins O(nnz) memory): the compressed form crosses the
-            # host->device link either way, but when the DENSE form fits
-            # HBM the MXU's dense hybrid sweep is strictly faster than
-            # gather/scatter contractions (benchmarks/exp_sparse.py), so
-            # densify with one O(nnz) scatter and take the dense path.
-            if sparse == 'auto' and jax.default_backend() not in ('cpu',):
+            # pins O(nnz) memory): when the DENSE form fits HBM the MXU's
+            # dense hybrid sweep is strictly faster than gather/scatter
+            # contractions (benchmarks/exp_sparse.py). Decide the target
+            # form BEFORE transferring, so X's nnz data crosses the (slow,
+            # ~45 MB/s tunnel) host->device link exactly once and never
+            # two forms coexist in HBM.
+            _auto_dev = (sparse == 'auto'
+                         and jax.default_backend() not in ('cpu',))
+            if _auto_dev:
                 try:
                     stats = jax.local_devices()[0].memory_stats() or {}
                     budget = 0.45 * stats.get('bytes_limit', 13e9)
                 except Exception:
                     budget = 6e9
-                if n * d * jnp.dtype(dtype).itemsize <= budget:
-                    logger.info('sparse auto: dense form fits HBM; '
-                                'densifying on device')
+                _dense_fits = n * d * jnp.dtype(dtype).itemsize <= budget
+            if _auto_dev and _dense_fits:
+                logger.info('sparse auto: dense form fits HBM; '
+                            'densifying on device')
 
-                    # jitted scatter so the zeros buffer is aliased (the
-                    # eager bcoo_todense double-buffers the dense output)
-                    @jax.jit
-                    def _densify(bc):
-                        return jnp.zeros(bc.shape, bc.data.dtype).at[
-                            bc.indices[:, 0], bc.indices[:, 1]].add(bc.data)
+                # one O(nnz) compressed transfer + a jitted scatter (so
+                # the zeros buffer is aliased — the eager bcoo_todense
+                # double-buffers the dense output)
+                @jax.jit
+                def _densify(bc):
+                    return jnp.zeros(bc.shape, bc.data.dtype).at[
+                        bc.indices[:, 0], bc.indices[:, 1]].add(bc.data)
 
-                    X_dev = _densify(X_dev)
-                    sparse_mode = False
-                else:
-                    # beyond-HBM corpus: the one-hot MXU chunk kernel
-                    # beats the BCOO gather/scatter lowering
-                    # (benchmarks/exp_sparse_mxu.py)
-                    logger.info('sparse auto: dense form exceeds HBM; '
-                                'MXU chunk-plan contractions')
-                    from rri_nmf_tpu.ops.sparse_mxu import \
-                        plan_sparse_matrix
-                    X_dev = plan_sparse_matrix(X, np.dtype(dtype))
-                    mxu_mode = True
+                X_dev = _densify(to_bcoo(X, dtype))
+                sparse_mode = False
+            elif _auto_dev:
+                # beyond-HBM corpus: the one-hot MXU chunk kernel beats
+                # the BCOO gather/scatter lowering
+                # (benchmarks/exp_sparse_mxu.py)
+                logger.info('sparse auto: dense form exceeds HBM; '
+                            'MXU chunk-plan contractions')
+                from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
+                X_dev = plan_sparse_matrix(X, np.dtype(dtype))
+                mxu_mode = True
+            else:
+                X_dev = to_bcoo(X, dtype)
         else:
             X_dev = jnp.asarray(X, dtype=dtype)
         W_dev = jnp.asarray(W, dtype=dtype)
@@ -536,7 +540,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if sparse_mode and mesh is not None and mxu_mode:
         from rri_nmf_tpu.parallel.sparse_mesh import make_sharded_mxu_sweep
         sweep_fn = make_sharded_mxu_sweep(
-            cfg, mesh, interpret=jax.default_backend() == 'cpu')
+            cfg, mesh, interpret=jax.default_backend() == 'cpu',
+            group=X_dev.group)
         use_pallas = False
     elif sparse_mode and mesh is not None:
         from rri_nmf_tpu.parallel.sparse_mesh import \

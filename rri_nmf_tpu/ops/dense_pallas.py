@@ -168,6 +168,9 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * k * B * nblk * reps,
+            # deliberately NOT scaled by reps: the inner passes re-read the
+            # VMEM-resident tile; each tile crosses HBM once in and once
+            # out regardless of reps (plus one N read)
             bytes_accessed=3 * k * B * nblk * jnp.dtype(dtype).itemsize,
             transcendentals=0),
     )(*args)

@@ -136,12 +136,17 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         npad = _round_up(n, BN * dp_size)
         dpad = _round_up(d, BD * tp_size)
 
-        Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
-        Wp = jnp.zeros((npad, k), dtype).at[:n].set(W)
-        Tp = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
+        # skip the O(nd) repad when the shapes already sit on the mesh
+        # block quanta (matching make_sharded_sparse_sweep)
+        Xp = X if (npad == n and dpad == d) else \
+            jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
+        Wp = W if npad == n else \
+            jnp.zeros((npad, k), dtype).at[:n].set(W)
+        Tp = T if dpad == d else \
+            jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
         if cfg.w_row_sum_is_vector:
-            ub = jnp.zeros((npad,), dtype).at[:n].set(
-                extras[0].reshape(-1).astype(dtype))
+            v = extras[0].reshape(-1).astype(dtype)
+            ub = v if npad == n else jnp.zeros((npad,), dtype).at[:n].set(v)
         else:
             ub = jnp.zeros((), dtype)
 

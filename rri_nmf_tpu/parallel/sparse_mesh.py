@@ -381,19 +381,23 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
     dtype = np.dtype(dtype)
     n_gt, n_ct = n_loc // TILE, d_loc // TILE
 
-    bi = coo.row // n_loc
-    bj = coo.col // d_loc
+    # one O(nnz log nnz) sort by device block, then slice contiguous runs
+    # (vs a boolean mask per device: O(n_devices * nnz) host work)
+    blk = (coo.row // n_loc) * tp_size + (coo.col // d_loc)
+    order = np.argsort(blk, kind='stable')
+    r_s, c_s, v_s = coo.row[order], coo.col[order], coo.data[order]
+    counts = np.bincount(blk[order], minlength=dp_size * tp_size)
+    starts = np.concatenate([[0], np.cumsum(counts)])
     plans_t, plans_w = [], []
-    for i in range(dp_size):
-        for j in range(tp_size):
-            sel = (bi == i) & (bj == j)
-            r = (coo.row[sel] % n_loc).astype(np.int64)
-            c = (coo.col[sel] % d_loc).astype(np.int64)
-            v = coo.data[sel].astype(dtype)
-            plans_t.append(_plan_direction_np(r, c, v, n_gt, n_ct, C,
-                                              group, dtype))
-            plans_w.append(_plan_direction_np(c, r, v, n_ct, n_gt, C,
-                                              group, dtype))
+    for b in range(dp_size * tp_size):
+        lo, hi = starts[b], starts[b + 1]
+        r = (r_s[lo:hi] % n_loc).astype(np.int64)
+        c = (c_s[lo:hi] % d_loc).astype(np.int64)
+        v = v_s[lo:hi].astype(dtype)
+        plans_t.append(_plan_direction_np(r, c, v, n_gt, n_ct, C,
+                                          group, dtype))
+        plans_w.append(_plan_direction_np(c, r, v, n_ct, n_gt, C,
+                                          group, dtype))
 
     def pad_stack(plans, G):
         ng_max = max(p[4].shape[0] for p in plans)
@@ -431,11 +435,17 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
 
 
 @lru_cache(maxsize=16)
-def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False):
+def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False,
+                           group=8):
     """shard_map'd phase-order sweep over a :class:`ShardedMXUPlan`:
     per-device one-hot MXU contractions, numerators + Grams psum over
     ICI, Gram-blocked GS topic loops device-local. Same call signature
-    as the other sparse sweeps."""
+    as the other sparse sweeps.
+
+    ``group`` must equal the plan's chunk grouping
+    (:attr:`ShardedMXUPlan.group`) — it shapes the kernel grid, so it is
+    part of the cache key (a plan built with a different grouping needs
+    its own compiled sweep)."""
     assert supports_sharded_sparse(cfg, mesh), \
         'config not supported by the sharded sparse sweep'
     k = cfg.k
@@ -460,7 +470,7 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False):
 
         if not cfg.fix_T:
             WX = mxu_contract(local_plan(tv, tg, ts, tf, to, tm), W.T,
-                              acc, interpret, group=_G)    # (k, d_loc)
+                              acc, interpret, group=group)  # (k, d_loc)
             WX = lax.psum(WX, dp)
             G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc), dp)
             T = gs_topics_blocked(
@@ -474,7 +484,7 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False):
 
         if not cfg.fix_W:
             XT = mxu_contract(local_plan(wv, wg, ws, wf, wo, wm), T,
-                              acc, interpret, group=_G)    # (k, n_loc)
+                              acc, interpret, group=group)  # (k, n_loc)
             XT = lax.psum(XT, tp)
             G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc), tp)
             ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
@@ -502,15 +512,16 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False):
     in_specs = data_specs * 2 + [P(dp, None), P(None, tp)]
     if cfg.w_row_sum_is_vector:
         in_specs.append(P(dp))
-    _G = None  # set at first call from the plan aux (static per build)
+    sharded = shard_map(local_sweep, mesh=mesh,
+                        in_specs=tuple(in_specs),
+                        out_specs=(P(dp, None), P(None, tp)),
+                        check_vma=False)
 
     def sweep(Xs, W, T, key, resets_left, reset_key, *extras):
-        nonlocal _G
-        _G = Xs.group
-        sharded = shard_map(local_sweep, mesh=mesh,
-                            in_specs=tuple(in_specs),
-                            out_specs=(P(dp, None), P(None, tp)),
-                            check_vma=False)
+        if Xs.group != group:
+            raise ValueError(
+                'plan group %d does not match the sweep built for group %d'
+                % (Xs.group, group))
         n, d = Xs.shape
         npad = Xs.n_loc * dp_size
         dpad = Xs.d_loc * tp_size

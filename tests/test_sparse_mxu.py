@@ -153,3 +153,43 @@ def test_mxu_bf16_compute_mode():
     ref = W.T @ Xd
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() < 4e-2 * scale
+
+
+def test_sharded_mxu_two_groups_no_stale_trace():
+    """Two plans with DIFFERENT chunk groupings through the same
+    (cfg, mesh) must each run with their own grouping — the sweep builder
+    is keyed on ``group``, so no cached trace with a stale grouping can
+    be reused (round-2 VERDICT item 5 / ADVICE sparse_mesh nonlocal)."""
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+    from rri_nmf_tpu.parallel.sparse_mesh import (
+        make_sharded_mxu_sweep, partition_mxu)
+
+    rng = np.random.RandomState(9)
+    Xd = np.abs(rng.rand(300, 260))
+    Xd[Xd < 0.8] = 0.0
+    Xs = sp.csr_matrix(Xd)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    cfg = SweepConfig(k=5, reset_topic_method=None, update_order='phase')
+    W0 = np.abs(rng.rand(300, 5))
+    T0 = np.abs(rng.rand(5, 260))
+    key = jax.random.PRNGKey(0)
+    rl = jnp.asarray(0, jnp.int32)
+
+    outs = []
+    for g in (8, 4):
+        plan = partition_mxu(Xs, mesh, np.float64, group=g)
+        sweep = make_sharded_mxu_sweep(cfg, mesh, interpret=True, group=g)
+        W1, T1, _, _ = sweep(plan, jnp.asarray(W0), jnp.asarray(T0),
+                             key, rl, key)
+        outs.append((np.array(W1), np.array(T1)))
+    # both groupings compute the identical sweep
+    assert np.allclose(outs[0][0], outs[1][0], atol=1e-11)
+    assert np.allclose(outs[0][1], outs[1][1], atol=1e-11)
+
+    # a plan/sweep group mismatch is rejected loudly
+    plan8 = partition_mxu(Xs, mesh, np.float64, group=8)
+    sweep4 = make_sharded_mxu_sweep(cfg, mesh, interpret=True, group=4)
+    with pytest.raises(ValueError):
+        sweep4(plan8, jnp.asarray(W0), jnp.asarray(T0), key, rl, key)

@@ -92,10 +92,14 @@ class NMFCheckpointer:
         import orbax.checkpoint as ocp
         self._ocp = ocp
         self.directory = str(directory)
+        # declare the handler type up front so a FRESH manager over an
+        # existing directory can serve item_metadata() (needed to build
+        # the abstract tree for sharded restores)
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                                 create=True))
+                                                 create=True),
+            item_handlers=ocp.StandardCheckpointHandler())
 
     def save(self, step: int, state: NMFState, wait: bool = False):
         self.manager.save(step, args=self._ocp.args.StandardSave(
@@ -108,18 +112,30 @@ class NMFCheckpointer:
 
     def restore(self, step: Optional[int] = None,
                 shardings: Optional[dict] = None) -> Optional[NMFState]:
-        """Restore a step (default: latest). Pass ``shardings`` (a dict with
-        'W'/'T' -> jax.sharding.Sharding) to lay factors back onto a mesh."""
+        """Restore a step (default: latest).
+
+        Pass ``shardings`` (a dict mapping tree keys — usually 'W'/'T' —
+        to ``jax.sharding.Sharding``) to restore those entries directly as
+        sharded ``jax.Array``s laid out on the mesh: orbax reads each
+        device's shards straight from storage, with no host-side
+        full-array materialization or resharding stall (the round-trip
+        the reference-scale BASELINE #5 factors cannot afford)."""
         if step is None:
             step = self.manager.latest_step()
         if step is None:
             return None
-        restored = dict(self.manager.restore(step))
         if shardings:
-            for name in ('W', 'T'):
-                if name in shardings:
-                    restored[name] = jax.device_put(
-                        np.asarray(restored[name]), shardings[name])
+            meta = self.manager.item_metadata(step)
+            tree = getattr(meta, 'tree', meta)
+            abstract = {
+                key: jax.ShapeDtypeStruct(
+                    tuple(m.shape), m.dtype,
+                    sharding=shardings.get(key))
+                for key, m in dict(tree).items()}
+            restored = dict(self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(abstract)))
+        else:
+            restored = dict(self.manager.restore(step))
         return NMFState.from_tree(restored)
 
     def close(self):

@@ -597,12 +597,24 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.checkpoint import NMFCheckpointer
         ckpt = checkpoint if isinstance(checkpoint, NMFCheckpointer) \
             else NMFCheckpointer(checkpoint)
-        _resumed = ckpt.restore()
+        # restore factors straight onto their run layouts (mesh shards or
+        # the single device) — no host gather / resharding stall
+        _resumed = ckpt.restore(
+            shardings={'W': W_dev.sharding, 'T': T_dev.sharding})
         if _resumed is not None:
             logger.info('Resuming from checkpoint step %d',
                         _resumed.iteration)
-            W_dev = jnp.asarray(np.asarray(_resumed.W), dtype=dtype)
-            T_dev = jnp.asarray(np.asarray(_resumed.T), dtype=dtype)
+
+            def _as_run_layout(a, like):
+                a = a if isinstance(a, jax.Array) else jnp.asarray(a)
+                if a.dtype != like.dtype:
+                    a = a.astype(like.dtype)
+                if a.sharding != like.sharding:
+                    a = jax.device_put(a, like.sharding)
+                return a
+
+            W_dev = _as_run_layout(_resumed.W, W_dev)
+            T_dev = _as_run_layout(_resumed.T, T_dev)
             key = _resumed.key
             resets_left = jnp.asarray(_resumed.resets_left, dtype=jnp.int32)
             start_iter = _resumed.iteration
@@ -698,8 +710,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             if ckpt is not None and checkpoint_every > 0 and \
                     iter_no % checkpoint_every == 0:
                 from rri_nmf_tpu.checkpoint import NMFState
+                # hand the (possibly mesh-sharded) device arrays to orbax
+                # directly: each host writes its own shards, no gather
                 ckpt.save(iter_no, NMFState(
-                    W=np.array(W_dev), T=np.array(T_dev), iteration=iter_no,
+                    W=W_dev, T=T_dev, iteration=iter_no,
                     obj_history=[], key=key, resets_left=int(resets_left),
                     random_state=random_state, obj_tracked=False))
             if time.time() - t_global_start >= max_time:
@@ -793,7 +807,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 (iter_no + 1) % checkpoint_every == 0:
             from rri_nmf_tpu.checkpoint import NMFState
             ckpt.save(iter_no + 1, NMFState(
-                W=np.array(W_dev), T=np.array(T_dev),
+                W=W_dev, T=T_dev,
                 iteration=iter_no + 1, obj_history=list(obj_history),
                 key=key, resets_left=int(resets_left),
                 random_state=random_state,

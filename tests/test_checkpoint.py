@@ -87,3 +87,65 @@ def test_grouped_checkpoint_marks_untracked_objective(tmp_path, caplog):
     st2 = NMFCheckpointer(ck2).restore()
     assert st2.obj_tracked is True
     assert len(st2.obj_history) == 2
+
+
+def test_mesh_checkpoint_resume_equals_straight(tmp_path):
+    """Mesh-native checkpointing (round-2 VERDICT item 2): a sharded fit
+    saves the sharded device arrays directly, restores them straight onto
+    the mesh layouts (no host gather), and the resumed run equals an
+    uninterrupted sharded run on a (4, 2) mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rri_nmf_tpu.checkpoint import NMFCheckpointer
+    from rri_nmf_tpu.parallel.mesh import make_mesh, problem_shardings
+
+    X = _problem(n=40, d=24, k=3, seed=1)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    kw = dict(k=3, max_iter=8, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase', eps_stop=0.0, mesh=mesh)
+
+    straight = nmf(X, **kw)
+
+    ck_dir = str(tmp_path / 'mesh_run')
+    nmf(X, checkpoint=ck_dir, checkpoint_every=2,
+        **{k: v for k, v in kw.items() if k != 'max_iter'}, max_iter=4)
+
+    # the checkpoint restores W directly as a mesh-sharded jax.Array
+    s_W = problem_shardings(mesh)[1]
+    state = NMFCheckpointer(ck_dir).restore(shardings={'W': s_W})
+    assert isinstance(state.W, jax.Array)
+    assert state.W.sharding == s_W
+    # and the saved file itself recorded the sharded layout (each device
+    # wrote its own shards — no np.array host gather before save)
+    meta = NMFCheckpointer(ck_dir).manager.item_metadata(4)
+    w_meta = dict(meta.tree)['W']
+    assert w_meta.sharding is not None
+
+    resumed = nmf(X, checkpoint=ck_dir, checkpoint_every=100, **kw)
+    assert np.allclose(resumed['W'], straight['W'], atol=1e-12)
+    assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
+    assert np.allclose(resumed['obj_history'], straight['obj_history'],
+                       atol=1e-10)
+
+
+def test_mesh_checkpoint_cross_layout_resume(tmp_path):
+    """A checkpoint written by a single-device run resumes onto a mesh
+    (and vice versa): restore reshards from storage to the run layout."""
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+
+    X = _problem(n=32, d=20, k=3, seed=2)
+    base = dict(k=3, max_iter=6, random_state=0, early_stop=False,
+                compute_obj_each_iter=True, reset_topic_method=None,
+                update_order='phase', eps_stop=0.0)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+
+    straight = nmf(X, **base)
+
+    ck_dir = str(tmp_path / 'xlay')
+    nmf(X, checkpoint=ck_dir, checkpoint_every=3,
+        **{k: v for k, v in base.items() if k != 'max_iter'}, max_iter=3)
+    resumed_mesh = nmf(X, checkpoint=ck_dir, checkpoint_every=100,
+                       mesh=mesh, **base)
+    assert np.allclose(resumed_mesh['W'], straight['W'], atol=1e-11)
+    assert np.allclose(resumed_mesh['T'], straight['T'], atol=1e-11)

@@ -97,10 +97,14 @@ def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0):
 # ---------------------------------------------------------------------------
 
 def cfg_cpu_parity():
-    """BASELINE #1: synthetic dense 2k×1k, k=20 — parity vs sklearn NMF."""
+    """BASELINE #1: synthetic dense 2k×1k, k=20 — parity vs sklearn NMF
+    AND vs the reference's own NumPy loop (round-3 VERDICT item 4: all
+    three wall-clocks to the same error level, plus the per-sweep
+    decomposition explaining each gap)."""
     from sklearn.decomposition import NMF as SkNMF
     from rri_nmf_tpu.nmf import nmf
     from rri_nmf_tpu.metrics import frobenius_relative_error
+    from bench import numpy_reference_sweep
 
     X = _synth_lowrank(2000, 1000, 20, noise=0.05)
     k = 20
@@ -116,19 +120,44 @@ def cfg_cpu_parity():
     # sklearn's CD given iterations, so run warm-started blocks until we
     # cross sk_err (obj tracking off during timing — its 2x penalty,
     # reference nmf.py:143-146, would distort the comparison)
-    our_time = 0.0
-    iters = 0
-    W_in, T_in = [], []
-    our_err = np.inf
-    mono_checked = None
-    while our_err > sk_err and iters < 1000:
+    def ours_to_err(**kw):
+        our_time = 0.0
+        iters = 0
+        W_in, T_in = [], []
+        our_err = np.inf
+        while our_err > sk_err and iters < 1000:
+            t0 = time.perf_counter()
+            soln = nmf(X, k, max_iter=100, random_state=0,
+                       early_stop=False, reset_topic_method=None,
+                       W_in=W_in, T_in=T_in, **kw)
+            our_time += time.perf_counter() - t0
+            iters += 100
+            W_in, T_in = soln['W'], soln['T']
+            our_err = frobenius_relative_error(X, W_in, T_in)
+        return {'rel_frob_err': our_err, 'seconds': our_time,
+                'iters': iters,
+                'seconds_per_sweep': our_time / max(iters, 1)}
+
+    ours_ref_order = ours_to_err()                  # reference semantics
+    # phase order + accelerated-HALS inner passes: same exact-BCD
+    # fixed points, fewer outer sweeps, GEMM-batched contractions
+    ours_fast = ours_to_err(update_order='phase', inner_reps=3)
+
+    # the reference's own per-topic NumPy loop to the same error
+    from rri_nmf_tpu.initialization import initialize_nmf
+    Wr, Tr = (np.asarray(a, np.float64)
+              for a in initialize_nmf(X, k, 'nndsvd', random_state=0))
+    xnorm = np.linalg.norm(X)
+    ref_time = 0.0
+    ref_iters = 0
+    ref_err = np.inf
+    while ref_err > sk_err and ref_iters < 1000:
         t0 = time.perf_counter()
-        soln = nmf(X, k, max_iter=100, random_state=0, early_stop=False,
-                   reset_topic_method=None, W_in=W_in, T_in=T_in)
-        our_time += time.perf_counter() - t0
-        iters += 100
-        W_in, T_in = soln['W'], soln['T']
-        our_err = frobenius_relative_error(X, W_in, T_in)
+        for _ in range(100):
+            Wr, Tr = numpy_reference_sweep(X, Wr, Tr)
+        ref_time += time.perf_counter() - t0
+        ref_iters += 100
+        ref_err = float(np.linalg.norm(X - Wr @ Tr) / xnorm)
 
     chk = nmf(X, k, max_iter=15, random_state=0, early_stop=False,
               compute_obj_each_iter=True, reset_topic_method=None)
@@ -136,11 +165,20 @@ def cfg_cpu_parity():
 
     return {
         'config': 'cpu_parity_2kx1k_k20',
-        'sklearn_nmf': {'rel_frob_err': sk_err, 'seconds': sk_time},
-        'rri_nmf_tpu': {'rel_frob_err': our_err, 'seconds': our_time,
-                        'iters': iters},
+        'sklearn_nmf': {'rel_frob_err': sk_err, 'seconds': sk_time,
+                        'iters': 200,
+                        'seconds_per_sweep': sk_time / 200},
+        'reference_numpy': {'rel_frob_err': ref_err, 'seconds': ref_time,
+                            'iters': ref_iters,
+                            'seconds_per_sweep': ref_time / max(ref_iters,
+                                                                1)},
+        'rri_nmf_tpu': ours_ref_order,
+        'rri_nmf_tpu_phase_reps3': ours_fast,
         'monotone': mono_checked,
-        'parity': bool(our_err <= sk_err),
+        'parity': bool(ours_ref_order['rel_frob_err'] <= sk_err),
+        'beats_reference': bool(
+            ours_fast['seconds'] < ref_time
+            and ours_ref_order['seconds'] < ref_time),
     }
 
 

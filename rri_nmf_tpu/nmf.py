@@ -124,17 +124,144 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
         update_order='interleaved', sparse='auto', matmul_precision=None,
-        inner_reps=1):
+        inner_reps=1, accel=None):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
-    minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
+    Minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
     row-weighted by ``w_row``) + L1/L2 regularizers on both factors, by
-    rank-one residue iterations (Ho's thesis Algs. 7 & 10).
+    rank-one residue iterations (Ho's thesis Algs. 7 & 10). ``W`` is the
+    (n, k) row/"document"-to-topic weight matrix, ``T`` the (k, d)
+    topic-to-feature matrix. Parameter names, defaults, and the returned
+    dict match the reference ``nmf()`` (``/root/reference`` ``nmf.py:98-560``)
+    1:1; semantics are documented here in full.
 
-    Parameters, defaults, and the returned dict match the reference
-    ``nmf()`` (``nmf.py:98-560``) exactly — see that docstring for the full
-    parameter semantics. Additional parameter:
+    Parameters
+    ----------
+    X : array_like or scipy sparse matrix
+        Non-negative (n, d) matrix to factorize. A scipy-sparse ``X``
+        can stay sparse end to end (see ``sparse``); the reference
+        densifies sparse input.
+    k : int
+        Number of topics — the rank of the factorization.
+    w_row : array_like or None, optional
+        (n,) per-row importance weights. Internally the fit runs on
+        ``sqrt(w_row) * X`` (the objective is row-weighted squared error),
+        and afterwards W is re-fit against the unscaled X with T fixed
+        (10 extra fixed-T iterations, reference ``nmf.py:531-539``).
+        None (default) weights all rows equally.
+    W_mat : array_like or None, optional
+        (n, d) entrywise weight/mask matrix (WRRI, Ho's Alg. 10) —
+        typically the binary observed-entry mask of a recommender
+        problem. Engages the masked sweep with per-coordinate vector
+        denominators. None (default) = unweighted.
+    fix_W, fix_T : bool, optional
+        Freeze that factor; only the other is updated (used by
+        ``transform``: a few fixed-T sweeps solve for W on new data).
+    random_state : int or None, optional
+        Seed for initialization and reset randomness. None draws from
+        the clock. All device randomness derives from
+        ``jax.random.PRNGKey(random_state)``.
+    init : str, optional
+        Initialization method when no warm start is given: ``'nndsvd'``
+        (default; Boutsidis-Gallopoulos SVD-based, deterministic given
+        the seed), ``'nndsvda'`` (zeros filled with the matrix mean),
+        ``'nndsvdar'`` (zeros filled with small random values),
+        ``'random'`` (scaled uniform), ``'smart_random'`` (scaled
+        half-normal), or ``'coherence_pmi'`` (PMI-coherence beam search;
+        dispatchable here, unreachable in the reference). Forced to
+        ``'random'`` when n <= k. Masked problems initialize on
+        ``W_mat * X``.
+    T_in, W_in : array_like, optional
+        Warm starts ([] = none). Shapes must be exactly (k, d) / (n, k)
+        or a ValueError is raised. Negatives are clipped to 0. Both are
+        honored with or without ``fix_*`` — passing the previous fit's
+        factors continues it (the estimators' ``one_iter`` contract:
+        stepped fits compose exactly with batch fits).
+    max_iter : int, optional
+        Maximum number of iterations; one iteration = one full sweep
+        (all k topics' T-row and W-column updates). Default 200.
+    max_time : int, optional
+        Wall-clock budget in seconds (default 600); checked after each
+        iteration, with ~10 s reserved for the final W projection.
+    eps_stop : float, optional
+        Relative-progress stopping threshold (default 1e-4): stop when
+        ``|obj[-2] - obj[-1]| <= eps_stop * |obj[0] - obj[1]|``.
+        Requires ``compute_obj_each_iter``.
+    compute_obj_each_iter : bool, optional
+        Track the full objective every iteration (enables
+        ``obj_history``, ``eps_stop``, and objective-based early stop).
+        Costs roughly one extra residual pass per iteration (the
+        reference documents "2x"; here the objective is a fused jitted
+        kernel, blockwise near the HBM limit). Forced True when the
+        module logger is at DEBUG or below.
+    project_W_each_iter : bool, optional
+        Project every W row onto the ``w_row_sum`` simplex each
+        iteration (extra O(nk log k)); otherwise rows are projected once
+        at the end (see ``do_final_project_W``).
+    w_row_sum : scalar, array_like or None, optional
+        Target row sum for W — scalar, or an (n,) vector of per-row
+        sums. With ``w_row`` also given, the vector is sqrt-scaled to
+        match the scaled-X fit.
+    do_final_project_W : bool, optional
+        When True (default) and ``w_row_sum`` is set without
+        ``project_W_each_iter``, project W rows to the simplex once
+        after the final iteration.
+    project_T_each_iter : bool, optional
+        Project every T row onto the ``t_row_sum`` simplex during its
+        own topic update (the topic-modeling preset). Incompatible with
+        L1 regularization (scale invariance is lost): a warning is
+        logged and the flag is dropped, as in the reference.
+    t_row_sum : float or None, optional
+        Target row sum for T rows (with ``project_T_each_iter``, the
+        simplex radius; without it, the qf_min upper bound).
+    early_stop : callable or bool, optional
+        A function ``f(X, W, T) -> score`` evaluated before each
+        iteration; when the score increases, the previous iteration's
+        factors are restored and the fit stops (validation-based early
+        stopping with rollback). A truthy non-callable uses the tracked
+        objective as the score. None/False (default) disables.
+    reset_topic_method : str or None, optional
+        Recovery for topics whose T row (or W column) collapses to zero
+        norm: ``'max_resid_document'`` (default) re-points the topic at
+        the row of ``[X - WT]_+`` with the largest squared residual;
+        ``'random'`` draws uniform entries; None disables resets
+        (required by the phase/sparse fast paths).
+    fix_reset_seed : bool, optional
+        Make reset randomness a pure function of the topic index (via
+        ``jax.random.fold_in``) so resets agree across replicas/shards —
+        the reference's "good for comparing to distributed computation"
+        switch, load-bearing here under GSPMD.
+    n_resets : int, optional
+        Total reset budget across the whole fit (default 23). Must be
+        finite for convergence; the remaining budget is returned as
+        ``n_resets_remaining``.
+    reg_w_l2, reg_t_l2 : float, optional
+        L2 penalty (times 0.5) on W columns / T rows. Positive favors
+        dense solutions, negative favors sparse ones; negative values
+        without a projection/row-sum bound make the objective unbounded
+        and return the reference's sentinel solution immediately.
+    reg_w_l1, reg_t_l1 : float, optional
+        L1 penalty on W / T. Positive sparsifies, negative densifies;
+        same unboundedness guard as above.
+    diagnostics : callable or list of callables, optional
+        Functions ``f(X, W, T)`` evaluated every iteration; results are
+        returned in ``rtv['diagnostics'][f.__name__]`` in call order.
+    store_gradients : bool, optional
+        Record every topic's W-update numerator/denominator pair per
+        iteration (the messages a distributed/private NMF would
+        exchange; used for privacy analysis). Returned stacked as
+        ``numer_W``/``denom_W`` dicts keyed by iteration.
+    ind_rows_to_store : list or None, optional
+        Restrict ``store_gradients`` capture to these rows (None =
+        all rows).
+    eps_gauss_t, delta_gauss_t : float or None, optional
+        When both set, apply the (eps, delta) Gaussian mechanism to each
+        T-update's numerator and denominator (sigma from the analytic
+        bound with the reference's fixed sensitivity constant
+        ``df2=1000``; denominators clamped at 0).
 
+    TPU-native parameters (no reference counterpart)
+    ------------------------------------------------
     dtype : optional
         Compute dtype. Defaults to ``X.dtype`` for float inputs, else the
         JAX default float (float64 under ``jax_enable_x64``, float32 on
@@ -190,6 +317,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         (~2⁻⁹ relative noise), flooring reachable reconstruction error near
         1e-3; pass ``'float32'`` to converge below that (≈1.5× slower
         GEMMs). The reference (f64 NumPy) has no counterpart.
+    accel : str, optional
+        ``'her'`` wraps the sweep with heuristic extrapolation with
+        restarts (Ang & Gillis 2019; :mod:`rri_nmf_tpu.ops.accel`):
+        momentum on the iterate sequence with an objective-checked
+        restart every sweep. Breaks the ill-conditioned convergence
+        plateau of plain RRI/HALS (the 1e-4 north-star criterion) at
+        roughly +40% per-sweep cost. Requires a dense unmasked config
+        without resets/gradient stores/DP, both factors free, single
+        device. Per-iteration strict monotonicity of ``obj_history`` is
+        traded for rate (restart sweeps may tick up before recovering);
+        extrapolation state is not checkpointed — a resumed run restarts
+        the momentum sequence. Default None (plain sweeps).
     sweeps_per_dispatch : int, optional
         Group this many sweeps into one jitted fori_loop per host dispatch.
         Only takes effect when no per-iteration host work is configured
@@ -200,10 +339,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     Returns
     -------
-    dict with keys ``'W'``, ``'T'``, ``'iter_cputime'``, ``'random_state'``,
-    plus ``'obj_history'``/``'obj_calculator'`` when
-    ``compute_obj_each_iter``, ``'diagnostics'`` when diagnostics given, and
-    ``'numer_W'``/``'denom_W'`` when ``store_gradients``.
+    dict
+        ``'W'`` (n, k) and ``'T'`` (k, d) factors as NumPy arrays;
+        ``'iter_cputime'`` — per-iteration elapsed-seconds stamps
+        (reference contract); ``'random_state'`` — the seed actually
+        used; ``'n_resets_remaining'`` — unused reset budget; plus
+        ``'obj_history'`` (list of objective values) and
+        ``'obj_calculator'`` (a live :class:`TrueObjComputer`) when
+        ``compute_obj_each_iter``; ``'diagnostics'`` when diagnostics
+        were given; ``'numer_W'``/``'denom_W'`` when
+        ``store_gradients``.
     """
     rtv = {}
 
@@ -585,6 +730,44 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     else:
         sweep_fn = make_sweep(cfg)
 
+    # ---- extrapolation (accel='her'): momentum + objective-checked
+    # restarts around the chosen sweep kernel (ops/accel.py) -----------------
+    her_state = None
+    _her_base = _her_obj = None
+    if accel is not None:
+        if accel != 'her':
+            raise ValueError("accel must be None or 'her'")
+        from rri_nmf_tpu.ops.accel import (
+            make_her_step, make_residual_obj, supports_her)
+        if (not supports_her(cfg) or sparse_mode or mesh is not None
+                or fix_W or fix_T):
+            raise ValueError(
+                "accel='her' requires a dense unmasked config with "
+                'reset_topic_method=None, no store_gradients, no DP '
+                'noise, both factors free, and no mesh')
+        _acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
+            else dtype
+        _her_base = sweep_fn
+        _her_obj = make_residual_obj(cfg)
+        _her_step = make_her_step(_her_base, _her_obj)
+        her_state = {}
+
+        def _her_init(W, T):
+            if not her_state:
+                her_state.update(
+                    Wy=W, Ty=T,
+                    beta=jnp.asarray(0.5, jnp.float32),
+                    e=jnp.asarray(jnp.inf, _acc_dt))
+
+        def sweep_fn(X, W, T, key, resets_left, reset_key, *extras):
+            _her_init(W, T)
+            W1, T1, Wy, Ty, b, e, key, resets_left = _her_step(
+                X, W, T, her_state['Wy'], her_state['Ty'],
+                her_state['beta'], her_state['e'], key, resets_left,
+                reset_key, *extras)
+            her_state.update(Wy=Wy, Ty=Ty, beta=b, e=e)
+            return W1, T1, key, resets_left
+
     key = jax.random.fold_in(jax.random.PRNGKey(random_state), 0)
     reset_key = jax.random.PRNGKey(random_state)
     resets_left = jnp.asarray(n_resets, dtype=jnp.int32)
@@ -676,6 +859,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _mesh_pallas_multis = {}
 
         def _get_multi(g):
+            if her_state is not None:
+                from rri_nmf_tpu.ops.accel import make_her_multi
+                multi_h = make_her_multi(_her_base, _her_obj, g)
+
+                def multi(X, W, T, key, resets_left, reset_key, *extras):
+                    _her_init(W, T)
+                    W1, T1, Wy, Ty, b, e, key, resets_left = multi_h(
+                        X, W, T, her_state['Wy'], her_state['Ty'],
+                        her_state['beta'], her_state['e'], key,
+                        resets_left, reset_key, *extras)
+                    her_state.update(Wy=Wy, Ty=Ty, beta=b, e=e)
+                    return W1, T1, key, resets_left
+                return multi
             if (mesh is not None and use_pallas) or sparse_mode:
                 # the sharded shard_map and sparse sweeps aren't covered by
                 # make_multi_sweep's registry; wrap them per fit

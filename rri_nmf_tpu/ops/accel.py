@@ -1,0 +1,145 @@
+"""Extrapolated sweeps: HER (heuristic extrapolation with restarts).
+
+RRI/HALS is an exact cyclic block-coordinate descent; its linear
+convergence rate degrades badly on ill-conditioned data — e.g. the
+U[0,1]-factor north-star class, where the mean-dominated spectrum stalls
+plain sweeps around 2e-3 relative error for thousands of sweeps in ANY
+precision (see ``benchmarks/results_round3_control.json``: the reference
+algorithm in float64 NumPy plateaus identically). The reference has no
+answer (its only iteration scheme is the plain sweep,
+``/root/reference/src/rri_nmf/nmf.py:415-478``).
+
+HER (Ang & Gillis, "Accelerating nonnegative matrix factorization
+algorithms using extrapolation", Neural Computation 2019) wraps any
+alternating update with momentum on the iterate sequence:
+
+- sweep from the *extrapolated* point ``(Wy, Ty)`` to get ``(W1, T1)``;
+- check the true objective; if it did not increase, extrapolate
+  ``Wy = [W1 + beta (W1 - W)]_+`` (same for T) and grow ``beta``
+  geometrically; on an increase, restart — drop the momentum
+  (``Wy = W1``) and halve ``beta``.
+
+The accepted iterates ``(W1, T1)`` are ordinary exact-BCD outputs (the
+extrapolated point only serves as the linearization point), so
+feasibility of the accepted sequence is preserved; monotonicity is
+enforced by the restart test itself, up to the one checked objective.
+
+The objective check uses an explicit blockwise residual, NOT the Gram
+identity ``||X||² - 2<WᵀX,T> + <G,G²>``: near the 1e-4 target the three
+~``||X||²``-sized Gram terms cancel to below f32 noise, while residual
+entries are differences whose squares sum forward-stable (the round-2
+measurement-integrity lesson, ``benchmarks/run_baselines.py``).
+
+Driver entry: ``nmf(..., accel='her')`` — dense unmasked configs without
+resets/gradient stores/DP, single device (the north-star fit class).
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def supports_her(cfg) -> bool:
+    """HER wraps any dense unmasked sweep whose per-sweep state is just
+    (W, T): no masks, resets, gradient stores, or DP noise."""
+    return (not cfg.masked
+            and cfg.reset_topic_method is None
+            and not cfg.store_gradients
+            and cfg.dp_sigma is None)
+
+
+@lru_cache(maxsize=32)
+def make_residual_obj(cfg, block_rows=4096):
+    """Jitted ``0.5||X - WT||² + regs`` via blockwise explicit residual
+    (forward-stable at 1e-4-scale errors; see module docstring)."""
+
+    def obj(X, W, T):
+        n, d = X.shape
+        k = W.shape[1]
+        acc = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16) \
+            else X.dtype
+        B = min(block_rows, n)
+        nb = n // B
+
+        def blk(i, s):
+            Xb = lax.dynamic_slice(X, (i * B, 0), (B, d))
+            Wb = lax.dynamic_slice(W, (i * B, 0), (B, k))
+            Rb = Xb.astype(acc) - jnp.dot(Wb, T,
+                                          preferred_element_type=acc)
+            return s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+
+        s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
+        rem = n - nb * B
+        if rem:
+            Rb = X[nb * B:].astype(acc) - jnp.dot(
+                W[nb * B:], T, preferred_element_type=acc)
+            s = s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+        o = 0.5 * s
+        Wa = W.astype(acc)
+        Ta = T.astype(acc)
+        if cfg.reg_w_l2:
+            o = o + 0.5 * cfg.reg_w_l2 * jnp.sum(Wa * Wa)
+        if cfg.reg_t_l2:
+            o = o + 0.5 * cfg.reg_t_l2 * jnp.sum(Ta * Ta)
+        if cfg.reg_w_l1:
+            o = o + cfg.reg_w_l1 * jnp.sum(jnp.abs(Wa))
+        if cfg.reg_t_l1:
+            o = o + cfg.reg_t_l1 * jnp.sum(jnp.abs(Ta))
+        return o
+
+    if cfg.matmul_precision is not None:
+        _obj_body = obj
+
+        def obj(*args):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _obj_body(*args)
+
+    return obj
+
+
+def _her_body(sweep_fn, obj_fn, gamma, beta_max):
+    """One HER step: sweep from the extrapolated point, objective check,
+    extrapolate or restart. State: (W, T, Wy, Ty, beta, e_prev)."""
+
+    def step(X, W, T, Wy, Ty, beta, e_prev, key, resets_left, reset_key,
+             *extras):
+        W1, T1, key, resets_left = sweep_fn(
+            X, Wy, Ty, key, resets_left, reset_key, *extras)
+        e = obj_fn(X, W1, T1)
+        ok = e <= e_prev
+        b = jnp.where(ok, jnp.minimum(beta * gamma, beta_max),
+                      beta * 0.5).astype(beta.dtype)
+        bcast = b.astype(W1.dtype)
+        Wy = jnp.where(ok, jnp.maximum(W1 + bcast * (W1 - W), 0), W1)
+        Ty = jnp.where(ok, jnp.maximum(T1 + bcast * (T1 - T), 0), T1)
+        return W1, T1, Wy, Ty, b, e.astype(e_prev.dtype), key, resets_left
+
+    return step
+
+
+@lru_cache(maxsize=32)
+def make_her_step(sweep_fn, obj_fn, gamma=1.05, beta_max=0.9999):
+    """Jitted single HER step (per-iteration driver loop)."""
+    return jax.jit(_her_body(sweep_fn, obj_fn, gamma, beta_max))
+
+
+@lru_cache(maxsize=32)
+def make_her_multi(sweep_fn, obj_fn, nsweeps, gamma=1.05, beta_max=0.9999):
+    """Jitted ``nsweeps`` HER steps in one dispatch (grouped fast path):
+    extrapolation and the objective-based restart run per sweep inside
+    the fori_loop."""
+    step = _her_body(sweep_fn, obj_fn, gamma, beta_max)
+
+    def multi(X, W, T, Wy, Ty, beta, e_prev, key, resets_left, reset_key,
+              *extras):
+        def body(i, c):
+            W, T, Wy, Ty, beta, e_prev, key, resets_left = c
+            return step(X, W, T, Wy, Ty, beta, e_prev, key, resets_left,
+                        reset_key, *extras)
+        return lax.fori_loop(
+            0, nsweeps, body,
+            (W, T, Wy, Ty, beta, e_prev, key, resets_left))
+
+    return jax.jit(multi)

@@ -1,0 +1,95 @@
+"""HER extrapolation (ops/accel.py; nmf(accel='her')).
+
+The reference has no acceleration scheme at all — HER is the rebuild's
+answer to the ill-conditioned convergence plateau documented by
+benchmarks/results_round3_control.json (reference algorithm in f64 NumPy
+stalls ~1.5e-3 on U[0,1]-factor data)."""
+
+import numpy as np
+import pytest
+
+from rri_nmf_tpu.nmf import nmf
+
+
+def _uniform_factor_problem(n=256, d=128, k=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, k) @ rng.rand(k, d)
+
+
+KW = dict(k=8, random_state=0, early_stop=False, update_order='phase',
+          reset_topic_method=None, eps_stop=0.0)
+
+
+def _rel(X, s):
+    return np.linalg.norm(X - s['W'] @ s['T']) / np.linalg.norm(X)
+
+
+def test_her_accelerates_uniform_factor_problem():
+    """At equal sweeps HER reaches a (much) lower error than plain
+    sweeps on the mean-dominated problem class, and stays finite and
+    feasible."""
+    X = _uniform_factor_problem()
+    plain = nmf(X, max_iter=120, **KW)
+    her = nmf(X, max_iter=120, accel='her', **KW)
+    r_plain, r_her = _rel(X, plain), _rel(X, her)
+    assert np.isfinite(r_her)
+    assert (her['W'] >= 0).all() and (her['T'] >= 0).all()
+    assert r_her < r_plain * 0.65, (r_her, r_plain)
+
+
+def test_her_grouped_dispatch_matches_per_iteration():
+    """The grouped fast path runs the same HER recursion as the
+    per-iteration loop."""
+    X = _uniform_factor_problem(seed=1)
+    a = nmf(X, max_iter=12, accel='her', **KW)
+    b = nmf(X, max_iter=12, accel='her', sweeps_per_dispatch=4, **KW)
+    assert np.allclose(a['W'], b['W'], atol=1e-12)
+    assert np.allclose(a['T'], b['T'], atol=1e-12)
+
+
+def test_her_with_constraints_and_regs():
+    """HER composes with the TM constraint set and regularizers; the
+    accepted iterates respect feasibility."""
+    X = _uniform_factor_problem(seed=2)
+    s = nmf(X, max_iter=40, accel='her', project_T_each_iter=True,
+            t_row_sum=1.0, w_row_sum=1.0, project_W_each_iter=True,
+            reg_w_l2=0.01, **KW)
+    assert np.allclose(s['W'].sum(1), 1.0, atol=1e-10)
+    assert np.allclose(s['T'].sum(1), 1.0, atol=1e-10)
+    assert (s['W'] >= -1e-15).all() and (s['T'] >= -1e-15).all()
+
+
+def test_her_objective_tracking_descends_overall():
+    """obj_history under HER: restart sweeps may tick up, but the run
+    must descend overall and end below the plain run."""
+    X = _uniform_factor_problem(seed=3)
+    kw = dict(KW, compute_obj_each_iter=True)
+    plain = nmf(X, max_iter=60, **kw)
+    her = nmf(X, max_iter=60, accel='her', **kw)
+    assert her['obj_history'][-1] <= plain['obj_history'][-1]
+    assert her['obj_history'][-1] < her['obj_history'][0]
+
+
+def test_her_interleaved_order():
+    """HER is kernel-agnostic: the interleaved (reference) update order
+    accelerates too."""
+    X = _uniform_factor_problem(seed=4)
+    kw = dict(KW)
+    kw.pop('update_order')
+    plain = nmf(X, max_iter=120, **kw)
+    her = nmf(X, max_iter=120, accel='her', **kw)
+    assert _rel(X, her) < _rel(X, plain) * 0.7
+
+
+def test_her_validation():
+    X = _uniform_factor_problem()
+    with pytest.raises(ValueError):
+        nmf(X, 8, accel='nope')
+    with pytest.raises(ValueError):        # masked
+        nmf(X, 8, accel='her', W_mat=np.ones_like(X), max_iter=2)
+    with pytest.raises(ValueError):        # resets on (default)
+        nmf(X, 8, accel='her', max_iter=2)
+    with pytest.raises(ValueError):        # fixed factor
+        nmf(X, 8, accel='her', fix_T=True, reset_topic_method=None,
+            T_in=np.abs(np.random.RandomState(0).rand(8, X.shape[1])),
+            max_iter=2)

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.optimization import qf_min_vector_c
+from rri_nmf_tpu.ops.sweep_xla import make_reset_factors
 
 # tile sizes: (BN, BD) f32 tiles of R and M live in VMEM simultaneously
 # plus small vector tiles; (512, 1024) measured fastest of
@@ -222,12 +223,19 @@ def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
 
 
 def supports_pallas(cfg) -> bool:
-    """Whether the fused kernel covers this config (else: XLA sweep)."""
+    """Whether the fused kernel covers this config (else: XLA sweep).
+
+    ``fix_T`` masked sweeps (the RS estimator's ``transform`` — the
+    production masked-inference path, reference
+    ``sklearn_interface.py:144-156``) run a W-phase-only variant: one
+    fused pass per topic instead of two, including that preset's
+    ``reset_topic_method='random'`` (a reset rebuilds the residual —
+    rare, and exactly the XLA sweep's semantics)."""
     return (cfg.masked
-            and cfg.reset_topic_method is None
+            and (cfg.reset_topic_method is None or cfg.fix_T)
             and not cfg.store_gradients
             and cfg.dp_sigma is None
-            and not cfg.fix_T and not cfg.fix_W)
+            and not cfg.fix_W)
 
 
 @lru_cache(maxsize=16)
@@ -263,6 +271,78 @@ def make_masked_sweep_pallas(cfg, interpret=False):
 
         pend_dw = jnp.zeros((npad,), dtype)
         pend_t = jnp.zeros((dpad,), dtype)
+
+        if cfg.fix_T:
+            # masked-inference fast path (W-phase only): per topic, ONE
+            # fused pass applies the previous topic's deferred W rank-one
+            # update (w_eff=0 disables kernel B's T-side update) and
+            # accumulates (M ⊙ R)·t_t and M·t_t² on the fly.
+            zeros_n = jnp.zeros((npad,), dtype)
+            reset_fn = (make_reset_factors(cfg)
+                        if cfg.reset_topic_method is not None else None)
+
+            def topic_body_fix_t(t, carry):
+                Wp, Tp, R, pend_dw, pend_t, key, resets_left = carry
+                w = Wp[:, t]
+                t_t = Tp[t]
+                R, Rt0, mt2 = _phase_b(R, Mp, pend_dw, zeros_n, pend_t,
+                                       t_t, interpret)
+                Rt0 = Rt0.reshape(-1)
+                mt2 = mt2.reshape(-1)
+                Rt = Rt0 + w * mt2          # rank-one restore
+
+                numer_w = Rt - cfg.reg_w_l1
+                denom_w = mt2 + cfg.reg_w_l2
+                ub = ubp if cfg.w_row_sum_is_vector else cfg.w_row_sum
+                w_new, _ = qf_min_vector_c(-numer_w, denom_w, s=None,
+                                           ub=ub)
+                Wp = Wp.at[:, t].set(w_new.astype(dtype))
+                pend_dw = w - w_new.astype(dtype)
+                pend_t = t_t
+
+                if reset_fn is not None:
+                    # dead-column reset, exactly the XLA sweep's
+                    # _check_reset_W semantics (reference nmf.py:786-816):
+                    # reset on the UNPADDED views (same key stream and
+                    # draw shapes as the XLA path), rebuild R, clear the
+                    # deferred update.
+                    def _dead(ops):
+                        def _do(ops):
+                            Wp, Tp, R, pend_dw, pend_t, key, rl = ops
+                            Wu, Tu, key = reset_fn(
+                                Xp[:n, :d], Wp[:n], Tp[:, :d], t, key,
+                                reset_key)
+                            Wp = Wp.at[:n].set(Wu)
+                            Tp = Tp.at[:, :d].set(Tu)
+                            R = Xp - Wp @ Tp
+                            return (Wp, Tp, R,
+                                    jnp.zeros((npad,), dtype),
+                                    jnp.zeros((dpad,), dtype), key,
+                                    rl - 1)
+
+                        Wp, Tp, R, pend_dw, pend_t, key, rl = ops
+                        return lax.cond(rl > 0, _do, lambda o: o, ops)
+
+                    ops = (Wp, Tp, R, pend_dw, pend_t, key, resets_left)
+                    Wp, Tp, R, pend_dw, pend_t, key, resets_left = \
+                        lax.cond(jnp.sum(Wp[:, t]) > 1e-10,
+                                 lambda o: o, _dead, ops)
+                return Wp, Tp, R, pend_dw, pend_t, key, resets_left
+
+            Wp, Tp, R, pend_dw, pend_t, key, resets_left = lax.fori_loop(
+                0, k, topic_body_fix_t,
+                (Wp, Tp, R, pend_dw, pend_t, key, resets_left))
+
+            if (cfg.project_W_each_iter
+                    and (cfg.w_row_sum is not None
+                         or cfg.w_row_sum_is_vector)):
+                if cfg.w_row_sum_is_vector:
+                    s_vec = ubp.astype(dtype)
+                else:
+                    s_vec = jnp.full((npad,), cfg.w_row_sum, dtype=dtype)
+                Wp = jax.vmap(_proj_simplex_core)(Wp, s_vec)
+
+            return Wp[:n], Tp[:, :d], key, resets_left
 
         def topic_body(t, carry):
             Wp, Tp, R, pend_dw, pend_t = carry

@@ -254,38 +254,11 @@ def make_objective(masked: bool, row_weighted: bool,
     return jax.jit(objective)
 
 
-@lru_cache(maxsize=64)
-def make_sweep(cfg: SweepConfig):
-    """Build the jitted one-sweep function for a static config.
-
-    Returned callable signature::
-
-        sweep(X, W, T, key, resets_left, reset_key, *extras)
-            -> (W, T, key, resets_left [, numer_store, denom_store])
-
-    where ``extras`` is ``(W_mat,)`` if ``cfg.masked`` and additionally
-    ``(w_row_sum_vec,)`` if ``cfg.w_row_sum_is_vector`` (in that order).
-    ``resets_left`` is the global finite reset budget carried across
-    iterations (reference ``nmf.py:192-193,765-769``).
-    """
-    k = cfg.k
+def make_reset_factors(cfg: SweepConfig):
+    """Topic-reset builder shared by the XLA sweep and the fused
+    masked kernels: returns ``reset(X, W, T, t, key, reset_key)
+    -> (W, T, key)`` implementing ``cfg.reset_topic_method``."""
     method = cfg.reset_topic_method
-
-    # ----- shared pieces -------------------------------------------------
-
-    def _maybe_reproject_t_row(T, t):
-        """Re-project T[t] if it drifted off the simplex
-        (reference ``nmf.py:759-761``; threshold 1e-15)."""
-        if not (cfg.t_row_sum and cfg.project_T_each_iter):
-            return T
-        trs = cfg.t_row_sum
-
-        def _proj(T):
-            row = _proj_simplex_core(T[t], jnp.asarray(trs, dtype=T.dtype))
-            return T.at[t].set(row)
-
-        return lax.cond(jnp.abs(jnp.sum(T[t]) - trs) > 1e-15,
-                        _proj, lambda T: T, T)
 
     def _reset_factors(X, W, T, t, key, reset_key):
         """Shared topic-reset: sets T[t] and W[:,t]
@@ -410,6 +383,43 @@ def make_sweep(cfg: SweepConfig):
             return W, T, key
         else:
             raise ValueError('unknown reset_topic_method %r' % (method,))
+    return _reset_factors
+
+
+@lru_cache(maxsize=64)
+def make_sweep(cfg: SweepConfig):
+    """Build the jitted one-sweep function for a static config.
+
+    Returned callable signature::
+
+        sweep(X, W, T, key, resets_left, reset_key, *extras)
+            -> (W, T, key, resets_left [, numer_store, denom_store])
+
+    where ``extras`` is ``(W_mat,)`` if ``cfg.masked`` and additionally
+    ``(w_row_sum_vec,)`` if ``cfg.w_row_sum_is_vector`` (in that order).
+    ``resets_left`` is the global finite reset budget carried across
+    iterations (reference ``nmf.py:192-193,765-769``).
+    """
+    k = cfg.k
+    method = cfg.reset_topic_method
+
+    # ----- shared pieces -------------------------------------------------
+
+    def _maybe_reproject_t_row(T, t):
+        """Re-project T[t] if it drifted off the simplex
+        (reference ``nmf.py:759-761``; threshold 1e-15)."""
+        if not (cfg.t_row_sum and cfg.project_T_each_iter):
+            return T
+        trs = cfg.t_row_sum
+
+        def _proj(T):
+            row = _proj_simplex_core(T[t], jnp.asarray(trs, dtype=T.dtype))
+            return T.at[t].set(row)
+
+        return lax.cond(jnp.abs(jnp.sum(T[t]) - trs) > 1e-15,
+                        _proj, lambda T: T, T)
+
+    _reset_factors = make_reset_factors(cfg)
 
     def _project_and_check_reset_t(X, W, T, R, t, key, resets_left,
                                    reset_key, W_mat=None):

@@ -46,6 +46,7 @@ def supports_sharded_pallas(cfg) -> bool:
     re-projection (a cross-shard sort; the XLA mesh path handles that
     config instead)."""
     return (supports_pallas(cfg) and not cfg.w_row_sum_is_vector
+            and not cfg.fix_T  # single-device kernel's W-only variant
             and not (cfg.project_T_each_iter and cfg.t_row_sum))
 
 

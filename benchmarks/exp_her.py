@@ -44,10 +44,13 @@ def make_problem(sparsity, seed=0):
         return X
 
     X = gen(jax.random.PRNGKey(seed))
+    print('  [gen done, fetching norm probe]', float(jnp.sum(X[0, :8])),
+          flush=True)
     from rri_nmf_tpu.initialization import initialize_nmf
     with jax.default_matmul_precision('float32'):
         W0, T0 = initialize_nmf(X, K, 'nndsvd', random_state=0,
                                 svd_backend='jax')
+    print('  [init done]', flush=True)
     rowsq = jnp.sum(X.astype(jnp.float32) ** 2, axis=1)
     xnorm = float(np.sqrt(np.sum(np.asarray(rowsq, np.float64))))
     return X, jnp.asarray(W0, jnp.float32), jnp.asarray(T0, jnp.float32), \
@@ -116,8 +119,10 @@ def run(X, W0, T0, xnorm, inner_reps=4, her=True, max_sweeps=2000,
     key = jax.random.PRNGKey(1)
     resets = jnp.asarray(0, jnp.int32)
     # compile
+    print('  [compiling block her=%s]' % her, flush=True)
     out = block(X, W, T, Wy, Ty, beta, e_prev, key, resets)
     float(out[5])
+    print('  [compile done]', flush=True)
 
     t0 = time.perf_counter()
     sweeps = 0

@@ -107,7 +107,7 @@ def test_sharded_mxu_matches_single_device():
     Xd = np.abs(rng.rand(300, 260))
     Xd[Xd < 0.8] = 0.0
     Xs = sp.csr_matrix(Xd)
-    kw = dict(k=6, max_iter=4, random_state=0, early_stop=False,
+    kw = dict(k=6, max_iter=3, random_state=0, early_stop=False,
               update_order='phase', reset_topic_method=None,
               compute_obj_each_iter=True, eps_stop=0)
     single = nmf(Xs, sparse='mxu', **kw)
@@ -117,8 +117,10 @@ def test_sharded_mxu_matches_single_device():
         assert np.allclose(single['W'], sharded['W'], atol=1e-11), shape
         assert np.allclose(single['obj_history'], sharded['obj_history'],
                            atol=1e-9), shape
-        bcoo = nmf(Xs, sparse=True, mesh=mesh, **kw)
-        assert np.allclose(bcoo['W'], sharded['W'], atol=1e-11), shape
+    # BCOO cross-check on the 2-D mesh only (the (8,1) BCOO path is
+    # covered by tests/test_sparse_mesh.py)
+    bcoo = nmf(Xs, sparse=True, mesh=mesh, **kw)
+    assert np.allclose(bcoo['W'], sharded['W'], atol=1e-11)
 
 
 def test_sharded_mxu_inner_reps_and_empty_device():

@@ -156,6 +156,11 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
     if jnp.dtype(dtype) != jnp.dtype(acc_dt):
         # 16-bit tiles: the GS loop runs on an f32 scratch (see kernel)
         scratch = [pltpu.VMEM((k, B), acc_dt)]
+    # Mosaic double-buffers the streamed N/F/out tiles, so the working
+    # set is ~2x the resident tiles; the default 16 MB scoped-vmem limit
+    # rejects the k=256 B=4096 configuration (24 MB) that the hardware
+    # (128 MB VMEM on v5e/v5p) runs fine. Budget explicitly instead.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     return pl.pallas_call(
         _make_gs_kernel(k, reg_l1, reg_l2, bound, ub is not None, acc_dt,
                         reps=reps),
@@ -166,6 +171,7 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
         out_shape=jax.ShapeDtypeStruct((k, B * nblk), dtype),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
             flops=2 * k * k * B * nblk * reps,
             # deliberately NOT scaled by reps: the inner passes re-read the

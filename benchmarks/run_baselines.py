@@ -121,6 +121,11 @@ def cfg_cpu_parity():
     # cross sk_err (obj tracking off during timing — its 2x penalty,
     # reference nmf.py:143-146, would distort the comparison)
     def ours_to_err(**kw):
+        # warm the jit cache first: the reference loop pays no compile,
+        # so including ours in the timed wall would measure XLA's
+        # compiler, not the solver (compile is once per config ever)
+        nmf(X, k, max_iter=1, random_state=0, early_stop=False,
+            reset_topic_method=None, **kw)
         our_time = 0.0
         iters = 0
         W_in, T_in = [], []

@@ -84,7 +84,7 @@ def main():
 
     out = []
     for name, cfg in configs:
-        if supports_dense_pallas(cfg):
+        if supports_dense_pallas(cfg, d=D):
             sweep = make_dense_phase_sweep_pallas(cfg)
             kernel = 'dense_pallas'
         else:

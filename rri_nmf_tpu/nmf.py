@@ -666,7 +666,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         dense_pallas_ok = supports_sharded_dense(cfg)
     else:
         pallas_ok = supports_pallas(cfg)
-        dense_pallas_ok = supports_dense_pallas(cfg)
+        dense_pallas_ok = supports_dense_pallas(
+            cfg, d=d, narrow=dtype in (jnp.bfloat16, jnp.float16))
     if use_pallas is None:
         # auto: fused kernels on accelerators. bf16 exception is
         # MASKED-only: the XLA masked sweep measures fastest for bf16

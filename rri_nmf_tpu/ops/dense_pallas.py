@@ -78,14 +78,50 @@ def _pick_block(m, quantum, k=128, narrow=False, cap=BLOCK_CAP):
     return mpad, quantum
 
 
-def supports_dense_pallas(cfg) -> bool:
-    """Whether the fused dense GS kernels cover this config."""
+# VMEM budget for the projected T-phase kernel: it holds the WHOLE
+# (k, dpad) numerator + factor panels (+ f32 scratch for 16-bit storage)
+# resident at once — no column blocking, because the simplex threshold
+# couples all d columns of a row. 28 MB is inside the envelope the GS
+# kernels already use in production (k=256 B=4096 double-buffered tiles
+# = 24 MB under the explicit 100 MB scoped-vmem limit).
+TM_PROJ_VMEM_BUDGET = 28 * 2**20
+
+
+def tm_proj_fits(k, d, narrow=False) -> bool:
+    """Whether the fused projected T-phase panels fit the VMEM budget."""
+    dpad = _round_up(d, BD)
+    bufs = 4 if narrow else 3      # N, F, out (+ f32 scratch when narrow)
+    return bufs * k * dpad * 4 + k * (k + 1) * 4 <= TM_PROJ_VMEM_BUDGET
+
+
+def _supports_base(cfg) -> bool:
     return (not cfg.masked
             and cfg.update_order == 'phase'
             and cfg.reset_topic_method is None
-            and not cfg.project_T_each_iter
             and not cfg.store_gradients
             and cfg.dp_sigma is None)
+
+
+def _tm_proj_active(cfg) -> bool:
+    """Whether the T-phase needs the whole-row projected kernel."""
+    return bool(cfg.project_T_each_iter and cfg.t_row_sum
+                and not cfg.fix_T)
+
+
+def supports_dense_pallas(cfg, d=None, narrow=False) -> bool:
+    """Whether the fused dense GS kernels cover this config.
+
+    ``project_T_each_iter`` with a sum constraint is covered by the fused
+    projected T-phase kernel (in-kernel Michelot simplex projections) —
+    but only when the caller supplies the column count ``d`` and the
+    whole (k, d) panel fits VMEM (:func:`tm_proj_fits`); shape-blind
+    callers (e.g. the sharded dense sweep) keep the conservative answer.
+    """
+    if not _supports_base(cfg):
+        return False
+    if _tm_proj_active(cfg):
+        return d is not None and tm_proj_fits(cfg.k, int(d), narrow)
+    return True
 
 
 def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt,
@@ -182,6 +218,132 @@ def _gs_call(k, B, nblk, reg_l1, reg_l2, bound, acc_dt, dtype,
     )(*args)
 
 
+def _make_tm_proj_kernel(k, d, dpad, reg_l1, reg_l2, s, acc_dt, reps):
+    """Projected Gauss-Seidel T-phase over the whole VMEM-resident (k, dpad)
+    panel: per topic, the Gram-corrected numerator row, the ``qf_min``
+    scalar-curvature solve (reference ``optimization.py:51-74`` with the
+    sum constraint ``s``), and an EXACT in-kernel simplex projection.
+
+    The projection is Michelot's (1986) active-set fixpoint instead of the
+    Duchi sort: iterate ``tau <- (sum_{v>tau} v - s) / |{v>tau}|`` from the
+    full-support threshold; the active set shrinks monotonically and the
+    fixpoint is exactly the sort-based threshold, so the result equals
+    ``matrixops._proj_simplex_core`` up to summation rounding. Each
+    iteration is two masked VPU reductions over a VMEM row — no sort, no
+    per-topic kernel dispatch. (The XLA phase sweep pays ~27 us *per
+    serialized projection* at d=8192 on TPU — sort, top-k, or Michelot
+    alike, it's the per-step dispatch floor, benchmarks/exp_proj.py; in
+    here the loop is free.)
+
+    Padded columns (``col >= d``) are masked out of every reduction and
+    never receive mass — the thresholds match the unpadded d-vector's.
+    """
+
+    def kernel(*refs):
+        G_ref, diag_ref, N_ref, F_ref, out_ref = refs[:5]
+        narrow = refs[-1] if out_ref.dtype != acc_dt else None
+        work = narrow if narrow is not None else out_ref
+        work[:] = F_ref[:].astype(work.dtype)
+        col = lax.broadcasted_iota(jnp.int32, (1, dpad), 1)
+        valid = col < d
+        s_c = jnp.asarray(s, acc_dt)
+        zero = jnp.zeros((1, dpad), acc_dt)
+
+        def proj(v):
+            """Exact simplex projection of a nonneg (1, dpad) row, zero on
+            padding; includes `_proj_simplex_core`'s already-feasible
+            shortcut."""
+            sv = jnp.sum(v)
+            on = jnp.logical_and(sv == s_c, jnp.min(v) >= 0)
+
+            def cond_f(st):
+                _tau, _m, changed, it = st
+                return jnp.logical_and(changed, it < d + 2)
+
+            def body_f(st):
+                tau, m_prev, _ch, it = st
+                active = jnp.logical_and(valid, v > tau)
+                m = jnp.sum(active, dtype=jnp.int32)
+                ssum = jnp.sum(jnp.where(active, v, zero))
+                tau2 = (ssum - s_c) / jnp.maximum(m, 1).astype(acc_dt)
+                return tau2, m, m != m_prev, it + 1
+
+            tau0 = (sv - s_c) / jnp.asarray(d, acc_dt)
+            tau, _, _, _ = lax.while_loop(
+                cond_f, body_f,
+                (tau0, jnp.asarray(d + 1, jnp.int32),
+                 jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+            x = jnp.where(jnp.logical_and(valid, v > tau), v - tau, zero)
+            return jnp.where(on, v, x)
+
+        def body(t, _):
+            g = G_ref[pl.ds(t, 1), :]                    # (1, k)
+            corr = lax.dot_general(
+                g, work[:].astype(acc_dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt)           # (1, dpad)
+            gtt = diag_ref[pl.ds(t, 1), :]               # (1, 1)
+            fold = work[pl.ds(t, 1), :].astype(acc_dt)
+            numer = N_ref[pl.ds(t, 1), :] - corr + gtt * fold - reg_l1
+            denom = gtt + reg_l2
+            # positive-curvature branch: [numer]+ / denom, then project
+            v = jnp.where(valid,
+                          jnp.maximum(numer, 0.0)
+                          / (denom + EPS_DIV_BY_ZERO), zero)
+            x_pos = proj(v)
+            # concave/flat branch: all mass on the first least-cost
+            # coordinate (argmin of -numer, first-index tie-break)
+            wneg = jnp.where(valid, -numer,
+                             jnp.asarray(jnp.inf, acc_dt))
+            mn = jnp.min(wneg)
+            idx = jnp.min(jnp.where(wneg == mn, col, dpad))
+            x_vert = jnp.where(col == idx, s_c, zero)
+            row = jnp.where(denom > 0, x_pos, x_vert)
+            # drift re-projection (sweep_xla._maybe_reproject_t_row,
+            # reference nmf.py:759-761): re-project unless the stored row
+            # sums to s within 1e-15
+            row2 = proj(row)
+            drift = jnp.abs(jnp.sum(row) - s_c) > 1e-15
+            row = jnp.where(drift, row2, row)
+            work[pl.ds(t, 1), :] = row.astype(work.dtype)
+            return 0
+
+        def rep(r, _):
+            lax.fori_loop(0, k, body, 0)
+            return 0
+
+        lax.fori_loop(0, reps, rep, 0)
+        if narrow is not None:
+            out_ref[:] = work[:].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _tm_proj_call(k, d, dpad, reg_l1, reg_l2, s, acc_dt, dtype,
+                  G, diag, N, F, interpret=False, reps=1):
+    """Run the projected T-phase kernel on whole VMEM-resident panels."""
+    narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
+    assert tm_proj_fits(k, d, narrow), \
+        'projected T-phase panels exceed the VMEM budget'
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((k, dpad), acc_dt)] if narrow else []
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    return pl.pallas_call(
+        _make_tm_proj_kernel(k, d, dpad, reg_l1, reg_l2, s, acc_dt,
+                             reps),
+        in_specs=[spec] * 4,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((k, dpad), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * k * dpad * reps,
+            bytes_accessed=3 * k * dpad * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+    )(G, diag, N, F)
+
+
 @lru_cache(maxsize=16)
 def make_dense_phase_sweep_pallas(cfg, interpret=False):
     """Build the dense phase sweep (XLA GEMMs + fused GS kernels). Same
@@ -191,7 +353,7 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         sweep(X, W, T, key, resets_left, reset_key[, w_row_sum_vec])
             -> (W, T, key, resets_left)
     """
-    assert supports_dense_pallas(cfg), \
+    assert _supports_base(cfg), \
         'config not supported by the dense GS kernels'
     k = cfg.k
 
@@ -224,9 +386,19 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
                 Tk = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
             else:
                 Tk = T
-            Tk = _gs_call(k, bd, dpad // bd, cfg.reg_t_l1, cfg.reg_t_l2,
-                          t_bound, acc_dt, dtype, G, diag, WX, Tk,
-                          interpret=interpret, reps=cfg.inner_reps)
+            if _tm_proj_active(cfg):
+                # per-topic simplex projection: whole-row kernel (the
+                # threshold couples all d columns, so no column blocking)
+                Tk = _tm_proj_call(k, d, dpad, cfg.reg_t_l1,
+                                   cfg.reg_t_l2, float(cfg.t_row_sum),
+                                   acc_dt, dtype, G, diag, WX, Tk,
+                                   interpret=interpret,
+                                   reps=cfg.inner_reps)
+            else:
+                Tk = _gs_call(k, bd, dpad // bd, cfg.reg_t_l1,
+                              cfg.reg_t_l2, t_bound, acc_dt, dtype, G,
+                              diag, WX, Tk, interpret=interpret,
+                              reps=cfg.inner_reps)
             # negative L1 can grow the zero-padded columns; slice exactly
             T = Tk[:, :d]
 

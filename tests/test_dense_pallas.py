@@ -106,6 +106,101 @@ def test_dense_pallas_vector_w_bound():
     assert np.allclose(Wx, Wp, atol=1e-9)
 
 
+@pytest.mark.parametrize('shape', [(60, 40, 8),     # heavy padding
+                                   (50, 1100, 5),   # d beyond one block
+                                   (40, 37, 5)])
+def test_tm_proj_kernel_matches_xla(shape):
+    """The fused projected T-phase kernel (in-kernel Michelot simplex
+    projections) equals the XLA phase sweep's per-topic Duchi path on the
+    full TM preset (project_T_each_iter + t_row_sum + w_row_sum)."""
+    n, d, k = shape
+    X, W0, T0 = _problem(n, d, k, seed=8)
+    T0 = T0 / T0.sum(axis=1, keepdims=True)
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0,
+                      w_row_sum=1.0, project_W_each_iter=True)
+    assert supports_dense_pallas(cfg, d=d)
+    assert not supports_dense_pallas(cfg)           # shape-blind: no
+    assert not supports_dense_pallas(cfg, d=10**8)  # beyond VMEM: no
+    Wx, Tx = _run(make_sweep(cfg), X, W0, T0)
+    Wp, Tp = _run(make_dense_phase_sweep_pallas(cfg, interpret=True),
+                  X, W0, T0)
+    assert np.allclose(Tx, Tp, atol=1e-11), np.abs(Tx - Tp).max()
+    assert np.allclose(Wx, Wp, atol=1e-11), np.abs(Wx - Wp).max()
+    assert np.max(np.abs(Tp.sum(axis=1) - 1.0)) < 1e-12
+
+
+def test_tm_proj_kernel_mass_spreading_respects_padding():
+    """When the numerator row is mostly non-positive the projection must
+    SPREAD mass (negative threshold) — onto real columns only, never the
+    zero-padded tail of the (k, dpad) panel."""
+    n, d, k = 50, 30, 4   # dpad = 1024 >> d
+    X, W0, T0 = _problem(n, d, k, seed=9)
+    X = 1e-3 * X          # tiny data + large L1 => mostly-negative numer
+    T0 = T0 / T0.sum(axis=1, keepdims=True)
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0,
+                      reg_t_l1=0.5)
+    Wx, Tx = _run(make_sweep(cfg), X, W0, T0, iters=2)
+    Wp, Tp = _run(make_dense_phase_sweep_pallas(cfg, interpret=True),
+                  X, W0, T0, iters=2)
+    assert np.allclose(Tx, Tp, atol=1e-11), np.abs(Tx - Tp).max()
+    assert np.allclose(Wx, Wp, atol=1e-11)
+    # mass stayed on the d real columns
+    assert np.max(np.abs(Tp.sum(axis=1) - 1.0)) < 1e-12
+
+
+def test_tm_proj_kernel_dead_topic_vertex_branch():
+    """denom == 0 (dead W column, no L2) takes the concave vertex branch:
+    all mass on the first least-cost coordinate, same as the XLA path."""
+    n, d, k = 50, 40, 4
+    X, W0, T0 = _problem(n, d, k, seed=10)
+    W0[:, 1] = 0.0
+    T0 = T0 / T0.sum(axis=1, keepdims=True)
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0,
+                      w_row_sum=1.0)
+    Wx, Tx = _run(make_sweep(cfg), X, W0, T0, iters=2)
+    Wp, Tp = _run(make_dense_phase_sweep_pallas(cfg, interpret=True),
+                  X, W0, T0, iters=2)
+    assert np.allclose(Tx, Tp, atol=1e-11)
+    assert np.allclose(Wx, Wp, atol=1e-11)
+
+
+def test_tm_proj_kernel_inner_reps():
+    """inner_reps > 1 re-runs the projected topic loop in-kernel; each
+    pass is exact cyclic BCD, matching the XLA blocked path."""
+    n, d, k = 60, 45, 6
+    X, W0, T0 = _problem(n, d, k, seed=11)
+    T0 = T0 / T0.sum(axis=1, keepdims=True)
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0,
+                      inner_reps=3)
+    Wx, Tx = _run(make_sweep(cfg), X, W0, T0, iters=2)
+    Wp, Tp = _run(make_dense_phase_sweep_pallas(cfg, interpret=True),
+                  X, W0, T0, iters=2)
+    assert np.allclose(Tx, Tp, atol=1e-11)
+    assert np.allclose(Wx, Wp, atol=1e-11)
+
+
+def test_tm_preset_driver_monotone():
+    """End-to-end nmf() on the TM preset via the projected kernel stays
+    monotone and matches the XLA path (the driver now routes
+    project_T_each_iter configs to the fused kernel when the panel
+    fits)."""
+    from rri_nmf_tpu.nmf import nmf
+    X, _, _ = _problem(70, 50, 5, seed=12)
+    kw = dict(k=5, max_iter=8, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase', project_T_each_iter=True,
+              t_row_sum=1.0, w_row_sum=1.0)
+    pa = nmf(X, use_pallas='interpret', **kw)
+    xl = nmf(X, use_pallas=False, **kw)
+    assert np.all(np.diff(pa['obj_history']) <= 1e-12)
+    assert np.allclose(pa['W'], xl['W'], atol=1e-9)
+    assert np.allclose(pa['T'], xl['T'], atol=1e-9)
+
+
 def test_dense_pallas_driver_auto_monotone():
     """End-to-end: the nmf() driver on the dense Pallas path (forced via
     use_pallas='interpret') keeps the objective monotone and matches the

@@ -663,7 +663,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.parallel.sharded_pallas import \
             supports_sharded_pallas
         pallas_ok = supports_sharded_pallas(cfg)
-        dense_pallas_ok = supports_sharded_dense(cfg)
+        dense_pallas_ok = supports_sharded_dense(
+            cfg, d=d, narrow=dtype in (jnp.bfloat16, jnp.float16))
     else:
         pallas_ok = supports_pallas(cfg)
         dense_pallas_ok = supports_dense_pallas(

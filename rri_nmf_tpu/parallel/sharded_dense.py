@@ -11,6 +11,13 @@ nothing proportional to X moves:
   ``dp``). T columns are independent within the phase, so each device's
   GS kernel on its local ``(k, d_loc)`` T tile IS the global Gauss-Seidel
   update restricted to its columns — bitwise the same subproblems.
+  The TM preset's per-topic simplex projection breaks that column
+  independence (one threshold per whole row): for those configs the
+  numerator + factor panels are all_gathered over ``tp`` (raising the
+  T-phase wire term from ``k·d/tp`` to ``2·k·d`` per device) and the
+  exact whole-panel projected kernel
+  (:func:`rri_nmf_tpu.ops.dense_pallas._make_tm_proj_kernel`) runs
+  replicated per tp rank; each device keeps its local columns.
 - W-phase: ``G₂ = TTᵀ`` (k×k, psum over ``tp``) and ``T X_locᵀ``
   (k × n/dp, psum over ``tp``); W rows are independent, same argument.
 
@@ -41,14 +48,18 @@ except ImportError:  # pragma: no cover
 
 from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.ops.dense_pallas import (
-    BD, BN, _gs_call, _pick_block, _round_up, supports_dense_pallas)
+    BD, BN, _gs_call, _pick_block, _round_up, _tm_proj_active,
+    _tm_proj_call, supports_dense_pallas, tm_proj_fits)
 
 
-def supports_sharded_dense(cfg) -> bool:
+def supports_sharded_dense(cfg, d=None, narrow=False) -> bool:
     """Config coverage: the single-chip dense GS kernels' restrictions
-    (phase order, unmasked, no resets/stores/DP, no per-topic T
-    projection)."""
-    return supports_dense_pallas(cfg)
+    (phase order, unmasked, no resets/stores/DP). The TM preset's
+    per-topic T simplex projection IS covered (whole-row projected
+    kernel on tp-gathered panels) when the caller supplies ``d`` and the
+    full ``(k, d)`` panel fits the VMEM budget — shape-blind callers get
+    the conservative answer, matching :func:`supports_dense_pallas`."""
+    return supports_dense_pallas(cfg, d=d, narrow=narrow)
 
 
 @lru_cache(maxsize=16)
@@ -60,7 +71,8 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         sweep(X, W, T, key, resets_left, reset_key[, w_row_sum_vec])
             -> (W, T, key, resets_left)
     """
-    assert supports_sharded_dense(cfg), \
+    from rri_nmf_tpu.ops.dense_pallas import _supports_base
+    assert _supports_base(cfg), \
         'config not supported by the sharded dense GS kernels'
     k = cfg.k
     dp, tp = mesh.axis_names
@@ -71,70 +83,98 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                if (cfg.w_row_sum is not None
                    and not cfg.w_row_sum_is_vector) else float('inf'))
 
-    def local_sweep(X, W, T, ub_vec):
-        # per-device code on local tiles: X (n_loc, d_loc), W (n_loc, k),
-        # T (k, d_loc); ub_vec (n_loc,) or None
-        n_loc, d_loc = X.shape
-        dtype = X.dtype
-        acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
-            else dtype
-
-        # ---------------- T-phase --------------------------------------
-        if not cfg.fix_T:
-            G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc_dt),
-                         dp)
-            diag = jnp.diagonal(G).reshape(k, 1)
-            WX = lax.psum(
-                lax.dot_general(W, X, (((0,), (0,)), ((), ())),
-                                preferred_element_type=acc_dt), dp)
+    def make_local_sweep(d_glob):
+        # ``d_glob`` is the TRUE (unpadded) global column count — the
+        # projected T-phase kernel must mask the global padding out of its
+        # simplex thresholds, so the shard_map body is built per shape.
+        def local_sweep(X, W, T, ub_vec):
+            # per-device code on local tiles: X (n_loc, d_loc), W
+            # (n_loc, k), T (k, d_loc); ub_vec (n_loc,) or None
+            n_loc, d_loc = X.shape
+            dtype = X.dtype
+            acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
+                else dtype
             narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
-            _, bd = _pick_block(d_loc, BD, k=k, narrow=narrow)
-            T = _gs_call(k, bd, d_loc // bd, cfg.reg_t_l1, cfg.reg_t_l2,
-                         t_bound, acc_dt, dtype, G, diag, WX, T,
-                         interpret=interpret, reps=cfg.inner_reps)
 
-        # ---------------- W-phase --------------------------------------
-        if not cfg.fix_W:
-            G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc_dt),
-                          tp)
-            diag2 = jnp.diagonal(G2).reshape(k, 1)
-            XTt = lax.psum(
-                lax.dot_general(T, X, (((1,), (1,)), ((), ())),
-                                preferred_element_type=acc_dt), tp)
-            ub = None
-            if cfg.w_row_sum_is_vector:
-                ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
-            narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
-            _, bn = _pick_block(n_loc, BN, k=k, narrow=narrow)
-            Wt = _gs_call(k, bn, n_loc // bn, cfg.reg_w_l1, cfg.reg_w_l2,
-                          w_bound, acc_dt, dtype, G2, diag2, XTt, W.T,
-                          ub=ub, interpret=interpret, reps=cfg.inner_reps)
-            W = Wt.T
+            # ---------------- T-phase ----------------------------------
+            if not cfg.fix_T:
+                G = lax.psum(
+                    jnp.dot(W.T, W, preferred_element_type=acc_dt), dp)
+                diag = jnp.diagonal(G).reshape(k, 1)
+                WX = lax.psum(
+                    lax.dot_general(W, X, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=acc_dt), dp)
+                if _tm_proj_active(cfg):
+                    # the per-topic simplex threshold couples ALL d
+                    # columns of a row, so the projected kernel needs
+                    # whole rows: gather the numerator + factor panels
+                    # over ``tp`` (2·k·d floats of ICI per device per
+                    # sweep, vs k·d/tp unprojected), run the exact
+                    # whole-panel projected kernel replicated per tp
+                    # rank, keep the local columns. Redundant compute,
+                    # zero extra wall-clock vs compute-then-broadcast.
+                    WXg = lax.all_gather(WX, tp, axis=1, tiled=True)
+                    Tg = lax.all_gather(T, tp, axis=1, tiled=True)
+                    Tg = _tm_proj_call(
+                        k, d_glob, d_loc * tp_size, cfg.reg_t_l1,
+                        cfg.reg_t_l2, float(cfg.t_row_sum), acc_dt,
+                        dtype, G, diag, WXg, Tg, interpret=interpret,
+                        reps=cfg.inner_reps)
+                    T = lax.dynamic_slice_in_dim(
+                        Tg, lax.axis_index(tp) * d_loc, d_loc, axis=1)
+                else:
+                    _, bd = _pick_block(d_loc, BD, k=k, narrow=narrow)
+                    T = _gs_call(k, bd, d_loc // bd, cfg.reg_t_l1,
+                                 cfg.reg_t_l2, t_bound, acc_dt, dtype,
+                                 G, diag, WX, T, interpret=interpret,
+                                 reps=cfg.inner_reps)
 
-        # per-iteration W row projection: rows are dp-local, no
-        # communication. Padded rows project to garbage but are sliced
-        # away by the caller.
-        if (cfg.project_W_each_iter and not cfg.fix_W
-                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
-            if cfg.w_row_sum_is_vector:
-                s_vec = ub_vec.astype(dtype)
-            else:
-                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
-            W = jax.vmap(_proj_simplex_core)(W, s_vec)
-        return W, T
+            # ---------------- W-phase ----------------------------------
+            if not cfg.fix_W:
+                G2 = lax.psum(
+                    jnp.dot(T, T.T, preferred_element_type=acc_dt), tp)
+                diag2 = jnp.diagonal(G2).reshape(k, 1)
+                XTt = lax.psum(
+                    lax.dot_general(T, X, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=acc_dt), tp)
+                ub = None
+                if cfg.w_row_sum_is_vector:
+                    ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
+                _, bn = _pick_block(n_loc, BN, k=k, narrow=narrow)
+                Wt = _gs_call(k, bn, n_loc // bn, cfg.reg_w_l1,
+                              cfg.reg_w_l2, w_bound, acc_dt, dtype, G2,
+                              diag2, XTt, W.T, ub=ub, interpret=interpret,
+                              reps=cfg.inner_reps)
+                W = Wt.T
+
+            # per-iteration W row projection: rows are dp-local, no
+            # communication. Padded rows project to garbage but are
+            # sliced away by the caller.
+            if (cfg.project_W_each_iter and not cfg.fix_W
+                    and (cfg.w_row_sum is not None
+                         or cfg.w_row_sum_is_vector)):
+                if cfg.w_row_sum_is_vector:
+                    s_vec = ub_vec.astype(dtype)
+                else:
+                    s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+                W = jax.vmap(_proj_simplex_core)(W, s_vec)
+            return W, T
+        return local_sweep
 
     ub_spec = P(dp) if cfg.w_row_sum_is_vector else P()
-    sharded = shard_map(
-        local_sweep, mesh=mesh,
-        in_specs=(P(dp, tp), P(dp, None), P(None, tp), ub_spec),
-        out_specs=(P(dp, None), P(None, tp)),
-        check_vma=False)  # pallas_call outputs carry no varying-axis info
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
         n, d = X.shape
         dtype = X.dtype
         npad = _round_up(n, BN * dp_size)
         dpad = _round_up(d, BD * tp_size)
+        # shapes are static under jit: the shard_map body is rebuilt per
+        # (n, d) trace, carrying the true d into the projected kernel
+        sharded = shard_map(
+            make_local_sweep(d), mesh=mesh,
+            in_specs=(P(dp, tp), P(dp, None), P(None, tp), ub_spec),
+            out_specs=(P(dp, None), P(None, tp)),
+            check_vma=False)  # pallas outputs carry no varying-axis info
 
         # skip the O(nd) repad when the shapes already sit on the mesh
         # block quanta (matching make_sharded_sparse_sweep)

@@ -111,3 +111,42 @@ def test_driver_mesh_dense_pallas_tm_preset():
     sharded = nmf(X, mesh=mesh, use_pallas='interpret', **kw)
     assert np.allclose(single['W'], sharded['W'], atol=1e-11)
     assert np.allclose(single['T'], sharded['T'], atol=1e-11)
+
+
+@pytest.mark.parametrize('mesh_shape', [(8, 1), (2, 4)])
+def test_sharded_tm_projection_matches_single_chip(mesh_shape):
+    """Per-topic T simplex projection on the mesh: the tp-gathered
+    whole-panel projected kernel must reproduce the single-chip fused
+    TM kernel exactly (same Michelot fixpoints on the same rows)."""
+    X, W0, T0 = _problem(n=96, d=72, k=5, seed=6)
+    cfg = SweepConfig(k=5, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0)
+    assert supports_sharded_dense(cfg, d=72)
+    mesh = make_mesh(8, mesh_shape=mesh_shape)
+    a = make_dense_phase_sweep_pallas(cfg, interpret=True)
+    b = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+    Wa, Ta = _run(a, X, W0, T0)
+    Wb, Tb = _run(b, X, W0, T0)
+    assert np.allclose(Wa, Wb, atol=1e-11)
+    assert np.allclose(Ta, Tb, atol=1e-11)
+    assert np.allclose(Tb.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_driver_mesh_tm_full_preset_projected():
+    """The estimator's full TM preset (both simplex constraints) through
+    the driver on the mesh routes to the sharded projected kernel and
+    matches the single-chip fused run AND the XLA GSPMD mesh path."""
+    X, _, _ = _problem(n=64, d=48, seed=7)
+    kw = dict(k=4, max_iter=3, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              project_T_each_iter=True, t_row_sum=1.0,
+              w_row_sum=1.0, project_W_each_iter=True, eps_stop=0,
+              inner_reps=2)
+    mesh = make_mesh(8, mesh_shape=(2, 4))
+    single = nmf(X, use_pallas='interpret', **kw)
+    sharded = nmf(X, mesh=mesh, use_pallas='interpret', **kw)
+    gspmd = nmf(X, mesh=mesh, use_pallas=False, **kw)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-11)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-11)
+    assert np.allclose(sharded['W'], gspmd['W'], atol=1e-6)
+    assert np.allclose(sharded['T'], gspmd['T'], atol=1e-6)

@@ -47,12 +47,38 @@ from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.optimization import qf_min_vector_c
 from rri_nmf_tpu.ops.sweep_xla import make_reset_factors
 
-# tile sizes: (BN, BD) f32 tiles of R and M live in VMEM simultaneously
-# plus small vector tiles; (512, 1024) measured fastest of
-# {256,512,1024}x{512,1024} on v5e (within ~±10% tunnel noise) and stays
-# inside the ~16 MB VMEM budget with double buffering.
+# tile-size QUANTA: shapes are padded to (BN, BD) multiples, then
+# :func:`_pick_tiles` grows the actual tile to the largest divisor block
+# within the VMEM budget — fewer grid steps amortize Mosaic's per-step
+# cost exactly as in the dense GS kernels (dense_pallas._pick_block).
 BN = 512
 BD = 1024
+# Largest tile per axis and the VMEM budget for one (bn, bd) tile pair:
+# R-in, M-in and the aliased R-out are streamed, so Mosaic double-buffers
+# ~3 tile buffers; measured on v5e (benchmarks/exp_masked_tiles.py).
+TILE_CAP = 4096
+MASKED_VMEM_BUDGET = 48 * 2**20
+
+
+def _pick_tiles(n, d, itemsize=4):
+    """(npad, bn, dpad, bd): pad each axis to its quantum, then choose the
+    largest divisor blocks whose R/M working set fits the VMEM budget
+    (~3 double-buffered tile buffers of ``bn*bd``)."""
+    npad, dpad = _round_up(n, BN), _round_up(d, BD)
+
+    def divisors(mpad, quantum, cap):
+        q = mpad // quantum
+        return [quantum * f for f in range(min(cap // quantum, q), 0, -1)
+                if q % f == 0]
+
+    best = (BN, BD)
+    for bn in divisors(npad, BN, TILE_CAP):
+        for bd in divisors(dpad, BD, TILE_CAP):
+            if 6 * bn * bd * itemsize <= MASKED_VMEM_BUDGET:
+                if bn * bd > best[0] * best[1]:
+                    best = (bn, bd)
+                break  # bd list is descending: first fit is the largest
+    return npad, best[0], dpad, best[1]
 
 
 def _round_up(x, m):
@@ -135,32 +161,32 @@ def _phase_b_kernel(R_ref, M_ref, w_ref, weff_ref, told_ref, tnew_ref,
         mt2_ref[:] = mt2_ref[:] + part_mt2
 
 
-def _phase_a(R, M, dw, t_prev, w, interpret):
+def _phase_a(R, M, dw, t_prev, w, interpret, bn=BN, bd=BD):
     npad, dpad = R.shape
-    gn, gd = npad // BN, dpad // BD
+    gn, gd = npad // bn, dpad // bd
     dtype = R.dtype
     acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     return pl.pallas_call(
         _phase_a_kernel,
         grid=(gd, gn),
         in_specs=[
-            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+            pl.BlockSpec((bn, bd), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),       # R
-            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+            pl.BlockSpec((bn, bd), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),       # M
-            pl.BlockSpec((BN, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),       # dw
-            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+            pl.BlockSpec((1, bd), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),       # t_prev
-            pl.BlockSpec((BN, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((bn, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),       # w
         ],
         out_specs=[
-            pl.BlockSpec((BN, BD), lambda j, i: (i, j),
+            pl.BlockSpec((bn, bd), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),       # R out (aliased)
-            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+            pl.BlockSpec((1, bd), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),       # wR0
-            pl.BlockSpec((1, BD), lambda j, i: (0, j),
+            pl.BlockSpec((1, bd), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),       # nw
         ],
         out_shape=[
@@ -170,6 +196,8 @@ def _phase_a(R, M, dw, t_prev, w, interpret):
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=6 * npad * dpad,
             bytes_accessed=3 * npad * dpad * R.dtype.itemsize,
@@ -177,34 +205,34 @@ def _phase_a(R, M, dw, t_prev, w, interpret):
     )(R, M, dw.reshape(-1, 1), t_prev.reshape(1, -1), w.reshape(-1, 1))
 
 
-def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
+def _phase_b(R, M, w, w_eff, t_old, t_new, interpret, bn=BN, bd=BD):
     npad, dpad = R.shape
-    gn, gd = npad // BN, dpad // BD
+    gn, gd = npad // bn, dpad // bd
     dtype = R.dtype
     acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
     return pl.pallas_call(
         _phase_b_kernel,
         grid=(gn, gd),
         in_specs=[
-            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+            pl.BlockSpec((bn, bd), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),       # R
-            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+            pl.BlockSpec((bn, bd), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),       # M
-            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),       # w (old col)
-            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),       # w_eff
-            pl.BlockSpec((1, BD), lambda i, j: (0, j),
+            pl.BlockSpec((1, bd), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),       # t_old
-            pl.BlockSpec((1, BD), lambda i, j: (0, j),
+            pl.BlockSpec((1, bd), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),       # t_new
         ],
         out_specs=[
-            pl.BlockSpec((BN, BD), lambda i, j: (i, j),
+            pl.BlockSpec((bn, bd), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),       # R out (aliased)
-            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),       # Rt
-            pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),       # mt2
         ],
         out_shape=[
@@ -214,6 +242,8 @@ def _phase_b(R, M, w, w_eff, t_old, t_new, interpret):
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=8 * npad * dpad,
             bytes_accessed=3 * npad * dpad * R.dtype.itemsize,
@@ -239,12 +269,15 @@ def supports_pallas(cfg) -> bool:
 
 
 @lru_cache(maxsize=16)
-def make_masked_sweep_pallas(cfg, interpret=False):
+def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
     """Build the fused Pallas masked sweep with the same call signature as
     :func:`rri_nmf_tpu.ops.sweep_xla.make_sweep` for masked configs::
 
         sweep(X, W, T, key, resets_left, reset_key, W_mat[, w_row_sum_vec])
             -> (W, T, key, resets_left)
+
+    ``tiles``: optional ``(bn, bd)`` override of the adaptive
+    :func:`_pick_tiles` choice (benchmarking/testing).
     """
     assert supports_pallas(cfg), 'config not supported by the Pallas sweep'
     k = cfg.k
@@ -254,8 +287,12 @@ def make_masked_sweep_pallas(cfg, interpret=False):
         w_row_sum_vec = (extras[1].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
         n, d = X.shape
-        npad, dpad = _round_up(n, BN), _round_up(d, BD)
         dtype = X.dtype
+        if tiles is not None:
+            bn, bd = tiles
+            npad, dpad = _round_up(n, bn), _round_up(d, bd)
+        else:
+            npad, bn, dpad, bd = _pick_tiles(n, d, jnp.dtype(dtype).itemsize)
 
         Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
         Mp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(W_mat)
@@ -286,7 +323,7 @@ def make_masked_sweep_pallas(cfg, interpret=False):
                 w = Wp[:, t]
                 t_t = Tp[t]
                 R, Rt0, mt2 = _phase_b(R, Mp, pend_dw, zeros_n, pend_t,
-                                       t_t, interpret)
+                                       t_t, interpret, bn=bn, bd=bd)
                 Rt0 = Rt0.reshape(-1)
                 mt2 = mt2.reshape(-1)
                 Rt = Rt0 + w * mt2          # rank-one restore
@@ -349,7 +386,8 @@ def make_masked_sweep_pallas(cfg, interpret=False):
             w = Wp[:, t]
 
             # ---- T-phase: one fused pass (pending update + reductions)
-            R, wR0, nw = _phase_a(R, Mp, pend_dw, pend_t, w, interpret)
+            R, wR0, nw = _phase_a(R, Mp, pend_dw, pend_t, w, interpret,
+                                  bn=bn, bd=bd)
             wR0 = wR0.reshape(-1)
             nw = nw.reshape(-1)
             wR = wR0 + Tp[t] * nw      # rank-one restore, vector identity
@@ -384,7 +422,8 @@ def make_masked_sweep_pallas(cfg, interpret=False):
 
             # ---- W-phase: one fused pass (T update + reductions); uses the
             # STORED (dtype) row so R tracks T exactly
-            R, Rt0, mt2 = _phase_b(R, Mp, w, w_eff, t_old, Tp[t], interpret)
+            R, Rt0, mt2 = _phase_b(R, Mp, w, w_eff, t_old, Tp[t],
+                                   interpret, bn=bn, bd=bd)
             Rt0 = Rt0.reshape(-1)
             mt2 = mt2.reshape(-1)
             Rt = Rt0 + w_eff * mt2     # rank-one restore on the W side

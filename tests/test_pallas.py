@@ -209,3 +209,29 @@ def test_pallas_masked_fix_T_reset_parity():
     assert rx < 23 and rp == rx             # same budget spent
     assert np.allclose(Wx, Wp, atol=1e-9)
     assert np.allclose(Tx, Tp, atol=1e-9)
+
+
+def test_pallas_tiles_override_parity():
+    """Adaptive tile sizes (_pick_tiles) and explicit overrides are pure
+    performance knobs: identical results for any legal (bn, bd)."""
+    n, d, k = 520, 130, 4
+    X, M, W0, T0 = _problem(n, d, k, seed=3)
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      t_row_sum=1.0)
+    ref = make_masked_sweep_pallas(cfg, interpret=True)
+    Wr, Tr = _run(ref, X, M, W0, T0)
+    for tiles in [(1024, 1024), (512, 2048)]:
+        alt = make_masked_sweep_pallas(cfg, interpret=True, tiles=tiles)
+        Wa, Ta = _run(alt, X, M, W0, T0)
+        assert np.allclose(Wr, Wa, atol=1e-12), tiles
+        assert np.allclose(Tr, Ta, atol=1e-12), tiles
+
+
+def test_pick_tiles_policy():
+    from rri_nmf_tpu.ops.sweep_pallas import _pick_tiles
+    npad, bn, dpad, bd = _pick_tiles(100, 80)
+    assert (npad, dpad) == (512, 1024) and (bn, bd) == (512, 1024)
+    npad, bn, dpad, bd = _pick_tiles(6144, 4096)
+    assert npad % bn == 0 and dpad % bd == 0
+    assert 6 * bn * bd * 4 <= 48 * 2**20
+    assert bn * bd >= 512 * 1024  # never smaller than the old fixed tiles

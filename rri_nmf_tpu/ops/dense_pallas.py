@@ -81,10 +81,12 @@ def _pick_block(m, quantum, k=128, narrow=False, cap=BLOCK_CAP):
 # VMEM budget for the projected T-phase kernel: it holds the WHOLE
 # (k, dpad) numerator + factor panels (+ f32 scratch for 16-bit storage)
 # resident at once — no column blocking, because the simplex threshold
-# couples all d columns of a row. 28 MB is inside the envelope the GS
-# kernels already use in production (k=256 B=4096 double-buffered tiles
-# = 24 MB under the explicit 100 MB scoped-vmem limit).
-TM_PROJ_VMEM_BUDGET = 28 * 2**20
+# couples all d columns of a row. 64 MB: measured on v5e at the scaled
+# north-star TM shape (32768×16384 k=256 = 48 MB of resident panels),
+# where the kernel compiles under the 100 MB scoped-vmem limit and runs
+# 10.1 ms/sweep vs the XLA fallback's 16.0
+# (benchmarks/results_round3_tm_k256.json).
+TM_PROJ_VMEM_BUDGET = 64 * 2**20
 
 
 def tm_proj_fits(k, d, narrow=False) -> bool:

@@ -121,7 +121,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         reg_w_l2=0, reg_t_l2=0, reg_w_l1=0, reg_t_l1=0,
         diagnostics=[], store_gradients=False,
         ind_rows_to_store=None, eps_gauss_t=None, delta_gauss_t=None,
-        dtype=None, use_pallas=None, checkpoint=None, checkpoint_every=10,
+        dtype=None, x_dtype=None, use_pallas=None, checkpoint=None,
+        checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
         update_order='interleaved', sparse='auto', matmul_precision=None,
         inner_reps=1, accel=None):
@@ -266,6 +267,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         Compute dtype. Defaults to ``X.dtype`` for float inputs, else the
         JAX default float (float64 under ``jax_enable_x64``, float32 on
         TPU). The reference is float64-only.
+    x_dtype : optional
+        Storage dtype for X alone (mixed storage). Defaults to ``dtype``.
+        ``x_dtype='bfloat16'`` with f32 factors halves the HBM bytes of
+        the two X GEMMs — the dense phase sweep's traffic floor — while
+        the Gauss-Seidel topic loops, numerators, and projections all
+        stay full f32 (unlike ``dtype='bfloat16'``, which narrows the
+        factor tiles too and measured SLOWER on the fused kernels). Under
+        default matmul precision the MXU rounds f32 operands to bf16 per
+        pass anyway, so the GEMM numerics class is unchanged; only X
+        itself is rounded once (~2⁻⁹ relative) at transfer. Not supported
+        with ``sparse`` modes (X is stored as nonzeros there); ignored on
+        the masked path, where the streamed residual, not X, carries the
+        HBM traffic.
     use_pallas : optional
         Masked-path kernel selection: ``None`` (auto — fused Pallas sweep on
         TPU when the config supports it), ``True``/``False`` to force, or
@@ -413,6 +427,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                              not jax.config.jax_enable_x64):
             dtype = _default_float()
     dtype = jnp.dtype(dtype)
+    x_dtype = jnp.dtype(x_dtype) if x_dtype is not None else dtype
+    if x_dtype != dtype and sparse_mode:
+        raise ValueError('x_dtype (mixed X storage) is not supported with '
+                         'sparse modes: sparse X is stored as nonzeros and '
+                         'the contractions key off that dtype directly')
+    if x_dtype != dtype and W_mat is not None:
+        # the masked sweeps stream a materialized residual R (built from X
+        # once per sweep), so narrowing X alone saves no HBM traffic there
+        logger.info('x_dtype ignored on the masked path (the streamed '
+                    'residual, not X, carries the traffic)')
+        x_dtype = dtype
 
     # ---- configuration validation (reference nmf.py:280-315) -------------
     if project_T_each_iter and np.any([reg_w_l1, reg_t_l1]):
@@ -543,7 +568,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 X_dev = partition_coo(X, mesh, dtype)
             s_W = s_T = NamedSharding(mesh, PartitionSpec())
         else:
-            X_dev = _put(jnp.asarray(X, dtype=dtype), s_X)
+            X_dev = _put(jnp.asarray(X, dtype=x_dtype), s_X)
         W_dev = _put(jnp.asarray(W, dtype=dtype), s_W)
         T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
     else:
@@ -595,7 +620,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             else:
                 X_dev = to_bcoo(X, dtype)
         else:
-            X_dev = jnp.asarray(X, dtype=dtype)
+            X_dev = jnp.asarray(X, dtype=x_dtype)
         W_dev = jnp.asarray(W, dtype=dtype)
         T_dev = jnp.asarray(T, dtype=dtype)
     extras = []

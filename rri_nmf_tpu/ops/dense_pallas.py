@@ -363,9 +363,24 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         w_row_sum_vec = (extras[0].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
         n, d = X.shape
-        dtype = X.dtype
-        acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
-            else dtype
+        # Mixed storage: the factor dtype follows W/T, not X. With
+        # ``x_dtype='bfloat16'`` (nmf driver) X is stored bf16 while the
+        # factors stay f32 — the two X GEMMs (the sweep's HBM-traffic
+        # floor) read half the bytes and run one native bf16 MXU pass,
+        # while the GS topic loops keep full f32 tiles (round 2 measured
+        # the all-bf16 mode SLOWER because the narrow factor tiles force
+        # an f32 scratch + casts in the kernels).
+        dtype = W.dtype
+        wide = jnp.promote_types(X.dtype, dtype)
+        acc_dt = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) \
+            else wide
+        # Down-cast the (small) factor operand of the X GEMMs only under
+        # DEFAULT matmul precision, where the MXU rounds f32 operands to
+        # bf16 per pass anyway — one native bf16 pass, same numerics
+        # class. matmul_precision='float32' keeps full-precision passes
+        # against the (storage-rounded) X via ordinary promotion.
+        x_narrow = (X.dtype in (jnp.bfloat16, jnp.float16)
+                    and cfg.matmul_precision is None)
         narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
         npad, bn = _pick_block(n, BN, k=k, narrow=narrow)
         dpad, bd = _pick_block(d, BD, k=k, narrow=narrow)
@@ -381,7 +396,11 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         if not cfg.fix_T:
             G = jnp.dot(W.T, W, preferred_element_type=acc_dt)
             diag = jnp.diagonal(G).reshape(k, 1)
-            WX = lax.dot_general(W, X, (((0,), (0,)), ((), ())),
+            # cast the small factor operand down to X's storage dtype so a
+            # narrow X runs one native bf16 MXU pass (f32 default precision
+            # rounds the operands to bf16 on the MXU anyway)
+            Wx = W.astype(X.dtype) if x_narrow else W
+            WX = lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
                                  preferred_element_type=acc_dt)  # (k, d)
             if dpad != d:
                 WX = jnp.zeros((k, dpad), acc_dt).at[:, :d].set(WX)
@@ -409,7 +428,8 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
             G2 = jnp.dot(T, T.T, preferred_element_type=acc_dt)
             diag2 = jnp.diagonal(G2).reshape(k, 1)
             # (k, n) directly — no transpose of the GEMM output needed
-            XTt = lax.dot_general(T, X, (((1,), (1,)), ((), ())),
+            Tx = T.astype(X.dtype) if x_narrow else T
+            XTt = lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
                                   preferred_element_type=acc_dt)
             Wt = W.T
             if npad != n:

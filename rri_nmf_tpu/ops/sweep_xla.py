@@ -303,7 +303,9 @@ def make_reset_factors(cfg: SweepConfig):
 
                 val, li = lax.fori_loop(
                     0, nb, _blk,
-                    (jnp.asarray(-jnp.inf, dtype=X.dtype),
+                    # residual promotes to the wider of X/W (mixed storage)
+                    (jnp.asarray(-jnp.inf,
+                                 dtype=jnp.promote_types(X.dtype, W.dtype)),
                      jnp.asarray(0, jnp.int32)))
                 row_off = (lax.axis_index(dp) * n_loc).astype(jnp.int32)
                 vals = lax.all_gather(val, dp)          # (|dp|,)
@@ -362,7 +364,8 @@ def make_reset_factors(cfg: SweepConfig):
 
             _, mi = lax.fori_loop(
                 0, nb, _blk,
-                (jnp.asarray(-jnp.inf, dtype=X.dtype),
+                (jnp.asarray(-jnp.inf,
+                             dtype=jnp.promote_types(X.dtype, W.dtype)),
                  jnp.asarray(0, dtype=jnp.int32)))
             row = jnp.maximum(X[mi] - W[mi] @ T, 0.0)
             T = T.at[t].set(row)
@@ -515,13 +518,17 @@ def make_sweep(cfg: SweepConfig):
             w_row_sum_vec = None
 
         n, d = X.shape
-        dtype = X.dtype
         # Mixed precision: with bfloat16/float16 storage (HBM traffic
         # halves — X reads dominate the sweep) all reductions, numerators,
         # and subproblem solves run in float32; only the stored factors are
         # low precision. For f32/f64 inputs acc == dtype and nothing
-        # changes.
-        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+        # changes. The FACTOR dtype follows W (mixed storage: the nmf
+        # driver's ``x_dtype`` keeps X bf16 while the factors stay f32 —
+        # the X contractions read half the bytes; XLA fuses the widening
+        # convert into the dot's operand read).
+        dtype = W.dtype
+        wide = jnp.promote_types(X.dtype, dtype)
+        acc = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) else wide
 
         if cfg.masked:
             # masked residual carry MR = M ⊙ (X - WT), refreshed each sweep

@@ -91,9 +91,15 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             # per-device code on local tiles: X (n_loc, d_loc), W
             # (n_loc, k), T (k, d_loc); ub_vec (n_loc,) or None
             n_loc, d_loc = X.shape
-            dtype = X.dtype
-            acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
-                else dtype
+            # factor dtype follows W (mixed storage: x_dtype='bfloat16'
+            # keeps X narrow while the factor tiles stay f32, see
+            # ops/dense_pallas.py)
+            dtype = W.dtype
+            wide = jnp.promote_types(X.dtype, dtype)
+            acc_dt = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) \
+                else wide
+            x_narrow = (X.dtype in (jnp.bfloat16, jnp.float16)
+                        and cfg.matmul_precision is None)
             narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
 
             # ---------------- T-phase ----------------------------------
@@ -101,8 +107,9 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                 G = lax.psum(
                     jnp.dot(W.T, W, preferred_element_type=acc_dt), dp)
                 diag = jnp.diagonal(G).reshape(k, 1)
+                Wx = W.astype(X.dtype) if x_narrow else W
                 WX = lax.psum(
-                    lax.dot_general(W, X, (((0,), (0,)), ((), ())),
+                    lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
                                     preferred_element_type=acc_dt), dp)
                 if _tm_proj_active(cfg):
                     # the per-topic simplex threshold couples ALL d
@@ -134,8 +141,9 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                 G2 = lax.psum(
                     jnp.dot(T, T.T, preferred_element_type=acc_dt), tp)
                 diag2 = jnp.diagonal(G2).reshape(k, 1)
+                Tx = T.astype(X.dtype) if x_narrow else T
                 XTt = lax.psum(
-                    lax.dot_general(T, X, (((1,), (1,)), ((), ())),
+                    lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
                                     preferred_element_type=acc_dt), tp)
                 ub = None
                 if cfg.w_row_sum_is_vector:
@@ -165,7 +173,7 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
         n, d = X.shape
-        dtype = X.dtype
+        dtype = W.dtype   # factor dtype (mixed storage: X may be narrower)
         npad = _round_up(n, BN * dp_size)
         dpad = _round_up(d, BD * tp_size)
         # shapes are static under jit: the shard_map body is rebuilt per
@@ -179,7 +187,7 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         # skip the O(nd) repad when the shapes already sit on the mesh
         # block quanta (matching make_sharded_sparse_sweep)
         Xp = X if (npad == n and dpad == d) else \
-            jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
+            jnp.zeros((npad, dpad), X.dtype).at[:n, :d].set(X)
         Wp = W if npad == n else \
             jnp.zeros((npad, k), dtype).at[:n].set(W)
         Tp = T if dpad == d else \

@@ -64,6 +64,62 @@ def test_bf16_pallas_masked_descends():
     assert hist[-1] < hist[0]
 
 
+def test_mixed_x_dtype_dense_monotone_and_close_to_f32():
+    """Mixed storage (``x_dtype='bfloat16'``, f32 factors): the dense
+    phase sweep keeps monotone descent and tracks the f32 fit to within
+    bf16 input-rounding tolerance. Factors must come back f32."""
+    X = _problem()
+    kw = dict(k=4, max_iter=12, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              update_order='phase', dtype='float32')
+    mix = nmf(X, x_dtype='bfloat16', **kw)
+    f32 = nmf(X, **kw)
+    oh = np.asarray(mix['obj_history'], dtype=float)
+    assert np.all(np.diff(oh) <= 1e-3 * oh[0] + 1e-6)
+    assert oh[-1] <= f32['obj_history'][-1] * 1.05 + 1e-6
+    assert mix['W'].dtype == np.float32 and mix['T'].dtype == np.float32
+    assert np.max(np.abs(mix['W'] - f32['W'])) < 0.05
+
+
+def test_mixed_x_dtype_interleaved_resets_run():
+    """Mixed storage through the reference-order XLA sweep including the
+    reset machinery (whose argmax carry must use the promoted dtype)."""
+    X = _problem(seed=3)
+    # dead warm-start topic forces a reset through the mixed-dtype path
+    rng = np.random.RandomState(7)
+    W0 = np.abs(rng.rand(X.shape[0], 4))
+    T0 = np.abs(rng.rand(4, X.shape[1]))
+    W0[:, 2] = 0.0
+    T0[2] = 0.0
+    soln = nmf(X, k=4, x_dtype='bfloat16', dtype='float32', W_in=W0,
+               T_in=T0, max_iter=5, random_state=0,
+               reset_topic_method='max_resid_document',
+               compute_obj_each_iter=True, early_stop=False)
+    oh = np.asarray(soln['obj_history'], dtype=float)
+    assert np.all(np.isfinite(oh))
+    assert soln['n_resets_remaining'] < 23
+    assert float(np.sum(soln['T'][2])) > 1e-10
+
+
+def test_mixed_x_dtype_mesh_parity():
+    """Sharded dense sweep under mixed storage: factors stay f32 and the
+    mesh run matches the single-device mixed run."""
+    import jax
+    from rri_nmf_tpu.parallel import make_mesh
+
+    X = _problem(n=64, d=48, k=4)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    kw = dict(k=4, max_iter=6, random_state=0, early_stop=False,
+              reset_topic_method=None, update_order='phase',
+              dtype='float32', x_dtype='bfloat16',
+              use_pallas='interpret')
+    single = nmf(X, **kw)
+    meshed = nmf(X, mesh=mesh, **kw)
+    assert meshed['W'].dtype == np.float32
+    assert np.allclose(single['W'], meshed['W'], atol=1e-5)
+    assert np.allclose(single['T'], meshed['T'], atol=1e-5)
+
+
 def test_bf16_masked_runs():
     X = _problem(seed=1)
     M = (np.random.RandomState(2).rand(*X.shape) < 0.6).astype(float)

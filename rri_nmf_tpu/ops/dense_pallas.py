@@ -133,7 +133,10 @@ def _make_gs_kernel(k, reg_l1, reg_l2, bound, ub_is_vector, acc_dt,
 
     ``reps`` repeats the whole k-topic loop in-kernel
     (``SweepConfig.inner_reps``): the tile stays VMEM-resident, so extra
-    exact-BCD passes cost only VPU/MXU time, no HBM traffic."""
+    exact-BCD passes cost only VPU/MXU time, no HBM traffic. (The whole
+    serialized topic loop measures ~0.15 ms/sweep across both phases at
+    the headline shape — the sweep's cost is the X GEMMs, see
+    benchmarks/exp_hybrid_parts.py.)"""
 
     def kernel(*refs):
         if ub_is_vector:

@@ -431,8 +431,11 @@ def cfg_north_star_full(n=100000, d=50000, k=256, max_sweeps=400):
             return jax.lax.dynamic_update_slice(
                 X, (Wb @ Tg).astype(jnp.bfloat16), (i * B, 0))
         X = jax.lax.fori_loop(0, nb, xb, X)
-        W0 = jax.random.uniform(k3, (n, k), jnp.bfloat16)
-        T0 = jax.random.uniform(k4, (k, d), jnp.bfloat16)
+        # mixed storage (round 3): X stays bf16 (10 GB residency), the
+        # factors are genuinely f32 (the round-2 version quantized them to
+        # bf16 too, sending the GS kernels down the narrow-scratch path)
+        W0 = jax.random.uniform(k3, (n, k), jnp.float32)
+        T0 = jax.random.uniform(k4, (k, d), jnp.float32)
         xsq = jnp.zeros((nb,), jnp.float32)
 
         def xq(i, xsq):

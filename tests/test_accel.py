@@ -51,6 +51,20 @@ def test_her_grouped_dispatch_matches_per_iteration():
     assert np.allclose(a['T'], b['T'], atol=1e-12)
 
 
+def test_her_composes_with_mixed_x_dtype():
+    """HER over the mixed-storage sweep (x_dtype bf16, f32 factors):
+    finite, f32 factors out, and still clearly better than plain at
+    equal sweeps (the objective check runs f32 against the bf16 X)."""
+    X = _uniform_factor_problem(seed=2)
+    kw = dict(KW, dtype='float32', x_dtype='bfloat16')
+    plain = nmf(X, max_iter=100, **kw)
+    her = nmf(X, max_iter=100, accel='her', **kw)
+    assert her['W'].dtype == np.float32
+    r_plain, r_her = _rel(X, plain), _rel(X, her)
+    assert np.isfinite(r_her)
+    assert r_her < r_plain * 0.8, (r_her, r_plain)
+
+
 def test_her_with_constraints_and_regs():
     """HER composes with the TM constraint set and regularizers; the
     accepted iterates respect feasibility."""

@@ -55,6 +55,25 @@ def test_nmf_resume_equals_straight_run(tmp_path):
                        atol=1e-10)
 
 
+def test_mixed_x_dtype_resume_equals_straight(tmp_path):
+    """Checkpoint/resume under mixed storage (x_dtype bf16, f32
+    factors): the resumed run equals the straight run exactly — the
+    checkpoint holds f32 factors and X re-quantizes identically."""
+    X = _problem()
+    kw = dict(k=3, max_iter=8, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              eps_stop=0.0, dtype='float32', x_dtype='bfloat16',
+              update_order='phase')
+    straight = nmf(X, **kw)
+    ck_dir = str(tmp_path / 'run_mixed')
+    nmf(X, max_iter=4, checkpoint=ck_dir, checkpoint_every=2,
+        **{k: v for k, v in kw.items() if k != 'max_iter'})
+    resumed = nmf(X, checkpoint=ck_dir, checkpoint_every=100, **kw)
+    assert resumed['W'].dtype == np.float32
+    assert np.allclose(resumed['W'], straight['W'], atol=1e-12)
+    assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
+
+
 def test_grouped_checkpoint_marks_untracked_objective(tmp_path, caplog):
     """Grouped-dispatch checkpoints carry obj_tracked=False; resuming one
     with objective-based stopping warns instead of silently trusting an

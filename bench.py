@@ -111,12 +111,17 @@ def bench_jax(n, d, k, n_timed=40, update_order='interleaved',
             ann = TraceAnnotation('timed_%s_%s_sweeps' %
                                   (update_order, kernel))
             ann.__enter__()
-        t0 = time.perf_counter()
-        sync = float(run_n(jax.random.PRNGKey(1)))  # timed: 1 dispatch+fetch
-        dt = (time.perf_counter() - t0) / n_timed
+        # tunnel-hosted timing drifts +/-40% run to run (host interference,
+        # not the chip — benchmarks/exp_splitk2.py); report the min of 3
+        # repeats of the same compiled program
+        dt = float('inf')
+        for rep in range(3):
+            t0 = time.perf_counter()
+            sync = float(run_n(jax.random.PRNGKey(1 + rep)))
+            dt = min(dt, (time.perf_counter() - t0) / n_timed)
+            assert np.isfinite(sync)
         if trace_dir:
             ann.__exit__(None, None, None)
-    assert np.isfinite(sync)
     return dt
 
 

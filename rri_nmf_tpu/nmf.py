@@ -277,9 +277,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         default matmul precision the MXU rounds f32 operands to bf16 per
         pass anyway, so the GEMM numerics class is unchanged; only X
         itself is rounded once (~2⁻⁹ relative) at transfer. Not supported
-        with ``sparse`` modes (X is stored as nonzeros there); ignored on
-        the masked path, where the streamed residual, not X, carries the
-        HBM traffic.
+        with explicit ``sparse`` modes (X is stored as nonzeros there —
+        ValueError); a scipy-sparse X under the default ``sparse='auto'``
+        densifies instead of auto-engaging sparse mode. Ignored on the
+        masked path, where the streamed residual, not X, carries the HBM
+        traffic.
     use_pallas : optional
         Masked-path kernel selection: ``None`` (auto — fused Pallas sweep on
         TPU when the config supports it), ``True``/``False`` to force, or
@@ -409,9 +411,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     elif sparse == 'auto' and _is_sp:
         # conservative: engage only when the requested settings already
         # match the sparse sweep (no silent semantic changes vs the
-        # reference's densify-and-proceed behavior)
+        # reference's densify-and-proceed behavior). A mixed-storage
+        # request (x_dtype) declines auto-engagement — sparse X is stored
+        # as nonzeros, so mixed storage routes to the dense paths instead
+        # of erroring out on a mode the caller never asked for.
         sparse_mode = (_viable and _mesh_sp_ok and update_order == 'phase'
-                       and reset_topic_method is None)
+                       and reset_topic_method is None and x_dtype is None)
 
     # ---- host-side input normalization -----------------------------------
     if _is_sp and not sparse_mode:

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rri_nmf_tpu.matrixops import EPS_DIV_BY_ZERO, _proj_simplex_core
+from rri_nmf_tpu.ops.sweep_xla import resolve_mixed_dtypes
 
 BN = 512    # pad quantum (rows) of the W-phase GS kernel
 BD = 1024   # pad quantum (columns) of the T-phase GS kernel
@@ -368,22 +369,13 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
         n, d = X.shape
         # Mixed storage: the factor dtype follows W/T, not X. With
         # ``x_dtype='bfloat16'`` (nmf driver) X is stored bf16 while the
-        # factors stay f32 — the two X GEMMs (the sweep's HBM-traffic
-        # floor) read half the bytes and run one native bf16 MXU pass,
-        # while the GS topic loops keep full f32 tiles (round 2 measured
-        # the all-bf16 mode SLOWER because the narrow factor tiles force
-        # an f32 scratch + casts in the kernels).
-        dtype = W.dtype
-        wide = jnp.promote_types(X.dtype, dtype)
-        acc_dt = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) \
-            else wide
-        # Down-cast the (small) factor operand of the X GEMMs only under
-        # DEFAULT matmul precision, where the MXU rounds f32 operands to
-        # bf16 per pass anyway — one native bf16 pass, same numerics
-        # class. matmul_precision='float32' keeps full-precision passes
-        # against the (storage-rounded) X via ordinary promotion.
-        x_narrow = (X.dtype in (jnp.bfloat16, jnp.float16)
-                    and cfg.matmul_precision is None)
+        # factors stay f32 — the two X GEMMs read half the bytes and run
+        # one native bf16 MXU pass, while the GS topic loops keep full
+        # f32 tiles (round 2 measured the all-bf16 mode SLOWER because
+        # the narrow factor tiles force an f32 scratch + casts in the
+        # kernels). See resolve_mixed_dtypes for the x_narrow rules.
+        dtype, acc_dt, x_narrow = resolve_mixed_dtypes(
+            X.dtype, W.dtype, cfg.matmul_precision)
         narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
         npad, bn = _pick_block(n, BN, k=k, narrow=narrow)
         dpad, bd = _pick_block(d, BD, k=k, narrow=narrow)

@@ -165,6 +165,35 @@ def _w_ub(cfg, w_row_sum_vec):
     return cfg.w_row_sum
 
 
+def resolve_mixed_dtypes(x_dtype, w_dtype, matmul_precision=None):
+    """Storage-dtype resolution shared by every dense sweep variant
+    (this module, ``ops.dense_pallas``, ``parallel.sharded_dense``).
+
+    Returns ``(dtype, acc, x_narrow)``:
+
+    - ``dtype`` — the FACTOR storage dtype, which follows W/T (mixed
+      storage: the nmf driver's ``x_dtype='bfloat16'`` keeps X narrow
+      while the factors stay f32);
+    - ``acc`` — accumulator dtype: float32 whenever the promoted pair is
+      16-bit, else the promotion (f64 stays f64 on CPU);
+    - ``x_narrow`` — whether the X GEMMs should explicitly down-cast
+      their (small) factor operand to X's dtype for one native bf16 MXU
+      pass. True ONLY for bfloat16 X under DEFAULT matmul precision: the
+      default f32 TPU dot rounds operands to bf16 per pass anyway, so
+      the numerics class is unchanged. float16 is deliberately excluded
+      (f16's 65504 max overflows to inf on transiently large factor
+      entries, e.g. under negative L1 — promotion handles f16 X safely);
+      an explicit ``matmul_precision`` keeps full-precision passes via
+      ordinary promotion.
+    """
+    dtype = jnp.dtype(w_dtype)
+    wide = jnp.promote_types(jnp.dtype(x_dtype), dtype)
+    acc = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) else wide
+    x_narrow = (jnp.dtype(x_dtype) == jnp.bfloat16
+                and matmul_precision is None)
+    return dtype, acc, x_narrow
+
+
 def _gram_block_size(k: int) -> int:
     """Topic-block size for the Gram-blocked phase sweep: the largest
     divisor of k that is <= 16 (so no padding/guarding is needed; ~sqrt(k)
@@ -192,28 +221,29 @@ def make_objective(masked: bool, row_weighted: bool,
     matrices near the HBM budget (the fused form needs one extra n×d
     temporary).
     """
-    def _res_sq(X, W, T, *extras):
+    def _res_sq(acc_dt, X, W, T, *extras):
+        # 16-bit storage evaluates in float32 so descent comparisons
+        # aren't drowned by quantization noise; the casts sit INSIDE the
+        # (possibly blockwise) evaluation so a narrow X is widened one
+        # block at a time, never materialized as a full f32 copy (the
+        # bf16-X north-star shape would not fit HBM widened).
         i = 0
-        R = (X - jnp.dot(W, T, preferred_element_type=X.dtype)) ** 2
+        R = (X.astype(acc_dt)
+             - jnp.dot(W.astype(acc_dt), T.astype(acc_dt),
+                       preferred_element_type=acc_dt)) ** 2
         if masked:
-            R = extras[i] * R
+            R = extras[i].astype(acc_dt) * R
             i += 1
         if row_weighted:
-            R = extras[i] * R
+            R = extras[i].astype(acc_dt) * R
             i += 1
         return jnp.sum(R)
 
     def objective(X, W, T, *extras):
-        if X.dtype in (jnp.bfloat16, jnp.float16):
-            # low-precision storage: evaluate the objective in float32 so
-            # descent comparisons aren't drowned by quantization noise
-            X = X.astype(jnp.float32)
-            W = W.astype(jnp.float32)
-            T = T.astype(jnp.float32)
-            extras = tuple(e.astype(jnp.float32) for e in extras)
+        _, acc_dt, _ = resolve_mixed_dtypes(X.dtype, W.dtype)
 
         if block_rows is None:
-            base = _res_sq(X, W, T, *extras)
+            base = _res_sq(acc_dt, X, W, T, *extras)
         else:
             n, d = X.shape
             B = min(n, int(block_rows))
@@ -231,17 +261,19 @@ def make_objective(masked: bool, row_weighted: bool,
                 overlap = jnp.maximum(prev_end - start, 0)
                 row_ids = jnp.arange(B)
                 mask_rows = (row_ids >= overlap).astype(Xb.dtype)
-                contrib = _res_sq(Xb * mask_rows[:, None],
+                contrib = _res_sq(acc_dt, Xb * mask_rows[:, None],
                                   Wb * mask_rows[:, None], T, *eb)
                 return acc + contrib
 
             base = lax.fori_loop(0, nb, _blk,
-                                 jnp.asarray(0.0, dtype=X.dtype))
+                                 jnp.asarray(0.0, dtype=acc_dt))
+        Wa = W.astype(acc_dt)
+        Ta = T.astype(acc_dt)
         obj = 0.5 * base
-        obj = obj + 0.5 * reg_w_l2 * jnp.sum(W ** 2)
-        obj = obj + 0.5 * reg_t_l2 * jnp.sum(T ** 2)
-        obj = obj + reg_t_l1 * jnp.sum(jnp.abs(T))
-        obj = obj + reg_w_l1 * jnp.sum(jnp.abs(W))
+        obj = obj + 0.5 * reg_w_l2 * jnp.sum(Wa ** 2)
+        obj = obj + 0.5 * reg_t_l2 * jnp.sum(Ta ** 2)
+        obj = obj + reg_t_l1 * jnp.sum(jnp.abs(Ta))
+        obj = obj + reg_w_l1 * jnp.sum(jnp.abs(Wa))
         return obj
 
     if matmul_precision is not None:
@@ -526,9 +558,8 @@ def make_sweep(cfg: SweepConfig):
         # driver's ``x_dtype`` keeps X bf16 while the factors stay f32 —
         # the X contractions read half the bytes; XLA fuses the widening
         # convert into the dot's operand read).
-        dtype = W.dtype
-        wide = jnp.promote_types(X.dtype, dtype)
-        acc = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) else wide
+        dtype, acc, _ = resolve_mixed_dtypes(X.dtype, W.dtype,
+                                             cfg.matmul_precision)
 
         if cfg.masked:
             # masked residual carry MR = M ⊙ (X - WT), refreshed each sweep

@@ -47,6 +47,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from rri_nmf_tpu.matrixops import _proj_simplex_core
+from rri_nmf_tpu.ops.sweep_xla import resolve_mixed_dtypes
 from rri_nmf_tpu.ops.dense_pallas import (
     BD, BN, _gs_call, _pick_block, _round_up, _tm_proj_active,
     _tm_proj_call, supports_dense_pallas, tm_proj_fits)
@@ -92,14 +93,10 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             # (n_loc, k), T (k, d_loc); ub_vec (n_loc,) or None
             n_loc, d_loc = X.shape
             # factor dtype follows W (mixed storage: x_dtype='bfloat16'
-            # keeps X narrow while the factor tiles stay f32, see
-            # ops/dense_pallas.py)
-            dtype = W.dtype
-            wide = jnp.promote_types(X.dtype, dtype)
-            acc_dt = jnp.float32 if wide in (jnp.bfloat16, jnp.float16) \
-                else wide
-            x_narrow = (X.dtype in (jnp.bfloat16, jnp.float16)
-                        and cfg.matmul_precision is None)
+            # keeps X narrow while the factor tiles stay f32; see
+            # sweep_xla.resolve_mixed_dtypes for the x_narrow rules)
+            dtype, acc_dt, x_narrow = resolve_mixed_dtypes(
+                X.dtype, W.dtype, cfg.matmul_precision)
             narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
 
             # ---------------- T-phase ----------------------------------

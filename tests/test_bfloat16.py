@@ -120,6 +120,53 @@ def test_mixed_x_dtype_mesh_parity():
     assert np.allclose(single['T'], meshed['T'], atol=1e-5)
 
 
+def test_mixed_x_dtype_dense_pallas_single_device():
+    """The fused dense GS kernels under mixed storage (the true
+    north-star code path), in interpreter mode, on UNALIGNED shapes so
+    the pad buffers exercise the decoupled dtypes (X pads bf16, factor
+    tiles pad f32). Parity vs the XLA sweep on the same bf16 X."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
+    rng = np.random.RandomState(8)
+    n, d, k = 140, 100, 5          # 140 % BN != 0, 100 % BD != 0
+    Xb = jnp.asarray(rng.rand(n, d), jnp.bfloat16)
+    W0 = jnp.asarray(np.abs(rng.rand(n, k)), jnp.float32)
+    T0 = jnp.asarray(np.abs(rng.rand(k, d)), jnp.float32)
+    cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase')
+    key = jax.random.PRNGKey(0)
+    rl = jnp.asarray(0, jnp.int32)
+    Wp, Tp, _, _ = make_dense_phase_sweep_pallas(cfg, interpret=True)(
+        Xb, W0, T0, key, rl, key)
+    Wx, Tx, _, _ = make_sweep(cfg)(Xb, W0, T0, key, rl, key)
+    assert Wp.dtype == jnp.float32 and Tp.dtype == jnp.float32
+    # the kernel path down-casts the factor GEMM operand to bf16 (the
+    # XLA path promotes), so agreement is at bf16-rounding tolerance
+    assert np.allclose(np.asarray(Wp), np.asarray(Wx), atol=0.02)
+    assert np.allclose(np.asarray(Tp), np.asarray(Tx), atol=0.02)
+
+
+def test_mixed_x_dtype_sparse_auto_densifies():
+    """A scipy-sparse X with x_dtype under the default sparse='auto'
+    densifies (declining auto sparse mode) instead of raising; explicit
+    sparse=True still errors."""
+    import pytest
+    import scipy.sparse as sps
+
+    X = _problem()
+    Xs = sps.csr_matrix(X * (np.random.RandomState(3).rand(*X.shape) < 0.4))
+    soln = nmf(Xs, k=3, x_dtype='bfloat16', dtype='float32',
+               update_order='phase', reset_topic_method=None, max_iter=4,
+               random_state=0)
+    assert soln['W'].dtype == np.float32
+    assert np.isfinite(soln['W']).all()
+    with pytest.raises(ValueError, match='x_dtype'):
+        nmf(Xs, k=3, sparse=True, x_dtype='bfloat16', dtype='float32',
+            update_order='phase', reset_topic_method=None, max_iter=2)
+
+
 def test_bf16_masked_runs():
     X = _problem(seed=1)
     M = (np.random.RandomState(2).rand(*X.shape) < 0.6).astype(float)

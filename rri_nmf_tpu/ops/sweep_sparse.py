@@ -79,7 +79,8 @@ def supports_sparse(cfg: SweepConfig) -> bool:
 
 
 def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
-                      reproject_sum, acc, dtype, reps=1):
+                      reproject_sum, acc, dtype, reps=1, valid_cols=None,
+                      col_mask=None):
     """Gram-blocked sequential topic updates over the rows of F (k, m):
     ``F[t] <- qf_min(N[t] - Σ_{s≠t} G[t,s] F[s], G[t,t])``; exact
     Gauss-Seidel (same math as the dense sweep's blocked phases). Shared by
@@ -91,8 +92,29 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
 
     ``reps``: extra full GS passes over the k topics; N and G are
     constant through the phase, so each pass is another exact cyclic BCD
-    sweep (``SweepConfig.inner_reps``)."""
+    sweep (``SweepConfig.inner_reps``).
+
+    Padded-column handling (mesh sweeps hand over TILE/grid-padded
+    rows; without it simplex projections LEAK mass into the ghost
+    columns — the Duchi threshold spreads the sum-deficit uniformly —
+    and negative L1 grows them, polluting the next phase's psum'd Gram):
+
+    - ``valid_cols`` (static int): solve/project only the first
+      ``valid_cols`` entries of each row, keep ghosts exactly zero —
+      bit-identical to the single-device unpadded solve. Use whenever
+      the true column count is device-invariant (tp == 1, which the
+      support gates guarantee for every projecting config).
+    - ``col_mask`` ((m,) bool array, may be traced): zero ghost entries
+      after the qf solve. Exact for projection-free configs only (a
+      simplex projection must instead exclude ghosts from its support,
+      so combining ``col_mask`` with ``qf_s``/``reproject_sum`` is
+      rejected); covers tp > 1 where the valid count varies per rank.
+    """
     m = F.shape[1]
+    mv = m if valid_cols is None else int(valid_cols)
+    assert col_mask is None or (qf_s is None and reproject_sum is None), \
+        'col_mask cannot express a padded simplex projection; pass ' \
+        'valid_cols (tp == 1) instead'
     diag = jnp.diagonal(G)
 
     def topic_body(i, carry):
@@ -103,12 +125,17 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
                 - g_blk[i] * F0[i].astype(acc))
         numer = N[t] - corr - reg_l1
         denom = diag[t] + reg_l2
-        x, _ = qf_min_scalar_c(-numer, denom, s=qf_s, ub=qf_ub)
+        x, _ = qf_min_scalar_c(-numer[:mv], denom, s=qf_s, ub=qf_ub)
+        if mv != m:
+            x = jnp.zeros((m,), x.dtype).at[:mv].set(x)
+        elif col_mask is not None:
+            x = jnp.where(col_mask, x, 0)
         F = F.at[t].set(x.astype(dtype))
         if reproject_sum is not None:
             def _reproj(F):
-                return F.at[t].set(_proj_simplex_core(
-                    F[t], jnp.asarray(reproject_sum, dtype=dtype)))
+                row = _proj_simplex_core(
+                    F[t, :mv], jnp.asarray(reproject_sum, dtype=dtype))
+                return F.at[t, :mv].set(row)
             F = lax.cond(jnp.abs(jnp.sum(F[t]) - reproject_sum) > 1e-15,
                          _reproj, lambda F: F, F)
         D = D.at[i].set((F[t] - F0[i]).astype(acc))

@@ -91,35 +91,47 @@ class ShardedCOO:
         return cls(*children, shape=shape, n_loc=n_loc, d_loc=d_loc)
 
 
-def partition_coo(X, mesh, dtype=None):
-    """Host-side: scipy sparse / dense array → :class:`ShardedCOO` laid
-    out on ``mesh``. Duplicate coordinates are summed (scipy CSR
-    canonicalization — the reference's ``coo_matrix`` semantics)."""
+def _block_runs(X, mesh, n_loc, d_loc):
+    """Host-side partition core shared by :func:`partition_coo` and
+    :func:`partition_mxu`: canonicalize X (CSR — duplicates summed,
+    sorted), sort the nonzeros ONCE by (dp, tp) device block, and return
+    the contiguous per-block runs.
+
+    Returns ``(shape, starts, r_sorted, c_sorted, v_sorted)`` where
+    block ``b``'s nonzeros are the slice ``starts[b]:starts[b+1]`` in
+    GLOBAL coordinates (callers localize with ``% n_loc`` / ``% d_loc``).
+    """
     import scipy.sparse as sps
 
     if not sps.issparse(X):
         X = sps.csr_matrix(np.asarray(X))
     coo = X.tocsr().tocoo()   # canonical: sorted, duplicates summed
-    n, d = coo.shape
     dp_size, tp_size = mesh.devices.shape
+    blk = (coo.row // n_loc) * tp_size + (coo.col // d_loc)
+    order = np.argsort(blk, kind='stable')
+    counts = np.bincount(blk[order], minlength=dp_size * tp_size)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    return (coo.shape, starts, coo.row[order], coo.col[order],
+            coo.data[order])
+
+
+def partition_coo(X, mesh, dtype=None):
+    """Host-side: scipy sparse / dense array → :class:`ShardedCOO` laid
+    out on ``mesh``. Duplicate coordinates are summed (scipy CSR
+    canonicalization — the reference's ``coo_matrix`` semantics)."""
+    dp_size, tp_size = mesh.devices.shape
+    n, d = X.shape
     n_loc = -(-n // dp_size)
     d_loc = -(-d // tp_size)
-
-    bi = coo.row // n_loc
-    bj = coo.col // d_loc
-    blk = bi * tp_size + bj
-    order = np.argsort(blk, kind='stable')
-    blk_sorted = blk[order]
-    counts = np.bincount(blk_sorted, minlength=dp_size * tp_size)
+    (n, d), starts, r_s, c_s, v_s = _block_runs(X, mesh, n_loc, d_loc)
+    counts = np.diff(starts)
     m = max(int(counts.max()), 1)
 
     if dtype is None:
-        dtype = coo.data.dtype
+        dtype = v_s.dtype
     data = np.zeros((dp_size * tp_size, m), dtype=np.dtype(dtype))
     rows = np.zeros((dp_size * tp_size, m), dtype=np.int32)
     cols = np.zeros((dp_size * tp_size, m), dtype=np.int32)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    r_s, c_s, v_s = coo.row[order], coo.col[order], coo.data[order]
     for b in range(dp_size * tp_size):
         lo, hi = starts[b], starts[b + 1]
         cnt = hi - lo
@@ -169,67 +181,101 @@ def make_sharded_sparse_sweep(cfg: SweepConfig, mesh):
     dp, tp = mesh.axis_names
     dp_size, tp_size = mesh.devices.shape
 
-    def local_sweep(data, rows, cols, W, T, *extras):
-        data = data.reshape(-1)
-        rows = rows.reshape(-1)
-        cols = cols.reshape(-1)
-        n_loc, d_loc = W.shape[0], T.shape[1]
-        dtype = W.dtype
-        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
-        Xb = _local_bcoo(data, rows, cols, n_loc, d_loc)
-        w_row_sum_vec = (extras[0].reshape(-1)
-                         if cfg.w_row_sum_is_vector else None)
+    def make_local(n_glob, d_glob):
+        # built per (n, d) trace: the TRUE global shape drives the exact
+        # padded-column handling inside gs_topics_blocked (ghost columns
+        # must not receive simplex mass or negative-L1 growth — see its
+        # docstring)
+        def local_sweep(data, rows, cols, W, T, *extras):
+            data = data.reshape(-1)
+            rows = rows.reshape(-1)
+            cols = cols.reshape(-1)
+            n_loc, d_loc = W.shape[0], T.shape[1]
+            dtype = W.dtype
+            acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
+                else dtype
+            Xb = _local_bcoo(data, rows, cols, n_loc, d_loc)
+            w_row_sum_vec = (extras[0].reshape(-1)
+                             if cfg.w_row_sum_is_vector else None)
+            t_proj = (cfg.t_update_s is not None
+                      or (cfg.t_row_sum and cfg.project_T_each_iter))
+            # tp == 1 whenever the T projection is on (support gate), so
+            # the valid column count is device-invariant there
+            t_valid = (d_glob if (t_proj and d_glob != d_loc * tp_size)
+                       else None)
+            t_mask = None
+            if not t_proj and d_glob != d_loc * tp_size:
+                t_mask = (jnp.arange(d_loc)
+                          + lax.axis_index(tp) * d_loc) < d_glob
+            w_mask = None
+            if n_glob != n_loc * dp_size:
+                w_mask = (jnp.arange(n_loc)
+                          + lax.axis_index(dp) * n_loc) < n_glob
 
-        if not cfg.fix_T:
-            WX = jsparse.bcoo_dot_general(
-                Xb, W, dimension_numbers=(((0,), (0,)), ((), ()))
-                ).T.astype(acc)                                # (k, d_loc)
-            WX = lax.psum(WX, dp)
-            G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc), dp)
-            T = gs_topics_blocked(
-                WX, T, G, k=k, B=B,
-                reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
-                qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
-                reproject_sum=(cfg.t_row_sum
-                               if (cfg.t_row_sum and
-                                   cfg.project_T_each_iter) else None),
-                acc=acc, dtype=dtype, reps=cfg.inner_reps)
+            if not cfg.fix_T:
+                # accumulate the sparse contraction in ``acc``: with bf16
+                # storage the dense operand is cast BEFORE the dot (the
+                # single-device _cast_dense rule) — a bf16-resulting dot
+                # would accumulate the n_loc-term sums in bf16
+                WX = jsparse.bcoo_dot_general(
+                    Xb, W.astype(acc),
+                    dimension_numbers=(((0,), (0,)), ((), ()))
+                    ).T                                    # (k, d_loc)
+                WX = lax.psum(WX, dp)
+                G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc),
+                             dp)
+                T = gs_topics_blocked(
+                    WX, T, G, k=k, B=B,
+                    reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
+                    qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
+                    reproject_sum=(cfg.t_row_sum
+                                   if (cfg.t_row_sum and
+                                       cfg.project_T_each_iter) else None),
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps,
+                    valid_cols=t_valid, col_mask=t_mask)
 
-        if not cfg.fix_W:
-            XT = jsparse.bcoo_dot_general(
-                Xb, T.T, dimension_numbers=(((1,), (0,)), ((), ()))
-                ).T.astype(acc)                                # (k, n_loc)
-            XT = lax.psum(XT, tp)
-            G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc), tp)
-            ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
-                  else cfg.w_row_sum)
-            Wt = gs_topics_blocked(
-                XT, W.T, G2, k=k, B=B,
-                reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
-                qf_s=None, qf_ub=ub, reproject_sum=None,
-                acc=acc, dtype=dtype, reps=cfg.inner_reps)
-            W = Wt.T
+            if not cfg.fix_W:
+                XT = jsparse.bcoo_dot_general(
+                    Xb, T.T.astype(acc),
+                    dimension_numbers=(((1,), (0,)), ((), ()))
+                    ).T                                    # (k, n_loc)
+                XT = lax.psum(XT, tp)
+                G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc),
+                              tp)
+                ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
+                      else cfg.w_row_sum)
+                Wt = gs_topics_blocked(
+                    XT, W.T, G2, k=k, B=B,
+                    reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
+                    qf_s=None, qf_ub=ub, reproject_sum=None,
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps,
+                    col_mask=w_mask)
+                W = Wt.T
 
-        if (cfg.project_W_each_iter and not cfg.fix_W
-                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
-            if cfg.w_row_sum_is_vector:
-                s_vec = w_row_sum_vec.astype(dtype)
-            else:
-                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
-            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+            if (cfg.project_W_each_iter and not cfg.fix_W
+                    and (cfg.w_row_sum is not None
+                         or cfg.w_row_sum_is_vector)):
+                if cfg.w_row_sum_is_vector:
+                    s_vec = w_row_sum_vec.astype(dtype)
+                else:
+                    s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+                W = jax.vmap(_proj_simplex_core)(W, s_vec)
+                if w_mask is not None:
+                    W = W * w_mask[:, None].astype(dtype)
 
-        return W, T
+            return W, T
+        return local_sweep
 
     in_specs = [P(dp, tp, None)] * 3 + [P(dp, None), P(None, tp)]
     if cfg.w_row_sum_is_vector:
         in_specs.append(P(dp))
-    sharded = shard_map(local_sweep, mesh=mesh,
-                        in_specs=tuple(in_specs),
-                        out_specs=(P(dp, None), P(None, tp)),
-                        check_vma=False)
 
     def sweep(Xs, W, T, key, resets_left, reset_key, *extras):
         n, d = Xs.shape
+        sharded = shard_map(make_local(n, d), mesh=mesh,
+                            in_specs=tuple(in_specs),
+                            out_specs=(P(dp, None), P(None, tp)),
+                            check_vma=False)
         npad = Xs.n_loc * dp_size
         dpad = Xs.d_loc * tp_size
         dtype = W.dtype
@@ -365,29 +411,20 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
     Each device's (n_loc, d_loc) block gets both direction plans from
     :func:`rri_nmf_tpu.ops.sparse_mxu._plan_direction_np`; all devices
     are padded to the max group count per direction."""
-    import scipy.sparse as sps
-
     from rri_nmf_tpu.ops.sparse_mxu import TILE, _plan_direction_np
 
-    if not sps.issparse(X):
-        X = sps.csr_matrix(np.asarray(X))
-    coo = X.tocsr().tocoo()
-    n, d = coo.shape
+    n, d = X.shape
     dp_size, tp_size = mesh.devices.shape
     n_loc = -(-(-(-n // dp_size)) // TILE) * TILE
     d_loc = -(-(-(-d // tp_size)) // TILE) * TILE
+    # one O(nnz log nnz) sort by device block, then slice contiguous runs
+    # (vs a boolean mask per device: O(n_devices * nnz) host work) —
+    # shared with partition_coo via _block_runs
+    (n, d), starts, r_s, c_s, v_s = _block_runs(X, mesh, n_loc, d_loc)
     if dtype is None:
-        dtype = coo.data.dtype
+        dtype = v_s.dtype
     dtype = np.dtype(dtype)
     n_gt, n_ct = n_loc // TILE, d_loc // TILE
-
-    # one O(nnz log nnz) sort by device block, then slice contiguous runs
-    # (vs a boolean mask per device: O(n_devices * nnz) host work)
-    blk = (coo.row // n_loc) * tp_size + (coo.col // d_loc)
-    order = np.argsort(blk, kind='stable')
-    r_s, c_s, v_s = coo.row[order], coo.col[order], coo.data[order]
-    counts = np.bincount(blk[order], minlength=dp_size * tp_size)
-    starts = np.concatenate([[0], np.cumsum(counts)])
     plans_t, plans_w = [], []
     for b in range(dp_size * tp_size):
         lo, hi = starts[b], starts[b + 1]
@@ -455,56 +492,82 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False,
 
     from rri_nmf_tpu.ops.sparse_mxu import ContractPlan, mxu_contract
 
-    def local_sweep(tv, tg, ts, tf, to, tm, wv, wg, ws, wf, wo, wm,
-                    W, T, *extras):
-        n_loc, d_loc = W.shape[0], T.shape[1]
-        dtype = W.dtype
-        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
-        w_row_sum_vec = (extras[0].reshape(-1)
-                         if cfg.w_row_sum_is_vector else None)
+    def make_local(n_glob, d_glob):
+        # built per (n, d) trace — the TRUE global shape drives the exact
+        # padded-column handling (MXU tiles pad n_loc/d_loc to TILE=128
+        # multiples, so ghost columns exist even on a (N, 1) mesh; without
+        # masking, simplex projections leak mass into them)
+        def local_sweep(tv, tg, ts, tf, to, tm, wv, wg, ws, wf, wo, wm,
+                        W, T, *extras):
+            n_loc, d_loc = W.shape[0], T.shape[1]
+            dtype = W.dtype
+            acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
+                else dtype
+            w_row_sum_vec = (extras[0].reshape(-1)
+                             if cfg.w_row_sum_is_vector else None)
+            t_proj = (cfg.t_update_s is not None
+                      or (cfg.t_row_sum and cfg.project_T_each_iter))
+            t_valid = (d_glob if (t_proj and d_glob != d_loc * tp_size)
+                       else None)
+            t_mask = None
+            if not t_proj and d_glob != d_loc * tp_size:
+                t_mask = (jnp.arange(d_loc)
+                          + lax.axis_index(tp) * d_loc) < d_glob
+            w_mask = None
+            if n_glob != n_loc * dp_size:
+                w_mask = (jnp.arange(n_loc)
+                          + lax.axis_index(dp) * n_loc) < n_glob
 
-        def local_plan(v, g, s, f, o, m):
-            return ContractPlan(v.reshape(1, -1), g.reshape(1, -1),
-                                s.reshape(1, -1), f.reshape(-1),
-                                o.reshape(-1), m.reshape(1, -1))
+            def local_plan(v, g, s, f, o, m):
+                return ContractPlan(v.reshape(1, -1), g.reshape(1, -1),
+                                    s.reshape(1, -1), f.reshape(-1),
+                                    o.reshape(-1), m.reshape(1, -1))
 
-        if not cfg.fix_T:
-            WX = mxu_contract(local_plan(tv, tg, ts, tf, to, tm), W.T,
-                              acc, interpret, group=group)  # (k, d_loc)
-            WX = lax.psum(WX, dp)
-            G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc), dp)
-            T = gs_topics_blocked(
-                WX, T, G, k=k, B=B,
-                reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
-                qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
-                reproject_sum=(cfg.t_row_sum
-                               if (cfg.t_row_sum and
-                                   cfg.project_T_each_iter) else None),
-                acc=acc, dtype=dtype, reps=cfg.inner_reps)
+            if not cfg.fix_T:
+                WX = mxu_contract(local_plan(tv, tg, ts, tf, to, tm), W.T,
+                                  acc, interpret, group=group)  # (k, d_loc)
+                WX = lax.psum(WX, dp)
+                G = lax.psum(jnp.dot(W.T, W, preferred_element_type=acc),
+                             dp)
+                T = gs_topics_blocked(
+                    WX, T, G, k=k, B=B,
+                    reg_l1=cfg.reg_t_l1, reg_l2=cfg.reg_t_l2,
+                    qf_s=cfg.t_update_s, qf_ub=cfg.t_row_sum,
+                    reproject_sum=(cfg.t_row_sum
+                                   if (cfg.t_row_sum and
+                                       cfg.project_T_each_iter) else None),
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps,
+                    valid_cols=t_valid, col_mask=t_mask)
 
-        if not cfg.fix_W:
-            XT = mxu_contract(local_plan(wv, wg, ws, wf, wo, wm), T,
-                              acc, interpret, group=group)  # (k, n_loc)
-            XT = lax.psum(XT, tp)
-            G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc), tp)
-            ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
-                  else cfg.w_row_sum)
-            Wt = gs_topics_blocked(
-                XT, W.T, G2, k=k, B=B,
-                reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
-                qf_s=None, qf_ub=ub, reproject_sum=None,
-                acc=acc, dtype=dtype, reps=cfg.inner_reps)
-            W = Wt.T
+            if not cfg.fix_W:
+                XT = mxu_contract(local_plan(wv, wg, ws, wf, wo, wm), T,
+                                  acc, interpret, group=group)  # (k, n_loc)
+                XT = lax.psum(XT, tp)
+                G2 = lax.psum(jnp.dot(T, T.T, preferred_element_type=acc),
+                              tp)
+                ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
+                      else cfg.w_row_sum)
+                Wt = gs_topics_blocked(
+                    XT, W.T, G2, k=k, B=B,
+                    reg_l1=cfg.reg_w_l1, reg_l2=cfg.reg_w_l2,
+                    qf_s=None, qf_ub=ub, reproject_sum=None,
+                    acc=acc, dtype=dtype, reps=cfg.inner_reps,
+                    col_mask=w_mask)
+                W = Wt.T
 
-        if (cfg.project_W_each_iter and not cfg.fix_W
-                and (cfg.w_row_sum is not None or cfg.w_row_sum_is_vector)):
-            if cfg.w_row_sum_is_vector:
-                s_vec = w_row_sum_vec.astype(dtype)
-            else:
-                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
-            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+            if (cfg.project_W_each_iter and not cfg.fix_W
+                    and (cfg.w_row_sum is not None
+                         or cfg.w_row_sum_is_vector)):
+                if cfg.w_row_sum_is_vector:
+                    s_vec = w_row_sum_vec.astype(dtype)
+                else:
+                    s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+                W = jax.vmap(_proj_simplex_core)(W, s_vec)
+                if w_mask is not None:
+                    W = W * w_mask[:, None].astype(dtype)
 
-        return W, T
+            return W, T
+        return local_sweep
 
     data_specs = [P(dp, tp, None, None), P(dp, tp, None, None),
                   P(dp, tp, None, None), P(dp, tp, None),
@@ -512,10 +575,6 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False,
     in_specs = data_specs * 2 + [P(dp, None), P(None, tp)]
     if cfg.w_row_sum_is_vector:
         in_specs.append(P(dp))
-    sharded = shard_map(local_sweep, mesh=mesh,
-                        in_specs=tuple(in_specs),
-                        out_specs=(P(dp, None), P(None, tp)),
-                        check_vma=False)
 
     def sweep(Xs, W, T, key, resets_left, reset_key, *extras):
         if Xs.group != group:
@@ -523,6 +582,10 @@ def make_sharded_mxu_sweep(cfg: SweepConfig, mesh, interpret=False,
                 'plan group %d does not match the sweep built for group %d'
                 % (Xs.group, group))
         n, d = Xs.shape
+        sharded = shard_map(make_local(n, d), mesh=mesh,
+                            in_specs=tuple(in_specs),
+                            out_specs=(P(dp, None), P(None, tp)),
+                            check_vma=False)
         npad = Xs.n_loc * dp_size
         dpad = Xs.d_loc * tp_size
         dtype = W.dtype

@@ -123,6 +123,55 @@ def test_sharded_mxu_matches_single_device():
     assert np.allclose(bcoo['W'], sharded['W'], atol=1e-11)
 
 
+def test_sharded_mxu_tm_preset_no_padded_column_leak():
+    """TM preset (per-topic T simplex projection) through the sharded
+    MXU sweep: the TILE-padded ghost columns must receive NO simplex
+    mass — T rows sum to t_row_sum exactly on the true d columns and the
+    fit matches the single-device mxu fit. Regression for the round-3
+    self-review finding (mass leaked via the Duchi threshold whenever
+    the unconstrained row summed below t_row_sum; row sums came back
+    d/dpad)."""
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(11)
+    # small-magnitude X so the unconstrained T rows sum below 1.0 and
+    # the projection must ADD mass — the leaking regime; d=80 pads to 128
+    Xd = 0.05 * np.abs(rng.rand(96, 80))
+    Xd[Xd < 0.04] = 0.0
+    Xs = sp.csr_matrix(Xd)
+    kw = dict(k=4, max_iter=3, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              project_T_each_iter=True, t_row_sum=1.0, eps_stop=0)
+    single = nmf(Xs, sparse='mxu', **kw)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    sharded = nmf(Xs, sparse='mxu', mesh=mesh, **kw)
+    assert np.allclose(sharded['T'].sum(axis=1), 1.0, atol=1e-6)
+    assert np.allclose(single['T'], sharded['T'], atol=1e-9)
+    assert np.allclose(single['W'], sharded['W'], atol=1e-9)
+
+
+def test_sharded_sparse_bf16_contraction_accumulates_f32():
+    """The sharded COO sweep's contractions must cast the dense operand
+    to f32 BEFORE the dot under bf16 storage (bf16 accumulation over
+    n_loc terms produced garbage numerators — round-3 self-review
+    finding): the bf16 sharded fit stays close to the bf16 single-device
+    fit."""
+    from rri_nmf_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(12)
+    Xd = np.abs(rng.rand(256, 96))
+    Xd[Xd < 0.6] = 0.0
+    Xs = sp.csr_matrix(Xd.astype(np.float32))
+    kw = dict(k=4, max_iter=3, random_state=0, early_stop=False,
+              update_order='phase', reset_topic_method=None,
+              dtype='bfloat16', eps_stop=0)
+    single = nmf(Xs, sparse=True, **kw)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    sharded = nmf(Xs, sparse=True, mesh=mesh, **kw)
+    ref = np.asarray(single['W'], np.float32)
+    got = np.asarray(sharded['W'], np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.03 * scale
+
+
 def test_sharded_mxu_inner_reps_and_empty_device():
     """A device with an all-zero block (empty plan padding) plus
     inner_reps through the sharded MXU path."""

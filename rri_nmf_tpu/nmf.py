@@ -282,6 +282,23 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         densifies instead of auto-engaging sparse mode. Ignored on the
         masked path, where the streamed residual, not X, carries the HBM
         traffic.
+    sparse : optional
+        Sparse-X handling (the reference densifies unconditionally,
+        ``sklearn_interface.py:78-83``). ``'auto'`` (default): a
+        scipy-sparse X engages the sparse sweep when the requested
+        settings already match it (phase order, no resets/mask/DP/
+        gradient stores); on an accelerator the driver then densifies ON
+        DEVICE when the dense form fits HBM (one O(nnz) transfer — the
+        dense hybrid sweep is strictly faster) and otherwise keeps X
+        compressed. ``True``: force the sparse sweep (O(nnz) memory,
+        BCOO contractions; coerces phase order, disables resets).
+        ``'mxu'``: tile-bucketed chunk plan + the pipelined one-hot MXU
+        Pallas kernel for the two contractions
+        (:mod:`rri_nmf_tpu.ops.sparse_mxu`) — the beyond-HBM fast path;
+        works under ``mesh``. ``'dma'``: the manual-DMA chunk kernel
+        (:mod:`rri_nmf_tpu.ops.sparse_dma` — one grid step per output
+        tile, double-buffered factor-tile fetches); single-device.
+        ``False``: densify on the host like the reference.
     use_pallas : optional
         Masked-path kernel selection: ``None`` (auto — fused Pallas sweep on
         TPU when the config supports it), ``True``/``False`` to force, or
@@ -380,14 +397,22 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # a whole T row, so they need the row device-local (tp == 1)
     _mesh_sp_ok = (mesh is None or mesh.devices.shape[1] == 1
                    or not (project_T_each_iter and t_row_sum))
-    mxu_mode = sparse == 'mxu'
+    mxu_mode = sparse in ('mxu', 'dma')
+    dma_mode = sparse == 'dma'
     if mxu_mode:
-        # tile-bucketed one-hot MXU contractions (ops/sparse_mxu.py): the
-        # beyond-HBM fast path — all flops on the MXU, no gather/scatter.
-        # With a mesh, per-device chunk plans run under shard_map
+        # tile-bucketed MXU chunk contractions: the beyond-HBM fast path —
+        # all flops on the MXU, no gather/scatter. 'mxu' = the pipelined
+        # one-hot kernel (ops/sparse_mxu.py); 'dma' = the manual-DMA
+        # kernel (ops/sparse_dma.py: one grid step per output tile,
+        # double-buffered factor fetches). With a mesh, per-device 'mxu'
+        # chunk plans run under shard_map
         # (parallel/sparse_mesh.py:make_sharded_mxu_sweep).
         if not _is_sp:
-            raise ValueError("sparse='mxu' requires a scipy-sparse X")
+            raise ValueError("sparse=%r requires a scipy-sparse X"
+                             % (sparse,))
+        if dma_mode and mesh is not None:
+            raise ValueError("sparse='dma' is single-device; use "
+                             "sparse='mxu' with a mesh")
         sparse = True
     if sparse is True:
         if not _viable:
@@ -578,7 +603,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         T_dev = _put(jnp.asarray(T, dtype=dtype), s_T)
     else:
         s_X = s_W = None
-        if sparse_mode and mxu_mode:
+        if sparse_mode and dma_mode:
+            from rri_nmf_tpu.ops.sparse_dma import plan_sparse_matrix_dma
+            X_dev = plan_sparse_matrix_dma(X, np.dtype(dtype))
+        elif sparse_mode and mxu_mode:
             from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
             X_dev = plan_sparse_matrix(X, np.dtype(dtype))
         elif sparse_mode:

@@ -171,10 +171,13 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
 
     ``mxu=True``: the sweep's ``X`` argument is a
     :class:`rri_nmf_tpu.ops.sparse_mxu.SparseMXUPlan` (tile-bucketed
-    chunks) instead of a BCOO, and the two contractions run as the
-    one-hot MXU Pallas kernel instead of XLA's gather/scatter lowering —
-    the beyond-HBM fast path (``gemm_dtype`` is ignored; the kernel
-    accumulates in the factor dtype's accumulation type).
+    chunks, pipelined one-hot kernel) or a
+    :class:`rri_nmf_tpu.ops.sparse_dma.SparseDMAPlan` (manual-DMA
+    kernel: one grid step per output tile, double-buffered factor
+    fetches) instead of a BCOO, and the two contractions run as the
+    matching Pallas kernel instead of XLA's gather/scatter lowering —
+    the beyond-HBM fast path (``gemm_dtype`` is ignored; the kernels
+    accumulate in the factor dtype's accumulation type).
     """
     assert supports_sparse(cfg), 'config not supported by the sparse sweep'
     k = cfg.k
@@ -234,8 +237,11 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
 
         if not cfg.fix_T:
             if mxu:
-                from rri_nmf_tpu.ops.sparse_mxu import contract_wtx
-                WX = contract_wtx(X, W, acc, interpret)          # (k, d)
+                from rri_nmf_tpu.ops import sparse_dma, sparse_mxu
+                wtx = (sparse_dma.contract_wtx
+                       if isinstance(X, sparse_dma.SparseDMAPlan)
+                       else sparse_mxu.contract_wtx)
+                WX = wtx(X, W, acc, interpret)                   # (k, d)
             else:
                 WX = jsparse.bcoo_dot_general(
                     Xc, _cast_dense(W),
@@ -260,8 +266,11 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
 
         if not cfg.fix_W:
             if mxu:
-                from rri_nmf_tpu.ops.sparse_mxu import contract_xtt
-                XT = contract_xtt(X, T, acc, interpret)          # (k, n)
+                from rri_nmf_tpu.ops import sparse_dma, sparse_mxu
+                xtt = (sparse_dma.contract_xtt
+                       if isinstance(X, sparse_dma.SparseDMAPlan)
+                       else sparse_mxu.contract_xtt)
+                XT = xtt(X, T, acc, interpret)                   # (k, n)
             else:
                 XT = jsparse.bcoo_dot_general(
                     Xc, _cast_dense(T.T),

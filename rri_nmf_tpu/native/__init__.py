@@ -54,6 +54,19 @@ def _load():
             lib.column_df.argtypes = [
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.plan_hist.restype = None
+            lib.plan_hist.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.plan_scatter.restype = None
+            lib.plan_scatter.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
             _lib = lib
         except Exception as e:  # no compiler / load failure -> fallback
             logger.info('native data-path unavailable (%s); using NumPy '
@@ -100,6 +113,54 @@ def coo_to_dense_mask(rows, cols, vals, n, d):
     np.add.at(X, (rows, cols), vals.astype(np.float32))
     M = (X != 0).astype(np.float32)
     return X, M
+
+
+def _int_flag(a):
+    """(array, is32 flag) for an int index array; int64-normalize others."""
+    if a.dtype == np.int32:
+        return np.ascontiguousarray(a), 1
+    return np.ascontiguousarray(a, dtype=np.int64), 0
+
+
+def plan_hist(g, s, n_gtiles, n_stiles):
+    """Bucket histogram for the sparse chunk plans: counts[st*ngt+gt] over
+    all nonzeros (pass A of the counting-sort bucketing). Returns the
+    int64 (n_stiles*n_gtiles,) counts, or None when the native library is
+    unavailable (callers fall back to the NumPy sort path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    g, g32 = _int_flag(np.asarray(g))
+    s, s32 = _int_flag(np.asarray(s))
+    counts = np.zeros(int(n_gtiles) * int(n_stiles), dtype=np.int64)
+    lib.plan_hist(g.ctypes.data_as(ctypes.c_void_p),
+                  s.ctypes.data_as(ctypes.c_void_p),
+                  len(g), g32, s32, int(n_gtiles),
+                  _ptr(counts, ctypes.c_int64))
+    return counts
+
+
+def plan_scatter(g, s, v, n_gtiles, slot_base, vals_out, glo_out, slo_out):
+    """Pass B of the counting-sort bucketing: place each nonzero's value
+    and local (within-tile) indices into its final chunk slot.
+    ``vals_out`` must be float32 or float64 and match ``v``'s width;
+    all three output buffers arrive zeroed (padding slots stay 0)."""
+    lib = _load()
+    assert lib is not None, 'call plan_hist first (it gates availability)'
+    g, g32 = _int_flag(np.asarray(g))
+    s, s32 = _int_flag(np.asarray(s))
+    v = np.ascontiguousarray(v)
+    assert v.dtype == vals_out.dtype and v.dtype in (np.float32, np.float64)
+    cursor = np.zeros(len(slot_base), dtype=np.int64)
+    lib.plan_scatter(
+        g.ctypes.data_as(ctypes.c_void_p),
+        s.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p),
+        len(g), g32, s32, 1 if v.dtype == np.float32 else 0,
+        int(n_gtiles), _ptr(slot_base, ctypes.c_int64),
+        _ptr(cursor, ctypes.c_int64),
+        vals_out.ctypes.data_as(ctypes.c_void_p),
+        _ptr(glo_out, ctypes.c_int32), _ptr(slo_out, ctypes.c_int32))
 
 
 def column_df(X):

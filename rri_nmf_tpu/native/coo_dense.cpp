@@ -52,6 +52,63 @@ int coo_to_dense_mask(const int64_t* rows, const int64_t* cols,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Sparse-plan bucketing (ops/sparse_mxu.py / ops/sparse_dma.py).
+//
+// The MXU chunk plans bucket every nonzero by its (scatter-tile,
+// gather-tile) 128x128 tile of X. The NumPy formulation is an
+// O(nnz log nnz) argsort plus ~8 full-array passes (permutes, scatters)
+// — profiled at ~16 us/nnz on the deployment host, which DOMINATES
+// whole sparse fits (7.5M nnz: ~80 s host vs ~60 ms/sweep device).
+// Tile buckets are dense integers, so a counting sort does it in two
+// O(nnz) passes with no sort at all:
+//   pass A (plan_hist):     bucket histogram
+//   (Python computes chunk offsets / group padding on the ~nchunks-sized
+//    bucket level — cheap)
+//   pass B (plan_scatter):  place each nonzero's value + local indices
+//                           directly into its final padded chunk slot
+// Serial: the deployment host is single-core; the loops are trivially
+// OpenMP-able (per-thread histograms / atomic-capture cursors) if that
+// changes.
+
+static inline int64_t idx_at(const void* p, int is32, int64_t t) {
+    return is32 ? (int64_t)((const int32_t*)p)[t] : ((const int64_t*)p)[t];
+}
+
+// Pass A: counts[(s/128)*n_gtiles + g/128]++ over all nonzeros.
+// counts must arrive zeroed (n_gtiles*n_stiles entries).
+void plan_hist(const void* g, const void* s, int64_t nnz,
+               int g_is32, int s_is32, int64_t n_gtiles,
+               int64_t* counts) {
+    for (int64_t t = 0; t < nnz; ++t) {
+        int64_t gt = idx_at(g, g_is32, t) >> 7;   // /128
+        int64_t st = idx_at(s, s_is32, t) >> 7;
+        counts[st * n_gtiles + gt]++;
+    }
+}
+
+// Pass B: slot = slot_base[bucket] + cursor[bucket]++; write value and
+// local (within-tile) gather/scatter indices. cursor arrives zeroed;
+// vals/glo/slo arrive zeroed (padding slots must stay v = 0).
+void plan_scatter(const void* g, const void* s, const void* v,
+                  int64_t nnz, int g_is32, int s_is32, int v_is32,
+                  int64_t n_gtiles, const int64_t* slot_base,
+                  int64_t* cursor, void* vals_out,
+                  int32_t* glo_out, int32_t* slo_out) {
+    for (int64_t t = 0; t < nnz; ++t) {
+        int64_t gi = idx_at(g, g_is32, t);
+        int64_t si = idx_at(s, s_is32, t);
+        int64_t b = (si >> 7) * n_gtiles + (gi >> 7);
+        int64_t slot = slot_base[b] + cursor[b]++;
+        if (v_is32)
+            ((float*)vals_out)[slot] = ((const float*)v)[t];
+        else
+            ((double*)vals_out)[slot] = ((const double*)v)[t];
+        glo_out[slot] = (int32_t)(gi & 127);
+        slo_out[slot] = (int32_t)(si & 127);
+    }
+}
+
 // Column document frequencies of a dense count matrix (tfidf prep,
 // called by rri_nmf_tpu.matrixops.tfidf's host path):
 // df[j] = #rows with X[i,j] > 0. Parallel over columns.

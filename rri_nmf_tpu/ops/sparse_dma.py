@@ -10,6 +10,19 @@ grouping only amortizes (ROADMAP round-3 note); the arithmetic itself
 (2·C·128² one-hot build + 2·k·128² accumulate) bounds at ~270 ns/chunk
 on this chip.
 
+**Measured outcome (v5e, 50k×30k 0.5% k=128 — ROADMAP item closed):**
+the hypothesis was WRONG. This kernel runs ~703 ns/chunk vs the one-hot
+kernel's ~348 (64.5 vs 32.0 ms/direction;
+``benchmarks/results_round3_sparse_dma.json``), invariant to factor
+buffer depth 2/4/8 — so it is not DMA-latency-bound. The per-chunk cost
+is the in-kernel ``fori``'s scalar work (semaphore wait, dynamic-slice
+addressing, DMA issue) serializing with the ~300 ns of MXU compute,
+exactly the work Mosaic's grid pipeline overlaps across grid steps for
+the one-hot kernel. The one-hot kernel remains the default beyond-HBM
+path; this module stays as a tested, exact alternative
+(``nmf(sparse='dma')``) and as the reference implementation of the
+manual-DMA pattern.
+
 This kernel removes the per-step machinery instead of amortizing it:
 
 1. **One grid step per used output tile** (not per chunk group). The
@@ -103,7 +116,12 @@ def _plan_direction_dma(g, s, v, n_gtiles, n_stiles, C, dtype):
         g, s, v, n_gtiles, n_stiles, C, 1, vdt)
     nchunks = ftile.shape[0]
     # CSR-like offsets over the (already output-tile-major) chunk order
-    uo, ofirst = np.unique(otile, return_index=True)
+    # (sorted runs — boundary flags, not np.unique's re-sort)
+    onew = np.empty(nchunks, np.bool_)
+    onew[0] = True
+    np.not_equal(otile[1:], otile[:-1], out=onew[1:])
+    ofirst = np.flatnonzero(onew)
+    uo = otile[ofirst]
     ostart = np.concatenate([ofirst, [nchunks]]).astype(np.int32)
     # pad so the kernel's trailing MBLK-chunk metadata DMA may over-read
     npad = nchunks + MBLK_MAX
@@ -132,9 +150,9 @@ def plan_sparse_matrix_dma(X, dtype=None, C=TILE):
     dtype = np.dtype(dtype)
     n_rt = -(-n // TILE)
     n_ct = -(-d // TILE)
-    rows = coo.row.astype(np.int64)
-    cols = coo.col.astype(np.int64)
-    vals = coo.data.astype(dtype)
+    rows = coo.row                    # any int dtype; fused key is int64
+    cols = coo.col
+    vals = np.asarray(coo.data, dtype=dtype)
     return SparseDMAPlan(
         t_phase=_plan_direction_dma(rows, cols, vals, n_rt, n_ct, C, dtype),
         w_phase=_plan_direction_dma(cols, rows, vals, n_ct, n_rt, C, dtype),

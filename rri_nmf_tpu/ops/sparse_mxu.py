@@ -88,20 +88,44 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     padded to C-slot chunks; chunks grouped G per grid step (each group
     stays within ONE output tile — groups are padded with dummy chunks,
     v = 0, so the kernel's output-revisit logic works at group level).
-    Returns host (NumPy) arrays in ContractPlan field order."""
+    Returns host (NumPy) arrays in ContractPlan field order.
+
+    Tile buckets are dense integers, so the default path is a two-pass
+    C++ counting sort (``native.plan_hist``/``plan_scatter``) with the
+    per-bucket offset/grouping arithmetic on the ~nchunks-sized bucket
+    level in NumPy; the O(nnz log nnz) argsort formulation below is the
+    fallback (no compiler, or a pathological bucket count)."""
     if len(v) == 0:
         # degenerate: one all-padding group, all-zero mask → zeros out
         return (np.zeros((1, G * C), dtype), np.zeros((1, G * C), np.int32),
                 np.zeros((1, G * C), np.int32),
                 np.zeros((G,), np.int32), np.zeros((1,), np.int32),
                 np.zeros((1, n_stiles * TILE), dtype))
-    gt, gl = g // TILE, (g % TILE).astype(np.int32)
-    st, sl = s // TILE, (s % TILE).astype(np.int32)
-    order = np.lexsort((gt, st))          # st-major, gt within
-    gt, gl, st, sl, v = gt[order], gl[order], st[order], sl[order], v[order]
-    pair = st.astype(np.int64) * n_gtiles + gt
-    _, first, counts = np.unique(pair, return_index=True,
-                                 return_counts=True)
+    if n_gtiles * n_stiles <= 5e7:
+        from rri_nmf_tpu import native
+        counts = native.plan_hist(g, s, n_gtiles, n_stiles)
+        if counts is not None:
+            return _plan_direction_counting_np(
+                g, s, v, counts, n_gtiles, n_stiles, C, G, dtype)
+    # one argsort on the fused (scatter-tile, gather-tile) key replaces
+    # lexsort + np.unique's internal re-sort, and only the surviving
+    # per-slot arrays are permuted (this host pass was profiled at ~16
+    # µs/nnz on the 1-core box with the naive multi-pass form)
+    pair = (s // TILE).astype(np.int64) * n_gtiles + g // TILE
+    order = np.argsort(pair)              # st-major, gt within
+    pair = pair[order]
+    g = g[order]
+    s = s[order]
+    v = v[order]
+    gl = (g % TILE).astype(np.int32)
+    sl = (s % TILE).astype(np.int32)
+    newrun = np.empty(len(pair), np.bool_)
+    newrun[0] = True
+    np.not_equal(pair[1:], pair[:-1], out=newrun[1:])
+    first = np.flatnonzero(newrun)
+    counts = np.diff(np.append(first, len(pair)))
+    gt_first = (pair[first] % n_gtiles).astype(np.int64)
+    st_first = (pair[first] // n_gtiles).astype(np.int64)
     chunks_per = -(-counts // C)
     nchunks = int(chunks_per.sum())
     choff = np.zeros(len(first) + 1, np.int64)
@@ -115,14 +139,19 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     glo[dst] = gl
     slo = np.zeros(nchunks * C, np.int32)
     slo[dst] = sl
-    ftile = np.repeat(gt[first], chunks_per).astype(np.int32)
-    otile = np.repeat(st[first], chunks_per).astype(np.int32)
+    ftile = np.repeat(gt_first.astype(np.int32), chunks_per)
+    otile = np.repeat(st_first.astype(np.int32), chunks_per)
 
     if G > 1:
         # pad each otile's chunk run to a multiple of G (dummy chunks:
         # v = 0, ftile = 0) so no group straddles an output tile
-        uo, ofirst, ocnt = np.unique(otile, return_index=True,
-                                     return_counts=True)
+        # (otile holds sorted runs — run boundaries, not np.unique)
+        onew = np.empty(nchunks, np.bool_)
+        onew[0] = True
+        np.not_equal(otile[1:], otile[:-1], out=onew[1:])
+        ofirst = np.flatnonzero(onew)
+        uo = otile[ofirst]
+        ocnt = np.diff(np.append(ofirst, nchunks))
         opad = -(-ocnt // G) * G
         tot = int(opad.sum())
         ooff = np.zeros(len(uo) + 1, np.int64)
@@ -146,9 +175,69 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     # otile per group (G == 1: group == chunk)
 
     mask = np.zeros((n_stiles, 1), dtype)
-    mask[np.unique(st)] = 1.0
+    mask[st_first] = 1.0
     mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
 
+    return (vals.reshape(1, nchunks * C), glo.reshape(1, nchunks * C),
+            slo.reshape(1, nchunks * C), ftile, otile,
+            np.ascontiguousarray(mask))
+
+
+def _plan_direction_counting_np(g, s, v, counts, n_gtiles, n_stiles, C, G,
+                                dtype):
+    """Counting-sort bucketing (native pass A already done → ``counts``):
+    compute the final padded chunk layout per bucket in NumPy (bucket
+    level, ~nchunks elements), then one native O(nnz) scatter places
+    every nonzero directly into its final slot. Same output contract and
+    layout as the sort path."""
+    from rri_nmf_tpu import native
+    nb = np.flatnonzero(counts)              # nonempty buckets, st-major
+    cnt = counts[nb]
+    chunks_per = -(-cnt // C)
+    gt_first = nb % n_gtiles
+    st_first = nb // n_gtiles
+    cum = np.cumsum(chunks_per)
+    e = np.concatenate([[0], cum[:-1]])      # exclusive chunk offsets
+    tot_real = int(cum[-1])
+    if G > 1:
+        onew = np.empty(len(nb), np.bool_)
+        onew[0] = True
+        np.not_equal(st_first[1:], st_first[:-1], out=onew[1:])
+        ofirst = np.flatnonzero(onew)        # bucket-run start per otile
+        run_id = np.cumsum(onew) - 1         # otile run index per bucket
+        tot_o = np.add.reduceat(chunks_per, ofirst)
+        pad_o = -(-tot_o // G) * G
+        ooff = np.concatenate([[0], np.cumsum(pad_o)])
+        choff_b = ooff[:-1][run_id] + (e - e[ofirst][run_id])
+        nchunks = int(ooff[-1])
+        otile = np.repeat(st_first[ofirst].astype(np.int32),
+                          pad_o // G)        # per GROUP, padding included
+    else:
+        choff_b = e
+        nchunks = tot_real
+        otile = np.repeat(st_first.astype(np.int32), chunks_per)
+
+    ftile = np.zeros(nchunks, np.int32)
+    pos = np.repeat(choff_b, chunks_per) \
+        + (np.arange(tot_real) - np.repeat(e, chunks_per))
+    ftile[pos] = np.repeat(gt_first.astype(np.int32), chunks_per)
+
+    slot_base = np.zeros(len(counts), np.int64)
+    slot_base[nb] = choff_b * C
+    # native scatter works in 32/64-bit; narrow plan dtypes (bf16/f16)
+    # round once afterwards — same values as a direct astype
+    sdt = np.float64 if np.dtype(dtype).itemsize == 8 else np.float32
+    vals = np.zeros(nchunks * C, sdt)
+    glo = np.zeros(nchunks * C, np.int32)
+    slo = np.zeros(nchunks * C, np.int32)
+    native.plan_scatter(g, s, np.asarray(v, dtype=sdt), n_gtiles,
+                        slot_base, vals, glo, slo)
+    if vals.dtype != np.dtype(dtype):
+        vals = vals.astype(dtype)
+
+    mask = np.zeros((n_stiles, 1), dtype)
+    mask[st_first] = 1.0
+    mask = np.broadcast_to(mask, (n_stiles, TILE)).reshape(1, -1)
     return (vals.reshape(1, nchunks * C), glo.reshape(1, nchunks * C),
             slo.reshape(1, nchunks * C), ftile, otile,
             np.ascontiguousarray(mask))
@@ -174,9 +263,9 @@ def plan_sparse_matrix(X, dtype=None, C=TILE, group=8):
     dtype = np.dtype(dtype)
     n_rt = -(-n // TILE)
     n_ct = -(-d // TILE)
-    rows = coo.row.astype(np.int64)
-    cols = coo.col.astype(np.int64)
-    vals = coo.data.astype(dtype)
+    rows = coo.row                    # any int dtype; fused key is int64
+    cols = coo.col
+    vals = np.asarray(coo.data, dtype=dtype)
     return SparseMXUPlan(
         t_phase=_plan_direction(rows, cols, vals, n_rt, n_ct, C, group,
                                 dtype),

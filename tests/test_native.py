@@ -49,6 +49,55 @@ def test_column_df():
     assert np.array_equal(native.column_df(X), [1, 0, 2])
 
 
+@pytest.mark.parametrize('G', [1, 8])
+@pytest.mark.parametrize('idx_dtype', [np.int32, np.int64])
+def test_plan_counting_sort_matches_sort_path(G, idx_dtype):
+    """The native two-pass counting-sort bucketing produces the same plan
+    as the NumPy argsort path: identical structural fields (ftile, otile,
+    mask) and the same scatter-reconstructed tile content (within-chunk
+    slot ORDER may differ for multi-chunk buckets — the kernel sums slot
+    triples, so any consistent (v, g, s) placement is equivalent)."""
+    import rri_nmf_tpu.native as nat
+    import rri_nmf_tpu.ops.sparse_mxu as sm
+    if not native.available():
+        pytest.skip('no native library')
+    rng = np.random.RandomState(5)
+    n, d, C = 300, 520, 128
+    Xd = rng.rand(n, d) * (rng.rand(n, d) < 0.02)
+    ii, jj = np.nonzero(Xd)
+    g = ii.astype(idx_dtype)
+    s = jj.astype(idx_dtype)
+    v = Xd[ii, jj]
+    ngt, nst = -(-n // 128), -(-d // 128)
+    counts = native.plan_hist(g, s, ngt, nst)
+    pc = sm._plan_direction_counting_np(g, s, v, counts, ngt, nst, C, G,
+                                        np.float64)
+    saved = nat.plan_hist
+    nat.plan_hist = lambda *a: None        # force the sort fallback
+    try:
+        ps = sm._plan_direction_np(g, s, v, ngt, nst, C, G, np.float64)
+    finally:
+        nat.plan_hist = saved
+    assert np.array_equal(pc[3], ps[3])    # ftile
+    assert np.array_equal(pc[4], ps[4])    # otile
+    assert np.array_equal(pc[5], ps[5])    # mask
+
+    def reconstruct(p):
+        vals, gl, sl, ft, ot = (p[0].ravel(), p[1].ravel(), p[2].ravel(),
+                                p[3], p[4])
+        nch = ft.shape[0]
+        per = nch // len(ot)               # chunks per otile entry (G)
+        acc = np.zeros((nst * 128, ngt * 128))
+        for c in range(nch):
+            o = ot[c // per]
+            sl_c = slice(c * C, (c + 1) * C)
+            np.add.at(acc, (o * 128 + sl[sl_c], ft[c] * 128 + gl[sl_c]),
+                      vals[sl_c])
+        return acc
+
+    assert np.allclose(reconstruct(pc), reconstruct(ps))
+
+
 def test_coo_duplicates_accumulate_like_scipy():
     """Duplicate (i, j) triples must SUM (scipy.sparse.coo_matrix semantics,
     reference sklearn_interface.py:78-83) and the mask must come from the

@@ -65,8 +65,8 @@ def _load():
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32)]
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
         except Exception as e:  # no compiler / load failure -> fallback
             logger.info('native data-path unavailable (%s); using NumPy '
@@ -144,6 +144,7 @@ def plan_scatter(g, s, v, n_gtiles, slot_base, vals_out, glo_out, slo_out):
     """Pass B of the counting-sort bucketing: place each nonzero's value
     and local (within-tile) indices into its final chunk slot.
     ``vals_out`` must be float32 or float64 and match ``v``'s width;
+    ``glo_out``/``slo_out`` are uint8 (local indices are ``% 128``);
     all three output buffers arrive zeroed (padding slots stay 0)."""
     lib = _load()
     assert lib is not None, 'call plan_hist first (it gates availability)'
@@ -151,6 +152,7 @@ def plan_scatter(g, s, v, n_gtiles, slot_base, vals_out, glo_out, slo_out):
     s, s32 = _int_flag(np.asarray(s))
     v = np.ascontiguousarray(v)
     assert v.dtype == vals_out.dtype and v.dtype in (np.float32, np.float64)
+    assert glo_out.dtype == np.uint8 and slo_out.dtype == np.uint8
     cursor = np.zeros(len(slot_base), dtype=np.int64)
     lib.plan_scatter(
         g.ctypes.data_as(ctypes.c_void_p),
@@ -160,7 +162,7 @@ def plan_scatter(g, s, v, n_gtiles, slot_base, vals_out, glo_out, slo_out):
         int(n_gtiles), _ptr(slot_base, ctypes.c_int64),
         _ptr(cursor, ctypes.c_int64),
         vals_out.ctypes.data_as(ctypes.c_void_p),
-        _ptr(glo_out, ctypes.c_int32), _ptr(slo_out, ctypes.c_int32))
+        _ptr(glo_out, ctypes.c_uint8), _ptr(slo_out, ctypes.c_uint8))
 
 
 def column_df(X):

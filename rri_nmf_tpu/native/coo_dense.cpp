@@ -90,11 +90,15 @@ void plan_hist(const void* g, const void* s, int64_t nnz,
 // Pass B: slot = slot_base[bucket] + cursor[bucket]++; write value and
 // local (within-tile) gather/scatter indices. cursor arrives zeroed;
 // vals/glo/slo arrive zeroed (padding slots must stay v = 0).
+// glo/slo are uint8: local indices are `% 128` so they always fit, and
+// the narrow form quarters both this pass's write traffic and the plan's
+// host->device transfer (the device widens to int32 once on arrival —
+// Mosaic kernels need >= 32-bit operands for 1-row slicing).
 void plan_scatter(const void* g, const void* s, const void* v,
                   int64_t nnz, int g_is32, int s_is32, int v_is32,
                   int64_t n_gtiles, const int64_t* slot_base,
                   int64_t* cursor, void* vals_out,
-                  int32_t* glo_out, int32_t* slo_out) {
+                  uint8_t* glo_out, uint8_t* slo_out) {
     for (int64_t t = 0; t < nnz; ++t) {
         int64_t gi = idx_at(g, g_is32, t);
         int64_t si = idx_at(s, s_is32, t);
@@ -104,8 +108,8 @@ void plan_scatter(const void* g, const void* s, const void* v,
             ((float*)vals_out)[slot] = ((const float*)v)[t];
         else
             ((double*)vals_out)[slot] = ((const double*)v)[t];
-        glo_out[slot] = (int32_t)(gi & 127);
-        slo_out[slot] = (int32_t)(si & 127);
+        glo_out[slot] = (uint8_t)(gi & 127);
+        slo_out[slot] = (uint8_t)(si & 127);
     }
 }
 

@@ -127,13 +127,16 @@ def _plan_direction_dma(g, s, v, n_gtiles, n_stiles, C, dtype):
     npad = nchunks + MBLK_MAX
     vp = np.zeros((1, npad * C), vdt)
     vp[:, :nchunks * C] = vals
-    ip = np.zeros((2, npad * C), np.int32)
+    # host form is uint8 (local indices are % 128); the transfer crosses
+    # the link narrow and _widen_i32 casts to the kernel's int32 on device
+    ip = np.zeros((2, npad * C), np.uint8)
     ip[0, :nchunks * C] = glo[0]
     ip[1, :nchunks * C] = slo[0]
     fp = np.zeros((npad,), np.int32)
     fp[:nchunks] = ftile
+    from rri_nmf_tpu.ops.sparse_mxu import _widen_i32
     return DMAContractPlan(
-        vals=jnp.asarray(vp), idx=jnp.asarray(ip), ftile=jnp.asarray(fp),
+        vals=jnp.asarray(vp), idx=_widen_i32(ip), ftile=jnp.asarray(fp),
         uotile=jnp.asarray(uo.astype(np.int32)),
         ostart=jnp.asarray(ostart), mask=jnp.asarray(mask))
 

@@ -49,7 +49,11 @@ class ContractPlan(NamedTuple):
     vals/gloc/sloc: (1, nchunks·C) — values, local gather index (position
     along the contracted axis within its 128-tile), local scatter index;
     flat (1, ·) layout because Mosaic block shapes must tile the array
-    ((1, C) blocks over (nchunks, C) are rejected: 1 ∤ 8).
+    ((1, C) blocks over (nchunks, C) are rejected: 1 ∤ 8). gloc/sloc are
+    int32 on device (Mosaic 1-row slicing needs ≥32-bit); the HOST
+    builder emits them uint8 (``% 128`` always fits) so the one-off
+    plan transfer crosses the link at a quarter the width, and
+    :func:`_widen_i32` casts on arrival.
     ftile/otile: (nchunks,) int32 — which (k, 128) factor tile to gather
     from / output tile to accumulate into.
     mask: (1, n_otiles*128) — 1 where the output column's tile contains
@@ -97,8 +101,8 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     fallback (no compiler, or a pathological bucket count)."""
     if len(v) == 0:
         # degenerate: one all-padding group, all-zero mask → zeros out
-        return (np.zeros((1, G * C), dtype), np.zeros((1, G * C), np.int32),
-                np.zeros((1, G * C), np.int32),
+        return (np.zeros((1, G * C), dtype), np.zeros((1, G * C), np.uint8),
+                np.zeros((1, G * C), np.uint8),
                 np.zeros((G,), np.int32), np.zeros((1,), np.int32),
                 np.zeros((1, n_stiles * TILE), dtype))
     if n_gtiles * n_stiles <= 5e7:
@@ -117,8 +121,8 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     g = g[order]
     s = s[order]
     v = v[order]
-    gl = (g % TILE).astype(np.int32)
-    sl = (s % TILE).astype(np.int32)
+    gl = (g % TILE).astype(np.uint8)
+    sl = (s % TILE).astype(np.uint8)
     newrun = np.empty(len(pair), np.bool_)
     newrun[0] = True
     np.not_equal(pair[1:], pair[:-1], out=newrun[1:])
@@ -135,9 +139,9 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
 
     vals = np.zeros(nchunks * C, dtype)
     vals[dst] = v
-    glo = np.zeros(nchunks * C, np.int32)
+    glo = np.zeros(nchunks * C, np.uint8)
     glo[dst] = gl
-    slo = np.zeros(nchunks * C, np.int32)
+    slo = np.zeros(nchunks * C, np.uint8)
     slo[dst] = sl
     ftile = np.repeat(gt_first.astype(np.int32), chunks_per)
     otile = np.repeat(st_first.astype(np.int32), chunks_per)
@@ -165,8 +169,8 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
             return out
 
         vals = scatter_chunks(vals, C, dtype)
-        glo = scatter_chunks(glo, C, np.int32)
-        slo = scatter_chunks(slo, C, np.int32)
+        glo = scatter_chunks(glo, C, np.uint8)
+        slo = scatter_chunks(slo, C, np.uint8)
         ft2 = np.zeros(tot, np.int32)
         ft2[dstc] = ftile
         ftile = ft2
@@ -228,8 +232,8 @@ def _plan_direction_counting_np(g, s, v, counts, n_gtiles, n_stiles, C, G,
     # round once afterwards — same values as a direct astype
     sdt = np.float64 if np.dtype(dtype).itemsize == 8 else np.float32
     vals = np.zeros(nchunks * C, sdt)
-    glo = np.zeros(nchunks * C, np.int32)
-    slo = np.zeros(nchunks * C, np.int32)
+    glo = np.zeros(nchunks * C, np.uint8)
+    slo = np.zeros(nchunks * C, np.uint8)
     native.plan_scatter(g, s, np.asarray(v, dtype=sdt), n_gtiles,
                         slot_base, vals, glo, slo)
     if vals.dtype != np.dtype(dtype):
@@ -243,9 +247,20 @@ def _plan_direction_counting_np(g, s, v, counts, n_gtiles, n_stiles, C, G,
             np.ascontiguousarray(mask))
 
 
+def _widen_i32(a):
+    """Host→device placement of a narrow (uint8) plan-index array: the
+    bytes cross the (slow) host↔device link narrow and are widened to
+    int32 by one jitted cast ON DEVICE — Mosaic needs ≥32-bit operands
+    for the kernel's 1-row slicing, but the transfer doesn't."""
+    return jax.jit(lambda x: x.astype(jnp.int32))(a)
+
+
 def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):
-    return ContractPlan(*map(jnp.asarray, _plan_direction_np(
-        g, s, v, n_gtiles, n_stiles, C, G, dtype)))
+    vals, glo, slo, ftile, otile, mask = _plan_direction_np(
+        g, s, v, n_gtiles, n_stiles, C, G, dtype)
+    return ContractPlan(jnp.asarray(vals), _widen_i32(glo), _widen_i32(slo),
+                        jnp.asarray(ftile), jnp.asarray(otile),
+                        jnp.asarray(mask))
 
 
 def plan_sparse_matrix(X, dtype=None, C=TILE, group=8):
@@ -332,6 +347,12 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
     assert nchunks % G == 0, \
         'plan chunk count %d is not a multiple of group=%d (plan built ' \
         'with a different group?)' % (nchunks, G)
+    # normalize narrow (uint8 host-form) index arrays to the int32 the
+    # kernel requires; a no-op for device plans built by _plan_direction
+    gloc = plan.gloc if plan.gloc.dtype == jnp.int32 \
+        else plan.gloc.astype(jnp.int32)
+    sloc = plan.sloc if plan.sloc.dtype == jnp.int32 \
+        else plan.sloc.astype(jnp.int32)
     ngroups = nchunks // G
     C = plan.vals.shape[1] // nchunks
     spad = plan.mask.shape[1]
@@ -368,7 +389,7 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
             bytes_accessed=nchunks * (k * TILE + 3 * C)
             * jnp.dtype(acc_dt).itemsize,
             transcendentals=0),
-    )(plan.ftile, plan.otile, plan.vals, plan.gloc, plan.sloc,
+    )(plan.ftile, plan.otile, plan.vals, gloc, sloc,
       *([F] * G))
     # never-visited output tiles are undefined (possibly NaN bits); their
     # true value is 0 — select, don't multiply (0·NaN = NaN)

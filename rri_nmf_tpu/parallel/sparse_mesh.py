@@ -445,7 +445,7 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
             if add:
                 z = np.zeros((1, add * G * C), vals.dtype)
                 vals = np.concatenate([vals, z], axis=1)
-                zi = np.zeros((1, add * G * C), np.int32)
+                zi = np.zeros((1, add * G * C), glo.dtype)
                 glo = np.concatenate([glo, zi], axis=1)
                 slo = np.concatenate([slo, zi], axis=1)
                 ftile = np.concatenate(
@@ -464,7 +464,14 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
 
     def put(a):
         spec = P(dp, tp, *([None] * (a.ndim - 2)))
-        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        dev = jax.device_put(jnp.asarray(a), sh)
+        if dev.dtype == jnp.uint8:
+            # glo/slo cross the host↔device link narrow (uint8); the
+            # kernel needs int32 — widen once on device, sharding kept
+            dev = jax.jit(lambda x: x.astype(jnp.int32),
+                          out_shardings=sh)(dev)
+        return dev
 
     return ShardedMXUPlan(*(put(a) for a in st + sw),
                           shape=(n, d), n_loc=n_loc, d_loc=d_loc,

@@ -244,3 +244,41 @@ def test_sharded_mxu_two_groups_no_stale_trace():
     sweep4 = make_sharded_mxu_sweep(cfg, mesh, interpret=True, group=4)
     with pytest.raises(ValueError):
         sweep4(plan8, jnp.asarray(W0), jnp.asarray(T0), key, rl, key)
+
+
+def test_plan_transfers_narrow_widens_on_device():
+    """The plan's local-index arrays cross the host->device link narrow
+    and the kernel sees int32: the HOST builder emits uint8 gloc/sloc
+    (``% 128`` always fits), every device-placement path widens to int32
+    (Mosaic needs >= 32-bit for the 1-row slicing), and ``mxu_contract``
+    normalizes a raw uint8 plan so hand-built plans keep working."""
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops import sparse_mxu as sm
+
+    rng = np.random.RandomState(3)
+    Xd = rng.rand(200, 300) * (rng.rand(200, 300) < 0.03)
+    Xs = sp.csr_matrix(Xd)
+    coo = Xs.tocoo()
+
+    # host form: uint8 (both bucketing paths — conftest keeps the native
+    # lib available here; the sort fallback is pinned by test_native's
+    # equivalence test which compares the two paths field-for-field)
+    host = sm._plan_direction_np(coo.row, coo.col, coo.data,
+                                 -(-200 // 128), -(-300 // 128),
+                                 128, 8, np.float64)
+    assert host[1].dtype == np.uint8 and host[2].dtype == np.uint8
+
+    # device form: int32 after the one-off widen
+    plan = sm.plan_sparse_matrix(Xs, np.float64, group=8)
+    for cp in (plan.t_phase, plan.w_phase):
+        assert cp.gloc.dtype == jnp.int32 and cp.sloc.dtype == jnp.int32
+
+    # a raw (narrow) plan still contracts correctly via normalization
+    narrow = sm.ContractPlan(
+        jnp.asarray(host[0]), jnp.asarray(host[1]), jnp.asarray(host[2]),
+        jnp.asarray(host[3]), jnp.asarray(host[4]), jnp.asarray(host[5]))
+    W = rng.rand(200, 4)
+    Wt = jnp.zeros((4, 256), jnp.float64).at[:, :200].set(W.T)
+    out = sm.mxu_contract(narrow, Wt, interpret=True, group=8)
+    ref = W.T @ Xd
+    assert np.allclose(np.asarray(out)[:, :300], ref, atol=1e-12)

@@ -247,12 +247,13 @@ def _plan_direction_counting_np(g, s, v, counts, n_gtiles, n_stiles, C, G,
             np.ascontiguousarray(mask))
 
 
+@jax.jit
 def _widen_i32(a):
     """Host→device placement of a narrow (uint8) plan-index array: the
     bytes cross the (slow) host↔device link narrow and are widened to
     int32 by one jitted cast ON DEVICE — Mosaic needs ≥32-bit operands
     for the kernel's 1-row slicing, but the transfer doesn't."""
-    return jax.jit(lambda x: x.astype(jnp.int32))(a)
+    return a.astype(jnp.int32)
 
 
 def _plan_direction(g, s, v, n_gtiles, n_stiles, C, G, dtype):

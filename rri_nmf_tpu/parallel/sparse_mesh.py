@@ -468,9 +468,15 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
         dev = jax.device_put(jnp.asarray(a), sh)
         if dev.dtype == jnp.uint8:
             # glo/slo cross the host↔device link narrow (uint8); the
-            # kernel needs int32 — widen once on device, sharding kept
-            dev = jax.jit(lambda x: x.astype(jnp.int32),
-                          out_shardings=sh)(dev)
+            # kernel needs int32 — widen once on device. The shared
+            # jitted cast keys its cache on the input sharding and the
+            # elementwise cast propagates it, so the plan stays on the
+            # mesh (asserted: a silent gather here would be a 4× HBM
+            # replication at production nnz).
+            from rri_nmf_tpu.ops.sparse_mxu import _widen_i32
+            dev = _widen_i32(dev)
+            assert dev.sharding.is_equivalent_to(sh, dev.ndim), \
+                'plan widen changed sharding'
         return dev
 
     return ShardedMXUPlan(*(put(a) for a in st + sw),

@@ -286,14 +286,21 @@ def make_objective(masked: bool, row_weighted: bool,
     return jax.jit(objective)
 
 
-def make_reset_factors(cfg: SweepConfig):
-    """Topic-reset builder shared by the XLA sweep and the fused
-    masked kernels: returns ``reset(X, W, T, t, key, reset_key)
-    -> (W, T, key)`` implementing ``cfg.reset_topic_method``."""
+def make_reset_rowcol(cfg: SweepConfig):
+    """Topic-reset builder: returns ``reset(X, W, T, t, key, reset_key)
+    -> (t_row, w_col, key)`` implementing ``cfg.reset_topic_method``.
+
+    Returns the NEW T row ``(d,)`` and W column ``(n,)`` instead of
+    whole factor matrices so the reset can sit inside a ``lax.cond``
+    whose carried payload is O(n + d): carrying (W, T) through the
+    branch tuples makes XLA materialize fresh copies of both on every
+    topic even when the (rare) reset branch is never taken — measured
+    ~92 µs per cond at the 16384×8192 k=128 TM shape, ~25 ms of a
+    139 ms interleaved sweep (results_round3_tm_interleaved.json)."""
     method = cfg.reset_topic_method
 
-    def _reset_factors(X, W, T, t, key, reset_key):
-        """Shared topic-reset: sets T[t] and W[:,t]
+    def _reset_rowcol(X, W, T, t, key, reset_key):
+        """Shared topic-reset: produces new T[t] and W[:,t]
         (reference ``nmf.py:770-783`` and ``nmf.py:804-816``; the
         reference's 'random' T-branch has an undefined-``n`` bug at
         ``nmf.py:783`` which is fixed here)."""
@@ -361,18 +368,16 @@ def make_reset_factors(cfg: SweepConfig):
                 in_specs=(P(dp, tp), P(dp, None), P(None, tp)),
                 out_specs=(P(tp), P(dp)),
                 check_vma=False)(X, W, T)
-            T = T.at[t].set(row)
-            W = W.at[:, t].set(onehot)
-            return W, T, key
+            return row.astype(T.dtype), onehot.astype(W.dtype), key
         if method == 'max_resid_document' and not cfg.reset_blockwise:
             # full-residual form: one n×d temporary (shard-local under
             # GSPMD — the blockwise scan's dynamic_slice would gather)
             Rt = jnp.maximum(X - W @ T, 0.0)
             Rts = jnp.sum(Rt * Rt, axis=1)
             mi = jnp.argmax(Rts)
-            T = T.at[t].set(Rt[mi])
-            W = W.at[:, t].set(0.0).at[mi, t].set(1.0)
-            return W, T, key
+            onehot = (jnp.arange(W.shape[0], dtype=jnp.int32)
+                      == mi).astype(W.dtype)
+            return Rt[mi].astype(T.dtype), onehot, key
         if method == 'max_resid_document':
             # blockwise residual-norm argmax: never materializes the full
             # n×d residual (at the 1M×100k BASELINE scale the naive form
@@ -400,9 +405,9 @@ def make_reset_factors(cfg: SweepConfig):
                              dtype=jnp.promote_types(X.dtype, W.dtype)),
                  jnp.asarray(0, dtype=jnp.int32)))
             row = jnp.maximum(X[mi] - W[mi] @ T, 0.0)
-            T = T.at[t].set(row)
-            W = W.at[:, t].set(0.0).at[mi, t].set(1.0)
-            return W, T, key
+            onehot = (jnp.arange(W.shape[0], dtype=jnp.int32)
+                      == mi).astype(W.dtype)
+            return row.astype(T.dtype), onehot, key
         elif method == 'random':
             if cfg.fix_reset_seed:
                 # deterministic analog of np.random.seed(t + argmax(T[t]))
@@ -413,11 +418,24 @@ def make_reset_factors(cfg: SweepConfig):
                 key, rk = jax.random.split(key)
             k1, k2 = jax.random.split(rk)
             trow = jax.random.uniform(k1, (d,), dtype=T.dtype)
-            T = T.at[t].set(trow / jnp.sum(trow))
-            W = W.at[:, t].set(jax.random.uniform(k2, (n,), dtype=W.dtype))
-            return W, T, key
+            return (trow / jnp.sum(trow),
+                    jax.random.uniform(k2, (n,), dtype=W.dtype), key)
         else:
             raise ValueError('unknown reset_topic_method %r' % (method,))
+    return _reset_rowcol
+
+
+def make_reset_factors(cfg: SweepConfig):
+    """Whole-matrix form of :func:`make_reset_rowcol` — returns
+    ``reset(X, W, T, t, key, reset_key) -> (W, T, key)``. Used by the
+    fused masked kernels' fix_T reset path (which must also rebuild its
+    padded residual carry, so it conds over the whole state anyway)."""
+    rowcol = make_reset_rowcol(cfg)
+
+    def _reset_factors(X, W, T, t, key, reset_key):
+        row, col, key = rowcol(X, W, T, t, key, reset_key)
+        return W.at[:, t].set(col), T.at[t].set(row), key
+
     return _reset_factors
 
 
@@ -442,56 +460,70 @@ def make_sweep(cfg: SweepConfig):
 
     def _maybe_reproject_t_row(T, t):
         """Re-project T[t] if it drifted off the simplex
-        (reference ``nmf.py:759-761``; threshold 1e-15)."""
+        (reference ``nmf.py:759-761``; threshold 1e-15). The cond
+        carries only the ``(d,)`` row — not T — so the untaken branch
+        never copies the factor (see _project_and_check_reset_t)."""
         if not (cfg.t_row_sum and cfg.project_T_each_iter):
             return T
         trs = cfg.t_row_sum
+        row = T[t]
+        row = lax.cond(
+            jnp.abs(jnp.sum(row) - trs) > 1e-15,
+            lambda: _proj_simplex_core(row, jnp.asarray(trs,
+                                                        dtype=T.dtype)),
+            lambda: row)
+        return T.at[t].set(row)
 
-        def _proj(T):
-            row = _proj_simplex_core(T[t], jnp.asarray(trs, dtype=T.dtype))
-            return T.at[t].set(row)
-
-        return lax.cond(jnp.abs(jnp.sum(T[t]) - trs) > 1e-15,
-                        _proj, lambda T: T, T)
-
-    _reset_factors = make_reset_factors(cfg)
+    _reset_rowcol = make_reset_rowcol(cfg)
 
     def _project_and_check_reset_t(X, W, T, R, t, key, resets_left,
                                    reset_key, W_mat=None):
         """Reference ``nmf.py:750-783``. Also refreshes the masked residual
-        when a reset rewrites a factor."""
+        when a reset rewrites a factor.
+
+        The reset cond carries only the new ``(d,)`` row / ``(n,)``
+        column / key — never (W, T): a whole-matrix cond payload makes
+        XLA materialize fresh copies of both factors per topic even on
+        the never-taken branch (~92 µs/cond at the 16384×8192 k=128 TM
+        shape; results_round3_tm_interleaved.json). The unconditional
+        write-back of the unchanged row/column is bitwise identity."""
         if method is None:
             # `nt1 > 1e-10 or reset_topic_method is None` always takes the
             # projection branch (reference nmf.py:758) — which still
             # re-projects a drifted T row (reference nmf.py:759-761)
             return W, _maybe_reproject_t_row(T, t), R, key, resets_left
 
-        def _alive(ops):
-            W, T, R, key, resets_left = ops
-            return _maybe_reproject_t_row(T, t), W, R, key, resets_left
+        alive = jnp.sum(T[t]) > 1e-10
+        do_reset = jnp.logical_and(jnp.logical_not(alive), resets_left > 0)
 
-        def _dead(ops):
-            W, T, R, key, resets_left = ops
+        def _keep():
+            # alive: re-project a drifted row (reference nmf.py:758-761);
+            # dead without budget: everything unchanged (reference's skip
+            # branch — a dead row must NOT be reprojected, Duchi would
+            # turn it uniform)
+            row = T[t]
+            if cfg.t_row_sum and cfg.project_T_each_iter:
+                trs = cfg.t_row_sum
+                drift = jnp.abs(jnp.sum(row) - trs) > 1e-15
+                row = lax.cond(
+                    jnp.logical_and(alive, drift),
+                    lambda: _proj_simplex_core(
+                        row, jnp.asarray(trs, dtype=T.dtype)),
+                    lambda: row)
+            return row, W[:, t], key
 
-            def _do(ops):
-                W, T, R, key, resets_left = ops
-                W, T, key = _reset_factors(X, W, T, t, key, reset_key)
-                if cfg.masked:
-                    # rank-one bookkeeping invalidated: rebuild the masked
-                    # residual carry
-                    R = W_mat * (X - W @ T)
-                return T, W, R, key, resets_left - 1
-
-            def _skip(ops):
-                W, T, R, key, resets_left = ops
-                return T, W, R, key, resets_left
-
-            return lax.cond(resets_left > 0, _do, _skip,
-                            (W, T, R, key, resets_left))
-
-        T, W, R, key, resets_left = lax.cond(
-            jnp.sum(T[t]) > 1e-10, _alive, _dead,
-            (W, T, R, key, resets_left))
+        row, col, key = lax.cond(
+            do_reset,
+            lambda: _reset_rowcol(X, W, T, t, key, reset_key),
+            _keep)
+        W = W.at[:, t].set(col)
+        T = T.at[t].set(row)
+        resets_left = resets_left - do_reset.astype(resets_left.dtype)
+        if cfg.masked:
+            # rank-one bookkeeping invalidated by a reset: rebuild the
+            # masked residual carry (the untaken branch passes R through)
+            R = lax.cond(do_reset, lambda: W_mat * (X - W @ T),
+                         lambda: R)
         return W, T, R, key, resets_left
 
     def _check_reset_W(X, W, T, R, t, key, resets_left, reset_key,
@@ -500,30 +532,18 @@ def make_sweep(cfg: SweepConfig):
         if method is None:
             return W, T, R, key, resets_left
 
-        def _alive(ops):
-            W, T, R, key, resets_left = ops
-            return T, W, R, key, resets_left
-
-        def _dead(ops):
-            W, T, R, key, resets_left = ops
-
-            def _do(ops):
-                W, T, R, key, resets_left = ops
-                W, T, key = _reset_factors(X, W, T, t, key, reset_key)
-                if cfg.masked:
-                    R = W_mat * (X - W @ T)
-                return T, W, R, key, resets_left - 1
-
-            def _skip(ops):
-                W, T, R, key, resets_left = ops
-                return T, W, R, key, resets_left
-
-            return lax.cond(resets_left > 0, _do, _skip,
-                            (W, T, R, key, resets_left))
-
-        T, W, R, key, resets_left = lax.cond(
-            jnp.sum(W[:, t]) > 1e-10, _alive, _dead,
-            (W, T, R, key, resets_left))
+        alive = jnp.sum(W[:, t]) > 1e-10
+        do_reset = jnp.logical_and(jnp.logical_not(alive), resets_left > 0)
+        row, col, key = lax.cond(
+            do_reset,
+            lambda: _reset_rowcol(X, W, T, t, key, reset_key),
+            lambda: (T[t], W[:, t], key))
+        W = W.at[:, t].set(col)
+        T = T.at[t].set(row)
+        resets_left = resets_left - do_reset.astype(resets_left.dtype)
+        if cfg.masked:
+            R = lax.cond(do_reset, lambda: W_mat * (X - W @ T),
+                         lambda: R)
         return W, T, R, key, resets_left
 
     def _dp_noise(key, wR, nw):

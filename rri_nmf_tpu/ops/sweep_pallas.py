@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rri_nmf_tpu.matrixops import _proj_simplex_core
 from rri_nmf_tpu.optimization import qf_min_vector_c
-from rri_nmf_tpu.ops.sweep_xla import make_reset_factors
+from rri_nmf_tpu.ops.sweep_xla import make_reset_rowcol
 
 # tile-size QUANTA: shapes are padded to (BN, BD) multiples, then
 # :func:`_pick_tiles` grows the actual tile to the largest divisor block
@@ -315,7 +315,7 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
             # update (w_eff=0 disables kernel B's T-side update) and
             # accumulates (M ⊙ R)·t_t and M·t_t² on the fly.
             zeros_n = jnp.zeros((npad,), dtype)
-            reset_fn = (make_reset_factors(cfg)
+            reset_fn = (make_reset_rowcol(cfg)
                         if cfg.reset_topic_method is not None else None)
 
             def topic_body_fix_t(t, carry):
@@ -342,28 +342,31 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
                     # _check_reset_W semantics (reference nmf.py:786-816):
                     # reset on the UNPADDED views (same key stream and
                     # draw shapes as the XLA path), rebuild R, clear the
-                    # deferred update.
-                    def _dead(ops):
-                        def _do(ops):
-                            Wp, Tp, R, pend_dw, pend_t, key, rl = ops
-                            Wu, Tu, key = reset_fn(
-                                Xp[:n, :d], Wp[:n], Tp[:, :d], t, key,
-                                reset_key)
-                            Wp = Wp.at[:n].set(Wu)
-                            Tp = Tp.at[:, :d].set(Tu)
-                            R = Xp - Wp @ Tp
-                            return (Wp, Tp, R,
-                                    jnp.zeros((npad,), dtype),
-                                    jnp.zeros((dpad,), dtype), key,
-                                    rl - 1)
-
-                        Wp, Tp, R, pend_dw, pend_t, key, rl = ops
-                        return lax.cond(rl > 0, _do, lambda o: o, ops)
-
-                    ops = (Wp, Tp, R, pend_dw, pend_t, key, resets_left)
-                    Wp, Tp, R, pend_dw, pend_t, key, resets_left = \
-                        lax.cond(jnp.sum(Wp[:, t]) > 1e-10,
-                                 lambda o: o, _dead, ops)
+                    # deferred update. The reset cond carries only the
+                    # new (d,) row / (n,) column / key — carrying the
+                    # whole (Wp, Tp, R, ...) state made XLA copy the
+                    # factor panels AND the padded residual per topic on
+                    # the never-taken branch (see
+                    # sweep_xla.make_reset_rowcol).
+                    alive = jnp.sum(Wp[:, t]) > 1e-10
+                    do_reset = jnp.logical_and(jnp.logical_not(alive),
+                                               resets_left > 0)
+                    row, col, key = lax.cond(
+                        do_reset,
+                        lambda: reset_fn(Xp[:n, :d], Wp[:n], Tp[:, :d],
+                                         t, key, reset_key),
+                        lambda: (Tp[t, :d], Wp[:n, t], key))
+                    Wp = Wp.at[:n, t].set(col)
+                    Tp = lax.dynamic_update_slice(
+                        Tp, row.reshape(1, -1).astype(dtype), (t, 0))
+                    resets_left = (resets_left
+                                   - do_reset.astype(resets_left.dtype))
+                    R = lax.cond(do_reset, lambda: Xp - Wp @ Tp,
+                                 lambda: R)
+                    pend_dw = jnp.where(do_reset,
+                                        jnp.zeros((), dtype), pend_dw)
+                    pend_t = jnp.where(do_reset,
+                                       jnp.zeros((), dtype), pend_t)
                 return Wp, Tp, R, pend_dw, pend_t, key, resets_left
 
             Wp, Tp, R, pend_dw, pend_t, key, resets_left = lax.fori_loop(
@@ -409,16 +412,17 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
                 # Project over the REAL d columns only — running Duchi over
                 # the zero-padded tail would let padding absorb mass.
                 trs = cfg.t_row_sum
-
-                def _reproj(Tp):
-                    row = _proj_simplex_core(
-                        Tp[t, :d], jnp.asarray(trs, dtype=dtype))
-                    return lax.dynamic_update_slice(
-                        Tp, row.reshape(1, -1).astype(dtype), (t, 0))
-
-                Tp = lax.cond(
-                    jnp.abs(jnp.sum(Tp[t, :d]) - trs) > 1e-15,
-                    _reproj, lambda Tp: Tp, Tp)
+                # the cond carries only the (d,) row — carrying Tp makes
+                # XLA copy the whole factor per topic on the untaken
+                # branch (see sweep_xla._maybe_reproject_t_row)
+                row = Tp[t, :d]
+                row = lax.cond(
+                    jnp.abs(jnp.sum(row) - trs) > 1e-15,
+                    lambda: _proj_simplex_core(
+                        row, jnp.asarray(trs, dtype=dtype)).astype(dtype),
+                    lambda: row)
+                Tp = lax.dynamic_update_slice(
+                    Tp, row.reshape(1, -1), (t, 0))
 
             # ---- W-phase: one fused pass (T update + reductions); uses the
             # STORED (dtype) row so R tracks T exactly

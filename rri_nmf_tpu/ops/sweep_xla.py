@@ -426,10 +426,10 @@ def make_reset_rowcol(cfg: SweepConfig):
 
 
 def make_reset_factors(cfg: SweepConfig):
-    """Whole-matrix form of :func:`make_reset_rowcol` — returns
-    ``reset(X, W, T, t, key, reset_key) -> (W, T, key)``. Used by the
-    fused masked kernels' fix_T reset path (which must also rebuild its
-    padded residual carry, so it conds over the whole state anyway)."""
+    """Whole-matrix convenience form of :func:`make_reset_rowcol` —
+    returns ``reset(X, W, T, t, key, reset_key) -> (W, T, key)``. All
+    in-tree sweeps use the row/column form (small ``lax.cond``
+    payloads); this wrapper remains for external callers and tests."""
     rowcol = make_reset_rowcol(cfg)
 
     def _reset_factors(X, W, T, t, key, reset_key):

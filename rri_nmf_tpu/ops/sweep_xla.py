@@ -500,7 +500,11 @@ def make_sweep(cfg: SweepConfig):
             # alive: re-project a drifted row (reference nmf.py:758-761);
             # dead without budget: everything unchanged (reference's skip
             # branch — a dead row must NOT be reprojected, Duchi would
-            # turn it uniform)
+            # turn it uniform). The dead∧drifted combination is actually
+            # unreachable through the sweep (reproject requires t_row_sum
+            # + project_T_each_iter, whose qf_min update always returns a
+            # simplex row), but the guard keeps this function equivalent
+            # to the nested-cond form for any caller state.
             row = T[t]
             if cfg.t_row_sum and cfg.project_T_each_iter:
                 trs = cfg.t_row_sum

@@ -132,12 +132,17 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
             x = jnp.where(col_mask, x, 0)
         F = F.at[t].set(x.astype(dtype))
         if reproject_sum is not None:
-            def _reproj(F):
-                row = _proj_simplex_core(
-                    F[t, :mv], jnp.asarray(reproject_sum, dtype=dtype))
-                return F.at[t, :mv].set(row)
-            F = lax.cond(jnp.abs(jnp.sum(F[t]) - reproject_sum) > 1e-15,
-                         _reproj, lambda F: F, F)
+            # the cond carries only the (mv,) row — carrying F makes XLA
+            # copy the whole factor per topic on the untaken branch (see
+            # sweep_xla._maybe_reproject_t_row)
+            row = F[t, :mv]
+            row = lax.cond(
+                jnp.abs(jnp.sum(F[t]) - reproject_sum) > 1e-15,
+                lambda: _proj_simplex_core(
+                    row, jnp.asarray(reproject_sum,
+                                     dtype=dtype)).astype(dtype),
+                lambda: row)
+            F = F.at[t, :mv].set(row)
         D = D.at[i].set((F[t] - F0[i]).astype(acc))
         return F, C, F0, D, bs
 

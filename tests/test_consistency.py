@@ -213,3 +213,47 @@ def test_fix_reset_seed_deterministic():
     s2 = nmf(X, **kw)
     assert np.allclose(s1['W'], s2['W'])
     assert np.allclose(s1['T'], s2['T'])
+
+
+def test_reset_conds_carry_row_col_payloads_only():
+    """Structural pin of the small-payload reset-check design: in a dense
+    sweep with topic resets + per-iteration T projection, every lax.cond
+    in the traced program returns only vectors (a T row, a W column, a
+    key) — never a factor matrix. Carrying (W, T) through branch tuples
+    makes XLA materialize fresh copies of both factors per topic even on
+    the never-taken branch (~92 µs/cond on TPU at the TM headline shape,
+    results_round3_tm_interleaved.json)."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
+    n, d, k = 40, 30, 4
+    cfg = SweepConfig(k=k, reset_topic_method='max_resid_document',
+                      project_T_each_iter=True, t_row_sum=1.0)
+    sweep = make_sweep(cfg)
+    rng = np.random.RandomState(0)
+    args = (jnp.asarray(rng.rand(n, d)), jnp.asarray(rng.rand(n, k)),
+            jnp.asarray(rng.rand(k, d)), jax.random.PRNGKey(0),
+            jnp.asarray(3, jnp.int32), jax.random.PRNGKey(1))
+    jaxpr = jax.make_jaxpr(sweep)(*args)
+
+    cond_out_sizes = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == 'cond':
+                cond_out_sizes.append(
+                    [int(np.prod(ov.aval.shape)) for ov in eqn.outvars])
+            for v in eqn.params.values():
+                if hasattr(v, 'jaxpr'):
+                    walk(v.jaxpr)
+                elif isinstance(v, (list, tuple)):
+                    for b in v:
+                        if hasattr(b, 'jaxpr'):
+                            walk(b.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    assert cond_out_sizes, 'expected reset-check conds in the sweep'
+    for sizes in cond_out_sizes:
+        assert max(sizes) <= max(n, d), \
+            'a cond carries a matrix-sized payload: %r' % (sizes,)

@@ -52,6 +52,26 @@ def _proj_simplex_core(v, s):
     return jnp.where(on_simplex, v, w)
 
 
+def reproject_row_if_drifted(row, target_sum, dtype, extra_pred=None):
+    """Shared drifted-row reprojection used by every sweep (reference
+    ``nmf.py:758-761``, threshold 1e-15): returns ``row`` projected onto
+    the ``target_sum`` simplex when its sum has drifted, unchanged
+    otherwise. The ``lax.cond`` carries ONLY the row — never the
+    enclosing factor matrix, whose branch-tuple copies were measured at
+    ~92 µs/cond on TPU (results_round3_tm_interleaved.json).
+    ``extra_pred`` conjoins an additional guard (e.g. topic aliveness in
+    the reset check — a dead row must not be projected to uniform)."""
+    from jax import lax
+    pred = jnp.abs(jnp.sum(row) - target_sum) > 1e-15
+    if extra_pred is not None:
+        pred = jnp.logical_and(extra_pred, pred)
+    return lax.cond(
+        pred,
+        lambda: _proj_simplex_core(
+            row, jnp.asarray(target_sum, dtype=dtype)).astype(dtype),
+        lambda: row)
+
+
 def euclidean_proj_simplex(v_in, s=1.0):
     """Euclidean projection onto the positive simplex of radius ``s``.
 

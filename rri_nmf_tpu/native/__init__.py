@@ -12,6 +12,7 @@ compiler.
 
 import ctypes
 import logging
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -26,11 +27,32 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+# Must match nmfdata_abi_version() in coo_dense.cpp. A stale .so with a
+# surviving mtime (archived copies, rsync -t) is not just slow-path wrong:
+# since the uint8 plan_scatter change a width-mismatched library would
+# write 4 bytes per 1-byte slot — silent heap corruption.
+_ABI_VERSION = 2
+
 
 def _build():
+    # compile to a temp name and rename into place: dlopen caches by
+    # dev/inode, so overwriting the .so in place (same inode) would make
+    # the post-rebuild CDLL return the already-loaded stale handle
+    tmp = _SO.with_name(_SO.name + '.tmp')
     cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared', '-fPIC',
-           str(_SRC), '-o', str(_SO)]
+           str(_SRC), '-o', str(tmp)]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
+
+
+def _abi_ok(lib):
+    try:
+        fn = lib.nmfdata_abi_version
+    except AttributeError:          # pre-versioning library
+        return False
+    fn.restype = ctypes.c_int64
+    fn.argtypes = []
+    return fn() == _ABI_VERSION
 
 
 def _load():
@@ -44,6 +66,30 @@ def _load():
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
                 _build()
             lib = ctypes.CDLL(str(_SO))
+            if not _abi_ok(lib):
+                # stale binary (mtime lied) — rebuild from source. dlopen
+                # caches by PATHNAME (glibc compares l_name strings before
+                # stat'ing), so re-CDLL'ing the canonical path would hand
+                # back the stale handle; load the fresh build through a
+                # unique temp path instead (the canonical .so on disk is
+                # correct for future processes; the mapping survives the
+                # unlink).
+                logger.info('native library ABI mismatch; rebuilding')
+                _build()
+                import shutil
+                import tempfile
+                fd, tmppath = tempfile.mkstemp(suffix='.so',
+                                               prefix='_nmfdata_')
+                os.close(fd)
+                try:
+                    shutil.copy2(_SO, tmppath)
+                    lib = ctypes.CDLL(tmppath)
+                finally:
+                    os.unlink(tmppath)
+                if not _abi_ok(lib):
+                    raise RuntimeError(
+                        'rebuilt native library still reports a foreign '
+                        'ABI version')
             lib.coo_to_dense_mask.restype = ctypes.c_int
             lib.coo_to_dense_mask.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),

@@ -17,6 +17,14 @@
 
 extern "C" {
 
+// ABI version of this library. Bumped whenever an exported signature or
+// buffer width changes (v2: plan_scatter's glo/slo outputs went int32 →
+// uint8). The loader refuses a library reporting a different version and
+// rebuilds from source — an mtime check alone cannot catch a stale .so
+// whose timestamp survived a copy (archived mtimes, rsync -t), and a
+// width-mismatched plan_scatter would write out of bounds.
+int64_t nmfdata_abi_version(void) { return 2; }
+
 // Scatter COO triples into a dense row-major (n x d) matrix and a binary
 // mask. Duplicate (i, j) pairs ACCUMULATE (scipy.sparse.coo_matrix sums
 // duplicates before toarray(), reference sklearn_interface.py:78-83) and

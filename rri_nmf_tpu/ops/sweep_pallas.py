@@ -43,7 +43,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rri_nmf_tpu.matrixops import _proj_simplex_core
+from rri_nmf_tpu.matrixops import (_proj_simplex_core,
+    reproject_row_if_drifted)
 from rri_nmf_tpu.optimization import qf_min_vector_c
 from rri_nmf_tpu.ops.sweep_xla import make_reset_rowcol
 
@@ -411,16 +412,8 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
                 # _maybe_reproject_t_row (reference nmf.py:758-761).
                 # Project over the REAL d columns only — running Duchi over
                 # the zero-padded tail would let padding absorb mass.
-                trs = cfg.t_row_sum
-                # the cond carries only the (d,) row — carrying Tp makes
-                # XLA copy the whole factor per topic on the untaken
-                # branch (see sweep_xla._maybe_reproject_t_row)
-                row = Tp[t, :d]
-                row = lax.cond(
-                    jnp.abs(jnp.sum(row) - trs) > 1e-15,
-                    lambda: _proj_simplex_core(
-                        row, jnp.asarray(trs, dtype=dtype)).astype(dtype),
-                    lambda: row)
+                row = reproject_row_if_drifted(Tp[t, :d], cfg.t_row_sum,
+                                               dtype)
                 Tp = lax.dynamic_update_slice(
                     Tp, row.reshape(1, -1), (t, 0))
 

@@ -55,7 +55,8 @@ from jax.experimental import sparse as jsparse
 
 from rri_nmf_tpu.ops.sweep_xla import SweepConfig, _gram_block_size
 from rri_nmf_tpu.optimization import qf_min_scalar_c
-from rri_nmf_tpu.matrixops import _proj_simplex_core
+from rri_nmf_tpu.matrixops import (_proj_simplex_core,
+    reproject_row_if_drifted)
 
 
 def to_bcoo(X, dtype=None):
@@ -132,17 +133,10 @@ def gs_topics_blocked(N, F, G, *, k, B, reg_l1, reg_l2, qf_s, qf_ub,
             x = jnp.where(col_mask, x, 0)
         F = F.at[t].set(x.astype(dtype))
         if reproject_sum is not None:
-            # the cond carries only the (mv,) row — carrying F makes XLA
-            # copy the whole factor per topic on the untaken branch (see
-            # sweep_xla._maybe_reproject_t_row)
-            row = F[t, :mv]
-            row = lax.cond(
-                jnp.abs(jnp.sum(F[t]) - reproject_sum) > 1e-15,
-                lambda: _proj_simplex_core(
-                    row, jnp.asarray(reproject_sum,
-                                     dtype=dtype)).astype(dtype),
-                lambda: row)
-            F = F.at[t, :mv].set(row)
+            # drift check over the (mv,) unpadded row only (padding is
+            # exactly zero, so the sum is identical to the full row's)
+            F = F.at[t, :mv].set(reproject_row_if_drifted(
+                F[t, :mv], reproject_sum, dtype))
         D = D.at[i].set((F[t] - F0[i]).astype(acc))
         return F, C, F0, D, bs
 

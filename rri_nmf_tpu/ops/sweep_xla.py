@@ -65,7 +65,8 @@ import numpy as np
 from jax import lax
 
 from rri_nmf_tpu.optimization import qf_min_scalar_c, qf_min_vector_c
-from rri_nmf_tpu.matrixops import _proj_simplex_core
+from rri_nmf_tpu.matrixops import (_proj_simplex_core,
+    reproject_row_if_drifted)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -465,13 +466,7 @@ def make_sweep(cfg: SweepConfig):
         never copies the factor (see _project_and_check_reset_t)."""
         if not (cfg.t_row_sum and cfg.project_T_each_iter):
             return T
-        trs = cfg.t_row_sum
-        row = T[t]
-        row = lax.cond(
-            jnp.abs(jnp.sum(row) - trs) > 1e-15,
-            lambda: _proj_simplex_core(row, jnp.asarray(trs,
-                                                        dtype=T.dtype)),
-            lambda: row)
+        row = reproject_row_if_drifted(T[t], cfg.t_row_sum, T.dtype)
         return T.at[t].set(row)
 
     _reset_rowcol = make_reset_rowcol(cfg)
@@ -507,13 +502,8 @@ def make_sweep(cfg: SweepConfig):
             # to the nested-cond form for any caller state.
             row = T[t]
             if cfg.t_row_sum and cfg.project_T_each_iter:
-                trs = cfg.t_row_sum
-                drift = jnp.abs(jnp.sum(row) - trs) > 1e-15
-                row = lax.cond(
-                    jnp.logical_and(alive, drift),
-                    lambda: _proj_simplex_core(
-                        row, jnp.asarray(trs, dtype=T.dtype)),
-                    lambda: row)
+                row = reproject_row_if_drifted(row, cfg.t_row_sum,
+                                               T.dtype, extra_pred=alive)
             return row, W[:, t], key
 
         row, col, key = lax.cond(

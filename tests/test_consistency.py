@@ -257,3 +257,53 @@ def test_reset_conds_carry_row_col_payloads_only():
     for sizes in cond_out_sizes:
         assert max(sizes) <= max(n, d), \
             'a cond carries a matrix-sized payload: %r' % (sizes,)
+
+
+def test_masked_reset_conds_carry_one_residual_rebuild_only():
+    """Masked-config counterpart of the payload pin: the masked XLA sweep
+    with resets traces conds whose outputs are vectors, EXCEPT the reset
+    residual rebuilds — each reset site conds over the (n, d) masked
+    residual carry by design (the rebuild is O(nd) when taken and the
+    carry must flow either way). Anything else matrix-sized is a
+    regression to whole-factor branch tuples."""
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
+    n, d, k = 40, 30, 4
+    cfg = SweepConfig(k=k, masked=True,
+                      reset_topic_method='max_resid_document')
+    sweep = make_sweep(cfg)
+    rng = np.random.RandomState(0)
+    M = (rng.rand(n, d) < 0.3).astype(float)
+    args = (jnp.asarray(rng.rand(n, d)), jnp.asarray(rng.rand(n, k)),
+            jnp.asarray(rng.rand(k, d)), jax.random.PRNGKey(0),
+            jnp.asarray(3, jnp.int32), jax.random.PRNGKey(1),
+            jnp.asarray(M))
+    jaxpr = jax.make_jaxpr(sweep)(*args)
+
+    cond_out_sizes = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == 'cond':
+                cond_out_sizes.append(
+                    [int(np.prod(ov.aval.shape)) for ov in eqn.outvars])
+            for v in eqn.params.values():
+                if hasattr(v, 'jaxpr'):
+                    walk(v.jaxpr)
+                elif isinstance(v, (list, tuple)):
+                    for b in v:
+                        if hasattr(b, 'jaxpr'):
+                            walk(b.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    assert cond_out_sizes, 'expected reset-check conds in the sweep'
+    matrix_conds = [s for s in cond_out_sizes if max(s) > max(n, d)]
+    # T-check and W-check each rebuild R once: exactly their two conds
+    # may carry the (n, d) residual, nothing else
+    assert len(matrix_conds) <= 2, \
+        'extra matrix-sized cond payloads: %r' % (matrix_conds,)
+    for sizes in matrix_conds:
+        assert all(sz in (n * d, 1) or sz <= max(n, d) for sz in sizes), \
+            'unexpected cond payload (factor matrix?): %r' % (sizes,)

@@ -121,3 +121,43 @@ def test_coo_duplicates_accumulate_like_scipy():
         finally:
             nat._lib = saved
         assert np.allclose(X, Xf) and np.allclose(M, Mf)
+
+
+def test_stale_abi_library_rebuilt(tmp_path):
+    """A width-incompatible _nmfdata.so whose mtime survived a copy must
+    be detected by the ABI version check and rebuilt from source — the
+    mtime guard alone cannot catch it, and a stale plan_scatter would
+    write 4 bytes per uint8 slot (heap corruption). Also exercises the
+    pathname-cache workaround: dlopen caches by path string, so the fresh
+    build is loaded through a unique temp path."""
+    if not native.available():
+        pytest.skip('no native library / compiler')
+    import os
+    import subprocess
+
+    src = native._SRC.read_text()
+    stale_src = src.replace('nmfdata_abi_version(void) { return 2; }',
+                            'nmfdata_abi_version(void) { return 1; }')
+    assert stale_src != src
+    stale_cpp = tmp_path / 'stale.cpp'
+    stale_cpp.write_text(stale_src)
+    stale_so = tmp_path / 'stale.so'
+    subprocess.run(['g++', '-O3', '-shared', '-fPIC', str(stale_cpp),
+                    '-o', str(stale_so)], check=True)
+    # replace the canonical .so atomically (new inode, fresh mtime) —
+    # what an archived copy / rsync -t deploy looks like
+    os.replace(stale_so, native._SO)
+    os.utime(native._SO)
+
+    native._lib = None
+    native._tried = False
+    try:
+        assert native.available(), 'ABI mismatch should trigger a rebuild'
+        counts = native.plan_hist(np.array([0, 129]), np.array([0, 129]),
+                                  2, 2)
+        assert counts is not None and counts.tolist() == [1, 0, 0, 1]
+    finally:
+        # leave a good library + fresh loader state for later tests
+        native._lib = None
+        native._tried = False
+        assert native.available()

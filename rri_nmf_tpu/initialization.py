@@ -20,7 +20,15 @@ Two SVD backends:
 
 Also provides ``masked_svd_init`` — the BIRSVD-style elementwise-weighted
 SVD initialization the reference lists as TODO #1 for recommender systems
-(reference ``README.md:18``) and never implemented.
+(reference ``README.md:18``) and never implemented — and ``nndsvd_lrc``
+(NNSVD-LRC, Atif/Qazi/Gillis 2019, arXiv:1807.04020): a half-rank SVD
+keeping BOTH positive and negative parts of each component as candidate
+factors, followed by a few HALS corrections computed against the
+low-rank form (never an n×d product). Measured on low-rank-plus-noise
+fixtures it starts 1.2-2.5× closer in relative Frobenius error than
+NNDSVD (tests/test_initialization.py); the device path fuses the
+randomized SVD, split, and correction (via the shared Gram-blocked GS
+topic loop) into one jitted program.
 """
 
 from functools import lru_cache
@@ -171,6 +179,123 @@ def _nndsvd_device_jit(k, eps):
 
 
 # ---------------------------------------------------------------------------
+# NNSVD-LRC (low-rank corrected)
+# ---------------------------------------------------------------------------
+
+def _nndsvd_lrc_split(U, S, Vt, k, xp):
+    """±-part candidate construction for NNSVD-LRC (Atif, Qazi & Gillis,
+    Pattern Recognition Letters 2019, arXiv:1807.04020): unlike NNDSVD,
+    which computes a rank-k SVD and DISCARDS the weaker of each
+    component's positive/negative parts, both parts of each of the
+    p ≈ k/2 leading components are kept as candidate factor pairs
+    (``σ_j u_j v_jᵀ``'s expansion contributes ``u⁺v⁺ᵀ + u⁻v⁻ᵀ`` with
+    positive sign), ranked by energy ``σ_j‖u±‖‖v±‖``, top k kept.
+    Returns (W (n,k), H (k,d))."""
+    # Perron triplet: already one-signed
+    W_cols = [xp.sqrt(S[0]) * xp.abs(U[:, 0])]
+    H_rows = [xp.sqrt(S[0]) * xp.abs(Vt[0, :])]
+
+    Uc, Vc = U[:, 1:], Vt[1:, :]
+    u_p, u_n = xp.maximum(Uc, 0), xp.maximum(-Uc, 0)
+    v_p, v_n = xp.maximum(Vc, 0), xp.maximum(-Vc, 0)
+
+    def _nrm_cols(A):
+        return xp.sqrt(xp.sum(A ** 2, axis=0))
+
+    def _nrm_rows(A):
+        return xp.sqrt(xp.sum(A ** 2, axis=1))
+
+    cand_u = xp.concatenate([u_p, u_n], axis=1)           # (n, 2(p-1))
+    cand_v = xp.concatenate([v_p, v_n], axis=0)           # (2(p-1), d)
+    un = xp.concatenate([_nrm_cols(u_p), _nrm_cols(u_n)])
+    vn = xp.concatenate([_nrm_rows(v_p), _nrm_rows(v_n)])
+    sig = xp.concatenate([S[1:], S[1:]])
+    energy = sig * un * vn
+
+    order = xp.argsort(-energy)[:k - 1]
+    safe_u = xp.where(un == 0, 1.0, un)
+    safe_v = xp.where(vn == 0, 1.0, vn)
+    lbd = xp.sqrt(energy[order])
+    W_rest = cand_u[:, order] / safe_u[order][None, :] * lbd[None, :]
+    H_rest = cand_v[order, :] / safe_v[order][:, None] * lbd[:, None]
+
+    W = xp.concatenate([W_cols[0][:, None], W_rest], axis=1)
+    H = xp.concatenate([H_rows[0][None, :], H_rest], axis=0)
+    return W, H
+
+
+def _lrc_correct_np(Us, Vt, W, H, iters=2):
+    """Low-rank HALS correction: a few exact cyclic Gauss-Seidel passes
+    of ``min ‖X_p − WH‖²`` with ``X_p = Us Vtᵀ`` used IMPLICITLY — every
+    contraction against X_p factors through the (·, p) panels, so a pass
+    costs O((n+d)pk + (n+d)k²) instead of O(ndk)."""
+    tiny = np.finfo(W.dtype).tiny
+    k = W.shape[1]
+    for _ in range(iters):
+        G = W.T @ W                               # (k, k)
+        N = (W.T @ Us) @ Vt                       # (k, d) — never n×d
+        for t in range(k):
+            corr = G[t] @ H - G[t, t] * H[t]
+            H[t] = np.maximum(0.0, (N[t] - corr) / max(G[t, t], tiny))
+        Gh = H @ H.T
+        Nw = Us @ (Vt @ H.T)                      # (n, k)
+        for t in range(k):
+            corr = W @ Gh[:, t] - Gh[t, t] * W[:, t]
+            W[:, t] = np.maximum(0.0,
+                                 (Nw[:, t] - corr) / max(Gh[t, t], tiny))
+    return W, H
+
+
+def _nndsvd_lrc_host(X, k, random_state, eps, lrc_iters=2):
+    p = max(-(-k // 2) + 1, 2)
+    n, d = np.shape(X)
+    # callers gate the k-near-full-rank degenerate case (dispatch falls
+    # back to nndsvd there); assert rather than silently misbehave
+    assert 2 * (min(p, min(n, d)) - 1) + 1 >= k, \
+        'half-rank construction cannot yield k candidates'
+    p = min(p, min(n, d))
+    U, S, Vt = _randomized_svd_sklearn(X, p, random_state)
+    W, H = _nndsvd_lrc_split(U, S, Vt, k, np)
+    W, H = _lrc_correct_np((U * S), Vt, W, H, iters=lrc_iters)
+    W[W < eps] = 0
+    H[H < eps] = 0
+    return W, H
+
+
+@lru_cache(maxsize=8)
+def _nndsvd_lrc_device_jit(k, p, eps, lrc_iters):
+    """Jitted (X, key) -> (W, H): half-rank randomized SVD, ±-part split,
+    and the low-rank HALS correction (via the shared Gram-blocked GS
+    topic loop) as ONE device program."""
+    from rri_nmf_tpu.ops.sweep_sparse import gs_topics_blocked
+    from rri_nmf_tpu.ops.sweep_xla import _gram_block_size
+    B = _gram_block_size(k)
+
+    def f(X, key):
+        U, S, Vt = randomized_svd_jax(X, p, key)
+        W, H = _nndsvd_lrc_split(U, S, Vt, k, jnp)
+        acc = X.dtype
+        Us = U * S
+        for _ in range(lrc_iters):
+            N = (W.T @ Us) @ Vt
+            H = gs_topics_blocked(
+                N, H, W.T @ W, k=k, B=B, reg_l1=0.0, reg_l2=0.0,
+                qf_s=None, qf_ub=None, reproject_sum=None,
+                acc=acc, dtype=H.dtype)
+            Nw = (H @ Vt.T) @ (Us.T)               # (k, n)
+            Wt = gs_topics_blocked(
+                Nw, W.T, H @ H.T, k=k, B=B, reg_l1=0.0, reg_l2=0.0,
+                qf_s=None, qf_ub=None, reproject_sum=None,
+                acc=acc, dtype=W.dtype)
+            W = Wt.T
+        W = jnp.where(W < eps, 0.0, W)
+        H = jnp.where(H < eps, 0.0, H)
+        return W, H
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
 # public dispatch
 # ---------------------------------------------------------------------------
 
@@ -219,11 +344,35 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         return init_coherence_beam_search(X, n_components,
                                           n_words_beam=n_words_beam)
 
+    if init == 'nndsvd_lrc':
+        # NNSVD-LRC (arXiv:1807.04020): half-rank SVD + both ±-parts +
+        # low-rank HALS correction — better initial error than NNDSVD at
+        # roughly half the SVD cost. Net-new over the reference's family.
+        k = n_components
+        p = max(-(-k // 2) + 1, 2)
+        if 2 * (min(p, min(n_samples, n_features)) - 1) + 1 < k:
+            init = 'nndsvd'      # k near full rank: construction degenerate
+        elif svd_backend == 'jax':
+            key = jax.random.PRNGKey(
+                0 if random_state is None else random_state)
+            W, H = _nndsvd_lrc_device_jit(
+                k, min(p, min(n_samples, n_features)), float(eps), 2)(
+                jnp.asarray(X), key)
+            W, H = np.array(W), np.array(H)
+            if row_normalize:
+                H = np.asarray(normalize(H))
+            return W, H
+        else:
+            W, H = _nndsvd_lrc_host(X, k, random_state, eps)
+            if row_normalize:
+                H = np.asarray(normalize(H))
+            return W, H
+
     if init not in ('nndsvd', 'nndsvda', 'nndsvdar'):
         raise ValueError(
             'Invalid init parameter: got %r instead of one of %r' % (
                 init, (None, 'random', 'smart_random', 'nndsvd', 'nndsvda',
-                       'nndsvdar', 'coherence_pmi')))
+                       'nndsvdar', 'nndsvd_lrc', 'coherence_pmi')))
 
     if svd_backend == 'jax':
         # ONE jitted program (SVD + NNDSVD split) and ONE W/H fetch: on the

@@ -168,10 +168,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         the seed), ``'nndsvda'`` (zeros filled with the matrix mean),
         ``'nndsvdar'`` (zeros filled with small random values),
         ``'random'`` (scaled uniform), ``'smart_random'`` (scaled
-        half-normal), or ``'coherence_pmi'`` (PMI-coherence beam search;
-        dispatchable here, unreachable in the reference). Forced to
-        ``'random'`` when n <= k. Masked problems initialize on
-        ``W_mat * X``.
+        half-normal), ``'nndsvd_lrc'`` (NNSVD-LRC, arXiv:1807.04020:
+        half-rank SVD keeping both ±-parts plus a low-rank HALS
+        correction — better initial error than nndsvd at about half the
+        SVD cost; net-new over the reference), or ``'coherence_pmi'``
+        (PMI-coherence beam search; dispatchable here, unreachable in
+        the reference). Forced to ``'random'`` when n <= k. Masked
+        problems initialize on ``W_mat * X``.
     T_in, W_in : array_like, optional
         Warm starts ([] = none). Shapes must be exactly (k, d) / (n, k)
         or a ValueError is raised. Negatives are clipped to 0. Both are

@@ -392,6 +392,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # sparse input, sklearn_interface.py:78-83) ------------------------------
     # With update_order='phase' the sweep touches X through exactly two
     # contractions, both BCOO-lowerable, so X can stay sparse end to end.
+    if update_order not in ('interleaved', 'phase'):
+        raise ValueError("update_order must be 'interleaved' or 'phase', "
+                         'got %r' % (update_order,))
+    if sparse not in (True, False, None, 'auto', 'mxu', 'dma'):
+        # a typo here would otherwise silently densify and run dense
+        raise ValueError("sparse must be one of True, False, 'auto', "
+                         "'mxu', 'dma'; got %r" % (sparse,))
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
     sparse_mode = False
     _viable = (W_mat is None and w_row is None and not store_gradients

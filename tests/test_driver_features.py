@@ -162,3 +162,18 @@ def test_matmul_precision_kwarg():
     b = nmf(X, matmul_precision='float32', **kw)
     assert np.allclose(a['W'], b['W'], atol=1e-13)
     assert np.all(np.diff(b['obj_history']) <= 0)
+
+
+def test_invalid_update_order_and_sparse_mode_rejected():
+    """Typos in `update_order` / `sparse` must raise instead of silently
+    running the interleaved/dense path (a user writing sparse='coo' or
+    update_order='phases' would otherwise get a densified dense fit with
+    no indication)."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(20, 15))
+    with pytest.raises(ValueError, match='update_order'):
+        nmf(X, 3, update_order='phases', max_iter=1)
+    with pytest.raises(ValueError, match='sparse'):
+        nmf(sp.csr_matrix(X), 3, sparse='coo', max_iter=1,
+            update_order='phase', reset_topic_method=None)

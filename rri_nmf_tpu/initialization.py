@@ -313,6 +313,9 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
     """
     from rri_nmf_tpu.matrixops import normalize
 
+    if svd_backend not in ('sklearn', 'jax'):
+        raise ValueError("svd_backend must be 'sklearn' or 'jax', got %r"
+                         % (svd_backend,))
     n_samples, n_features = np.shape(X)
 
     if init is None:

@@ -139,12 +139,50 @@ def bench_numpy(n, d, k, n_timed=2):
     return (time.perf_counter() - t0) / n_timed
 
 
+def _wait_for_backend(max_wait_s=900, probe_timeout_s=180):
+    """Wait out a transient accelerator outage before benching.
+
+    The tunneled TPU pool can be unavailable for stretches (observed:
+    a multi-hour outage at end of round 3 where backend init raised
+    ``Unavailable`` or hung). Backend init failures are cached per
+    process, so probe in a SUBPROCESS: the first successful probe leaves
+    this process free to initialize cleanly. Gives up after
+    ``max_wait_s`` and lets the normal config-failure path report."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax, jax.numpy as jnp;'
+                 'print(float(jnp.sum(jnp.ones((8, 8)))))'],
+                capture_output=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print('backend probe succeeded (attempt %d)' % attempt,
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print('backend still unavailable after %ds; proceeding '
+                  '(expect config failures)' % max_wait_s, file=sys.stderr)
+            return False
+        print('backend unavailable (probe %d); retrying in 60 s'
+              % attempt, file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--trace', default=None, metavar='LOGDIR',
                     help='capture a jax.profiler trace of the timed sweeps '
                          '(TensorBoard/Perfetto-loadable)')
     args = ap.parse_args()
+
+    _wait_for_backend()
 
     sizes = [(16384, 8192, 128), (8192, 4096, 128), (2048, 2048, 64)]
 

@@ -392,6 +392,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # sparse input, sklearn_interface.py:78-83) ------------------------------
     # With update_order='phase' the sweep touches X through exactly two
     # contractions, both BCOO-lowerable, so X can stay sparse end to end.
+    import numbers
+    if not (isinstance(k, numbers.Integral)
+            or (isinstance(k, numbers.Real) and float(k).is_integer())) \
+            or k < 1:
+        raise ValueError('k must be a positive integer number of topics, '
+                         'got %r' % (k,))
+    k = int(k)
     if update_order not in ('interleaved', 'phase'):
         raise ValueError("update_order must be 'interleaved' or 'phase', "
                          'got %r' % (update_order,))

@@ -177,3 +177,14 @@ def test_invalid_update_order_and_sparse_mode_rejected():
     with pytest.raises(ValueError, match='sparse'):
         nmf(sp.csr_matrix(X), 3, sparse='coo', max_iter=1,
             update_order='phase', reset_topic_method=None)
+
+
+def test_invalid_k_rejected():
+    """Non-positive / non-integer k raises a clear ValueError instead of
+    an sklearn internals error from the init's randomized SVD."""
+    X = np.abs(np.random.RandomState(0).rand(20, 15))
+    for bad in (-1, 0, 2.5, 'three', None):
+        with pytest.raises(ValueError, match='positive integer'):
+            nmf(X, bad, max_iter=1)
+    # integral values in any numeric type are fine
+    assert np.asarray(nmf(X, np.int64(2), max_iter=1)['W']).shape == (20, 2)

@@ -39,6 +39,14 @@ def _sample_config(rng):
         cfg['fix_reset_seed'] = True
     if rng.rand() < 0.2:
         cfg['sweeps_per_dispatch'] = 3
+    if rng.rand() < 0.4:
+        cfg['init'] = str(rng.choice(
+            ['nndsvd', 'nndsvda', 'nndsvd_lrc', 'random', 'smart_random']))
+    # inner_reps: phase order only, unmasked, no resets, no DP
+    if (not masked and cfg.get('update_order') == 'phase'
+            and cfg.get('reset_topic_method') is None
+            and rng.rand() < 0.5):
+        cfg['inner_reps'] = int(rng.choice([2, 3]))
     return cfg, masked
 
 

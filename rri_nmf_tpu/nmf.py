@@ -359,9 +359,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         momentum on the iterate sequence with an objective-checked
         restart every sweep. Breaks the ill-conditioned convergence
         plateau of plain RRI/HALS (the 1e-4 north-star criterion) at
-        roughly +40% per-sweep cost. Requires a dense unmasked config
-        without resets/gradient stores/DP, both factors free, single
-        device. Per-iteration strict monotonicity of ``obj_history`` is
+        roughly +40% per-sweep cost. Requires a dense (non-sparse-mode)
+        unmasked config without resets/gradient stores/DP, both factors
+        free; composes with ``mesh`` (the objective check then runs as a
+        GSPMD-distributed residual — each device holds only its tile).
+        Per-iteration strict monotonicity of ``obj_history`` is
         traded for rate (restart sweeps may tick up before recovering);
         extrapolation state is not checkpointed — a resumed run restarts
         the momentum sequence. Default None (plain sweeps).
@@ -816,12 +818,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             raise ValueError("accel must be None or 'her'")
         from rri_nmf_tpu.ops.accel import (
             make_her_step, make_residual_obj, supports_her)
-        if (not supports_her(cfg) or sparse_mode or mesh is not None
-                or fix_W or fix_T):
+        if not supports_her(cfg) or sparse_mode or fix_W or fix_T:
             raise ValueError(
-                "accel='her' requires a dense unmasked config with "
-                'reset_topic_method=None, no store_gradients, no DP '
-                'noise, both factors free, and no mesh')
+                "accel='her' requires a dense (non-sparse-mode) unmasked "
+                'config with reset_topic_method=None, no store_gradients, '
+                'no DP noise, and both factors free')
         _acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
             else dtype
         _her_base = sweep_fn

@@ -31,7 +31,10 @@ entries are differences whose squares sum forward-stable (the round-2
 measurement-integrity lesson, ``benchmarks/run_baselines.py``).
 
 Driver entry: ``nmf(..., accel='her')`` — dense unmasked configs without
-resets/gradient stores/DP, single device (the north-star fit class).
+resets/gradient stores/DP (the north-star fit class). Composes with
+``mesh``: the extrapolation/restart ops are elementwise (GSPMD keeps the
+factor shardings) and the objective check runs as a distributed residual
+(see :func:`make_residual_obj`).
 """
 
 from functools import lru_cache
@@ -53,29 +56,41 @@ def supports_her(cfg) -> bool:
 @lru_cache(maxsize=32)
 def make_residual_obj(cfg, block_rows=4096):
     """Jitted ``0.5||X - WT||² + regs`` via blockwise explicit residual
-    (forward-stable at 1e-4-scale errors; see module docstring)."""
+    (forward-stable at 1e-4-scale errors; see module docstring).
+
+    With ``cfg.mesh`` set the residual is computed in one piece instead:
+    under GSPMD each device materializes only its local ``(n/dp, d/tp)``
+    tile of ``R`` (a blockwise ``dynamic_slice`` scan would instead
+    GATHER the dp-sharded ``X`` — the same reasoning as the sharded
+    reset path, :class:`~rri_nmf_tpu.ops.sweep_xla.SweepConfig`). The
+    transient per-device f32 tile is 1/n_devices of X — the single-chip
+    HBM-ceiling concern the blockwise form exists for does not apply."""
 
     def obj(X, W, T):
         n, d = X.shape
         k = W.shape[1]
         acc = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16) \
             else X.dtype
-        B = min(block_rows, n)
-        nb = n // B
+        if cfg.mesh is not None:
+            R = X.astype(acc) - jnp.dot(W, T, preferred_element_type=acc)
+            s = jnp.sum(R * R)
+        else:
+            B = min(block_rows, n)
+            nb = n // B
 
-        def blk(i, s):
-            Xb = lax.dynamic_slice(X, (i * B, 0), (B, d))
-            Wb = lax.dynamic_slice(W, (i * B, 0), (B, k))
-            Rb = Xb.astype(acc) - jnp.dot(Wb, T,
-                                          preferred_element_type=acc)
-            return s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+            def blk(i, s):
+                Xb = lax.dynamic_slice(X, (i * B, 0), (B, d))
+                Wb = lax.dynamic_slice(W, (i * B, 0), (B, k))
+                Rb = Xb.astype(acc) - jnp.dot(Wb, T,
+                                              preferred_element_type=acc)
+                return s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
 
-        s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
-        rem = n - nb * B
-        if rem:
-            Rb = X[nb * B:].astype(acc) - jnp.dot(
-                W[nb * B:], T, preferred_element_type=acc)
-            s = s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+            s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
+            rem = n - nb * B
+            if rem:
+                Rb = X[nb * B:].astype(acc) - jnp.dot(
+                    W[nb * B:], T, preferred_element_type=acc)
+                s = s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
         o = 0.5 * s
         Wa = W.astype(acc)
         Ta = T.astype(acc)

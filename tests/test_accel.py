@@ -5,10 +5,15 @@ answer to the ill-conditioned convergence plateau documented by
 benchmarks/results_round3_control.json (reference algorithm in f64 NumPy
 stalls ~1.5e-3 on U[0,1]-factor data)."""
 
+import jax
 import numpy as np
 import pytest
 
 from rri_nmf_tpu.nmf import nmf
+from rri_nmf_tpu.parallel import make_mesh
+
+requires_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 virtual devices')
 
 
 def _uniform_factor_problem(n=256, d=128, k=8, seed=0):
@@ -86,6 +91,32 @@ def test_her_interleaved_order():
     plain = nmf(X, max_iter=120, **kw)
     her = nmf(X, max_iter=120, accel='her', **kw)
     assert _rel(X, her) < _rel(X, plain) * 0.7
+
+
+@requires_8_devices
+def test_her_mesh_matches_single_device():
+    """HER composes with a (4,2) mesh: the extrapolation/restart ops are
+    elementwise (GSPMD keeps the factor shardings) and the objective
+    check runs as a distributed residual. Same recursion ⇒ same iterates
+    up to reduction order (f64 CPU: ~1e-9)."""
+    X = _uniform_factor_problem(seed=5)
+    a = nmf(X, max_iter=20, accel='her', **KW)
+    b = nmf(X, max_iter=20, accel='her', mesh=make_mesh(8), **KW)
+    assert np.allclose(a['W'], b['W'], atol=1e-9)
+    assert np.allclose(a['T'], b['T'], atol=1e-9)
+
+
+@requires_8_devices
+def test_her_mesh_grouped_dispatch():
+    """Grouped dispatch (fori_loop of HER steps) under the mesh matches
+    the per-iteration mesh loop."""
+    X = _uniform_factor_problem(seed=6)
+    mesh = make_mesh(8)
+    a = nmf(X, max_iter=12, accel='her', mesh=mesh, **KW)
+    b = nmf(X, max_iter=12, accel='her', mesh=mesh,
+            sweeps_per_dispatch=4, **KW)
+    assert np.allclose(a['W'], b['W'], atol=1e-12)
+    assert np.allclose(a['T'], b['T'], atol=1e-12)
 
 
 def test_her_validation():

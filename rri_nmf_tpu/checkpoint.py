@@ -41,6 +41,12 @@ class NMFState:
     resets_left: int
     random_state: int
     obj_tracked: bool = True
+    # HER extrapolation state (nmf(accel='her')): dict with keys
+    # Wy/Ty (extrapolated factors), beta (momentum), e (last accepted
+    # objective) — present iff the run that wrote the checkpoint was
+    # extrapolating, so a resumed HER run continues the momentum
+    # sequence exactly (resume ≡ straight run).
+    her: Optional[dict] = None
 
     def tree(self):
         # orbax cannot serialize zero-size arrays: an empty history is
@@ -48,7 +54,7 @@ class NMFState:
         oh = np.asarray(self.obj_history, np.float64)
         if oh.size == 0:
             oh = np.asarray([np.nan], np.float64)
-        return {
+        t = {
             'W': self.W,
             'T': self.T,
             'iteration': np.asarray(self.iteration, np.int64),
@@ -60,6 +66,12 @@ class NMFState:
             'random_state': np.asarray(self.random_state, np.int64),
             'obj_tracked': np.asarray(self.obj_tracked, np.bool_),
         }
+        if self.her is not None:
+            # flattened so the sharded-restore abstract tree can give the
+            # factor-shaped entries the run's W/T shardings
+            for k in ('Wy', 'Ty', 'beta', 'e'):
+                t['her_' + k] = self.her[k]
+        return t
 
     @classmethod
     def from_tree(cls, tree):
@@ -67,6 +79,9 @@ class NMFState:
         key = jax.numpy.asarray(np.asarray(key, dtype=np.uint32))
         oh = np.asarray(tree['obj_history'])
         oh_len = int(tree.get('obj_history_len', oh.size))
+        her = None
+        if 'her_Wy' in tree:
+            her = {k: tree['her_' + k] for k in ('Wy', 'Ty', 'beta', 'e')}
         return cls(
             W=tree['W'], T=tree['T'],
             iteration=int(tree['iteration']),
@@ -74,7 +89,8 @@ class NMFState:
             key=key,
             resets_left=int(tree['resets_left']),
             random_state=int(tree['random_state']),
-            obj_tracked=bool(tree.get('obj_tracked', True)))
+            obj_tracked=bool(tree.get('obj_tracked', True)),
+            her=her)
 
 
 class NMFCheckpointer:

@@ -364,9 +364,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         free; composes with ``mesh`` (the objective check then runs as a
         GSPMD-distributed residual — each device holds only its tile).
         Per-iteration strict monotonicity of ``obj_history`` is
-        traded for rate (restart sweeps may tick up before recovering);
-        extrapolation state is not checkpointed — a resumed run restarts
-        the momentum sequence. Default None (plain sweeps).
+        traded for rate (restart sweeps may tick up before recovering).
+        Extrapolation state rides the checkpoint (resumed ≡ straight);
+        resuming from a checkpoint written WITHOUT ``accel='her'``
+        restarts the momentum sequence (warned). Default None (plain
+        sweeps).
     sweeps_per_dispatch : int, optional
         Group this many sweeps into one jitted fori_loop per host dispatch.
         Only takes effect when no per-iteration host work is configured
@@ -846,6 +848,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             her_state.update(Wy=Wy, Ty=Ty, beta=b, e=e)
             return W1, T1, key, resets_left
 
+    def _her_ckpt_state():
+        """Momentum state snapshot for checkpoints (None when accel off)."""
+        if her_state:
+            return {k: her_state[k] for k in ('Wy', 'Ty', 'beta', 'e')}
+        return None
+
     key = jax.random.fold_in(jax.random.PRNGKey(random_state), 0)
     reset_key = jax.random.PRNGKey(random_state)
     resets_left = jnp.asarray(n_resets, dtype=jnp.int32)
@@ -861,7 +869,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # restore factors straight onto their run layouts (mesh shards or
         # the single device) — no host gather / resharding stall
         _resumed = ckpt.restore(
-            shardings={'W': W_dev.sharding, 'T': T_dev.sharding})
+            shardings={'W': W_dev.sharding, 'T': T_dev.sharding,
+                       'her_Wy': W_dev.sharding,
+                       'her_Ty': T_dev.sharding})
         if _resumed is not None:
             logger.info('Resuming from checkpoint step %d',
                         _resumed.iteration)
@@ -879,6 +889,23 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             key = _resumed.key
             resets_left = jnp.asarray(_resumed.resets_left, dtype=jnp.int32)
             start_iter = _resumed.iteration
+            if her_state is not None:
+                if _resumed.her is not None:
+                    # continue the momentum sequence exactly: resumed
+                    # HER run ≡ straight HER run
+                    her_state.update(
+                        Wy=_as_run_layout(_resumed.her['Wy'], W_dev),
+                        Ty=_as_run_layout(_resumed.her['Ty'], T_dev),
+                        beta=jnp.asarray(np.asarray(_resumed.her['beta']),
+                                         jnp.float32),
+                        e=jnp.asarray(np.asarray(_resumed.her['e']),
+                                      _acc_dt))
+                elif _resumed.iteration > 0:
+                    logger.warning(
+                        'Checkpoint at step %d carries no extrapolation '
+                        'state (written without accel=\'her\'); the '
+                        'momentum sequence restarts from this point.',
+                        _resumed.iteration)
 
     # ---- early stopping state (reference nmf.py:360-363) ------------------
     if early_stop:
@@ -989,7 +1016,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 ckpt.save(iter_no, NMFState(
                     W=W_dev, T=T_dev, iteration=iter_no,
                     obj_history=[], key=key, resets_left=int(resets_left),
-                    random_state=random_state, obj_tracked=False))
+                    random_state=random_state, obj_tracked=False,
+                    her=_her_ckpt_state()))
             if time.time() - t_global_start >= max_time:
                 logger.info('STOPPING because max_time after iter %d',
                             iter_no - 1)
@@ -1085,7 +1113,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 iteration=iter_no + 1, obj_history=list(obj_history),
                 key=key, resets_left=int(resets_left),
                 random_state=random_state,
-                obj_tracked=bool(compute_obj_each_iter)))
+                obj_tracked=bool(compute_obj_each_iter),
+                her=_her_ckpt_state()))
 
         if time.time() - t_global_start >= max_time:
             logger.info('STOPPING because max_time after iter %d', iter_no)

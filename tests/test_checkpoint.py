@@ -74,6 +74,40 @@ def test_mixed_x_dtype_resume_equals_straight(tmp_path):
     assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
 
 
+def test_her_resume_equals_straight(tmp_path):
+    """HER extrapolation state (Wy, Ty, beta, e) rides the checkpoint, so
+    a resumed accel='her' run continues the momentum sequence exactly —
+    resumed ≡ straight, not a momentum restart."""
+    X = _problem()
+    kw = dict(k=3, max_iter=10, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              eps_stop=0.0, accel='her', update_order='phase')
+    straight = nmf(X, **kw)
+    ck_dir = str(tmp_path / 'her')
+    nmf(X, max_iter=5, checkpoint=ck_dir, checkpoint_every=5,
+        **{k: v for k, v in kw.items() if k != 'max_iter'})
+    resumed = nmf(X, checkpoint=ck_dir, checkpoint_every=100, **kw)
+    assert np.allclose(resumed['W'], straight['W'], atol=1e-12)
+    assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
+
+
+def test_her_resume_from_plain_checkpoint_warns(tmp_path, caplog):
+    """Resuming accel='her' from a checkpoint written WITHOUT it cannot
+    recover momentum — it must warn and restart the sequence."""
+    import logging
+    X = _problem()
+    kw = dict(k=3, random_state=0, early_stop=False,
+              reset_topic_method=None, eps_stop=0.0, update_order='phase')
+    ck_dir = str(tmp_path / 'plain')
+    nmf(X, max_iter=4, checkpoint=ck_dir, checkpoint_every=2, **kw)
+    with caplog.at_level(logging.WARNING, logger='rri_nmf_tpu.nmf'):
+        resumed = nmf(X, max_iter=8, accel='her', checkpoint=ck_dir,
+                      checkpoint_every=100, **kw)
+    assert any('no extrapolation state' in r.message
+               for r in caplog.records)
+    assert np.isfinite(resumed['W']).all()
+
+
 def test_grouped_checkpoint_marks_untracked_objective(tmp_path, caplog):
     """Grouped-dispatch checkpoints carry obj_tracked=False; resuming one
     with objective-based stopping warns instead of silently trusting an

@@ -47,6 +47,11 @@ def _sample_config(rng):
             and cfg.get('reset_topic_method') is None
             and rng.rand() < 0.5):
         cfg['inner_reps'] = int(rng.choice([2, 3]))
+    # HER extrapolation: dense, no resets (restart sweeps may tick the
+    # objective up, so the monotone invariant is relaxed for these)
+    if (not masked and cfg.get('reset_topic_method') is None
+            and rng.rand() < 0.4):
+        cfg['accel'] = 'her'
     return cfg, masked
 
 
@@ -72,9 +77,13 @@ def test_random_config_invariants(seed):
     oh = np.asarray(soln['obj_history'], dtype=float)
     assert np.all(np.isfinite(oh)), cfg
     if cfg.get('reset_topic_method') is None:
-        # without reset heuristics every step is a descent step
-        assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))), \
-            (cfg, oh)
+        if cfg.get('accel') == 'her':
+            # restart sweeps may tick up; the run must still descend
+            assert oh[-1] <= oh[0] + 1e-10 * max(1.0, abs(oh[0])), (cfg, oh)
+        else:
+            # without reset heuristics every step is a descent step
+            assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))), \
+                (cfg, oh)
     t_proj_active = (cfg.get('project_T_each_iter') and cfg.get('t_row_sum')
                      and not (cfg.get('reg_w_l1') or cfg.get('reg_t_l1')))
     # (L1 regularization auto-disables T projection, reference nmf.py:280-285)

@@ -359,10 +359,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         momentum on the iterate sequence with an objective-checked
         restart every sweep. Breaks the ill-conditioned convergence
         plateau of plain RRI/HALS (the 1e-4 north-star criterion) at
-        roughly +40% per-sweep cost. Requires a dense (non-sparse-mode)
-        unmasked config without resets/gradient stores/DP, both factors
-        free; composes with ``mesh`` (the objective check then runs as a
-        GSPMD-distributed residual — each device holds only its tile).
+        roughly +40% per-sweep cost. Requires a non-sparse-mode config
+        without resets/gradient stores/DP, both factors free; masked
+        (WRRI) configs qualify — the restart check then uses the masked
+        objective ``0.5 Σ M ⊙ (X − WT)²``. Composes with ``mesh`` (the
+        objective check then runs as a GSPMD-distributed residual — each
+        device holds only its tile).
         Per-iteration strict monotonicity of ``obj_history`` is
         traded for rate (restart sweeps may tick up before recovering).
         Extrapolation state rides the checkpoint (resumed ≡ straight);
@@ -822,9 +824,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             make_her_step, make_residual_obj, supports_her)
         if not supports_her(cfg) or sparse_mode or fix_W or fix_T:
             raise ValueError(
-                "accel='her' requires a dense (non-sparse-mode) unmasked "
-                'config with reset_topic_method=None, no store_gradients, '
-                'no DP noise, and both factors free')
+                "accel='her' requires a non-sparse-mode config with "
+                'reset_topic_method=None, no store_gradients, no DP '
+                'noise, and both factors free')
         _acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
             else dtype
         _her_base = sweep_fn

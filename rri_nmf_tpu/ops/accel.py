@@ -30,8 +30,10 @@ identity ``||X||² - 2<WᵀX,T> + <G,G²>``: near the 1e-4 target the three
 entries are differences whose squares sum forward-stable (the round-2
 measurement-integrity lesson, ``benchmarks/run_baselines.py``).
 
-Driver entry: ``nmf(..., accel='her')`` — dense unmasked configs without
-resets/gradient stores/DP (the north-star fit class). Composes with
+Driver entry: ``nmf(..., accel='her')`` — dense or masked (WRRI) configs
+without resets/gradient stores/DP (the north-star and recommender fit
+classes; both masked sweeps rebuild their residual carry from (X, W, T)
+each sweep, so extrapolated starting points are exact). Composes with
 ``mesh``: the extrapolation/restart ops are elementwise (GSPMD keeps the
 factor shardings) and the objective check runs as a distributed residual
 (see :func:`make_residual_obj`).
@@ -45,10 +47,11 @@ from jax import lax
 
 
 def supports_her(cfg) -> bool:
-    """HER wraps any dense unmasked sweep whose per-sweep state is just
-    (W, T): no masks, resets, gradient stores, or DP noise."""
-    return (not cfg.masked
-            and cfg.reset_topic_method is None
+    """HER wraps any sweep whose per-sweep state is just (W, T): no
+    resets, gradient stores, or DP noise. Masked (WRRI) configs qualify —
+    both masked sweeps rebuild their residual carry from (X, W, T) at
+    sweep start, so sweeping from the extrapolated point is exact."""
+    return (cfg.reset_topic_method is None
             and not cfg.store_gradients
             and cfg.dp_sigma is None)
 
@@ -66,14 +69,25 @@ def make_residual_obj(cfg, block_rows=4096):
     transient per-device f32 tile is 1/n_devices of X — the single-chip
     HBM-ceiling concern the blockwise form exists for does not apply."""
 
-    def obj(X, W, T):
+    def obj(X, W, T, *extras):
+        # masked (WRRI) form: 0.5 Σ M ⊙ (X - WT)² — the mask/weight
+        # matrix rides as the first extra, exactly as the sweep takes it
+        M = extras[0] if cfg.masked else None
         n, d = X.shape
         k = W.shape[1]
         acc = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16) \
             else X.dtype
+
+        def _sq(Xb, Wb, Mb):
+            Rb = Xb.astype(acc) - jnp.dot(Wb, T,
+                                          preferred_element_type=acc)
+            Rb = Rb * Rb
+            if Mb is not None:
+                Rb = Mb.astype(acc) * Rb
+            return jnp.sum(jnp.sum(Rb, axis=1))
+
         if cfg.mesh is not None:
-            R = X.astype(acc) - jnp.dot(W, T, preferred_element_type=acc)
-            s = jnp.sum(R * R)
+            s = _sq(X, W, M)
         else:
             B = min(block_rows, n)
             nb = n // B
@@ -81,16 +95,15 @@ def make_residual_obj(cfg, block_rows=4096):
             def blk(i, s):
                 Xb = lax.dynamic_slice(X, (i * B, 0), (B, d))
                 Wb = lax.dynamic_slice(W, (i * B, 0), (B, k))
-                Rb = Xb.astype(acc) - jnp.dot(Wb, T,
-                                              preferred_element_type=acc)
-                return s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+                Mb = lax.dynamic_slice(M, (i * B, 0), (B, d)) \
+                    if M is not None else None
+                return s + _sq(Xb, Wb, Mb)
 
             s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
             rem = n - nb * B
             if rem:
-                Rb = X[nb * B:].astype(acc) - jnp.dot(
-                    W[nb * B:], T, preferred_element_type=acc)
-                s = s + jnp.sum(jnp.sum(Rb * Rb, axis=1))
+                s = s + _sq(X[nb * B:], W[nb * B:],
+                            M[nb * B:] if M is not None else None)
         o = 0.5 * s
         Wa = W.astype(acc)
         Ta = T.astype(acc)
@@ -122,7 +135,7 @@ def _her_body(sweep_fn, obj_fn, gamma, beta_max):
              *extras):
         W1, T1, key, resets_left = sweep_fn(
             X, Wy, Ty, key, resets_left, reset_key, *extras)
-        e = obj_fn(X, W1, T1)
+        e = obj_fn(X, W1, T1, *extras)
         ok = e <= e_prev
         b = jnp.where(ok, jnp.minimum(beta * gamma, beta_max),
                       beta * 0.5).astype(beta.dtype)

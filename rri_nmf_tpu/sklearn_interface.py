@@ -26,6 +26,24 @@ from sklearn.utils.validation import check_array, check_is_fitted, check_X_y
 from rri_nmf_tpu.matrixops import normalize, tfidf
 from rri_nmf_tpu.nmf import nmf
 
+# nmf() kwargs that only make sense while FITTING both factors; transform
+# presets (fix_T sweeps) silently drop them so one estimator-level
+# nmf_kwargs dict can serve fit and transform (accel='her' requires both
+# factors free, nmf.py:818-824)
+_FIT_ONLY_KWARGS = ('accel',)
+
+
+def _merged(preset, nmf_kwargs, drop=()):
+    """Layer user ``nmf_kwargs`` over an estimator preset.
+
+    User values OVERRIDE preset keys (the reference forwards blindly, so
+    overriding a preset key raised ``TypeError: multiple values``; here
+    e.g. ``nmf_kwargs=dict(accel='her')`` composes with the RS fit
+    preset's ``reset_topic_method=None``)."""
+    merged = dict(preset)
+    merged.update((k, v) for k, v in nmf_kwargs.items() if k not in drop)
+    return merged
+
 
 class NMF_RS_Estimator(sklearn.base.BaseEstimator):
     """Recommender-system NMF estimator (masked WRRI).
@@ -104,14 +122,15 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         W_in = self.W if np.asarray(self.W).size > 0 else []
         T_in = self.T if np.asarray(self.T).size > 0 else []
 
-        soln = nmf(Xtr, self.k, max_iter=self.max_iter, max_time=7200,
-                   compute_obj_each_iter=True, reset_topic_method=None,
-                   early_stop=self.early_stop, project_T_each_iter=False,
-                   t_row_sum=1.0, project_W_each_iter=False, w_row_sum=None,
-                   W_mat=W_mat_tr, W_in=W_in, T_in=T_in,
-                   reg_w_l1=self.wr1, reg_t_l1=self.tr1,
-                   random_state=self.random_state,
-                   **self.nmf_kwargs)
+        soln = nmf(Xtr, self.k, **_merged(
+            dict(max_iter=self.max_iter, max_time=7200,
+                 compute_obj_each_iter=True, reset_topic_method=None,
+                 early_stop=self.early_stop, project_T_each_iter=False,
+                 t_row_sum=1.0, project_W_each_iter=False, w_row_sum=None,
+                 W_mat=W_mat_tr, W_in=W_in, T_in=T_in,
+                 reg_w_l1=self.wr1, reg_t_l1=self.tr1,
+                 random_state=self.random_state),
+            self.nmf_kwargs))
         self.W = soln.pop('W')
         self.T = soln.pop('T')
         self.nmf_outputs = soln
@@ -133,12 +152,14 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         Itr, Jtr = Xnew.nonzero()
         W_mat_tr[Itr, Jtr] = 1
 
-        soln = nmf(Xnew, self.k, max_iter=4, max_time=7200,
-                   project_W_each_iter=False, project_T_each_iter=False,
-                   W_mat=W_mat_tr, T_in=self.T, fix_T=True,
-                   reg_w_l1=self.wr1, reg_t_l1=self.tr1, t_row_sum=1.0,
-                   w_row_sum=None, reset_topic_method='random',
-                   random_state=self.random_state, **self.nmf_kwargs)
+        soln = nmf(Xnew, self.k, **_merged(
+            dict(max_iter=4, max_time=7200,
+                 project_W_each_iter=False, project_T_each_iter=False,
+                 W_mat=W_mat_tr, T_in=self.T, fix_T=True,
+                 reg_w_l1=self.wr1, reg_t_l1=self.tr1, t_row_sum=1.0,
+                 w_row_sum=None, reset_topic_method='random',
+                 random_state=self.random_state),
+            self.nmf_kwargs, drop=_FIT_ONLY_KWARGS))
         return soln['W']
 
     def make_Xpred(self):
@@ -175,7 +196,11 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
     wr1, wr2, tr1, tr2 : L1/L2 regularization for W and T
     handle_tfidf / handle_normalization : preprocessing switches
     W, T : optional warm-start factors
-    nmf_kwargs : extra kwargs forwarded to :func:`rri_nmf_tpu.nmf.nmf`
+    nmf_kwargs : extra kwargs forwarded to :func:`rri_nmf_tpu.nmf.nmf`;
+        on key collision they OVERRIDE the estimator preset (so e.g.
+        ``dict(accel='her')`` or ``dict(mesh=...)`` layer onto the
+        presets). Fit-only kwargs (``accel``) are dropped from the
+        fixed-T ``transform`` presets.
     """
 
     def __init__(self, n, d, k, wr1=0, wr2=0, tr1=0, tr2=0, random_state=0,
@@ -235,14 +260,16 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
         T_in = self.T if np.asarray(self.T).size > 0 else []
         X = self._preprocess(X)
 
-        soln = nmf(X, self.k, max_iter=self.max_iter, max_time=7200,
-                   project_W_each_iter=False, w_row_sum=1.0,
-                   project_T_each_iter=True, t_row_sum=1.0,
-                   do_final_project_W=self.do_final_project_W,
-                   W_in=W_in, T_in=T_in,
-                   reg_w_l1=self.wr1, reg_w_l2=self.wr2, reg_t_l1=self.tr1,
-                   reg_t_l2=self.tr2,
-                   random_state=self.random_state, **self.nmf_kwargs)
+        soln = nmf(X, self.k, **_merged(
+            dict(max_iter=self.max_iter, max_time=7200,
+                 project_W_each_iter=False, w_row_sum=1.0,
+                 project_T_each_iter=True, t_row_sum=1.0,
+                 do_final_project_W=self.do_final_project_W,
+                 W_in=W_in, T_in=T_in,
+                 reg_w_l1=self.wr1, reg_w_l2=self.wr2, reg_t_l1=self.tr1,
+                 reg_t_l2=self.tr2,
+                 random_state=self.random_state),
+            self.nmf_kwargs))
         self.W = soln.pop('W')
         self.T = soln.pop('T')
         self.nmf_outputs = soln
@@ -256,14 +283,15 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
         T_in = self.T if np.asarray(self.T).size > 0 else []
         X = self._preprocess(X)
 
-        soln = nmf(X, self.k, max_iter=1, max_time=240,
-                   project_W_each_iter=False, w_row_sum=1.0,
-                   project_T_each_iter=True, t_row_sum=1.0,
-                   do_final_project_W=self.do_final_project_W,
-                   W_in=W_in, T_in=T_in,
-                   reg_w_l1=self.wr1, reg_w_l2=self.wr2, reg_t_l1=self.tr1,
-                   reg_t_l2=self.tr2, random_state=self.random_state,
-                   **self.nmf_kwargs)
+        soln = nmf(X, self.k, **_merged(
+            dict(max_iter=1, max_time=240,
+                 project_W_each_iter=False, w_row_sum=1.0,
+                 project_T_each_iter=True, t_row_sum=1.0,
+                 do_final_project_W=self.do_final_project_W,
+                 W_in=W_in, T_in=T_in,
+                 reg_w_l1=self.wr1, reg_w_l2=self.wr2, reg_t_l1=self.tr1,
+                 reg_t_l2=self.tr2, random_state=self.random_state),
+            self.nmf_kwargs))
         self.W = soln.pop('W')
         self.T = soln.pop('T')
         self.nmf_outputs = soln

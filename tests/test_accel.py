@@ -119,14 +119,50 @@ def test_her_mesh_grouped_dispatch():
     assert np.allclose(a['T'], b['T'], atol=1e-12)
 
 
+def test_her_masked_accelerates():
+    """HER over the masked WRRI sweep (recommender fit class): the
+    restart check uses the masked objective, and at equal sweeps the
+    masked error on observed entries beats plain sweeps on the
+    mean-dominated class."""
+    X = _uniform_factor_problem(seed=7)
+    M = (np.random.RandomState(7).rand(*X.shape) < 0.7).astype(float)
+    kw = dict(k=8, random_state=0, early_stop=False,
+              reset_topic_method=None, eps_stop=0.0,
+              compute_obj_each_iter=True, W_mat=M)
+    plain = nmf(X, max_iter=80, **kw)
+    her = nmf(X, max_iter=80, accel='her', **kw)
+
+    def _masked_rel(s):
+        R = M * (X - s['W'] @ s['T'])
+        return np.linalg.norm(R) / np.linalg.norm(M * X)
+
+    r_plain, r_her = _masked_rel(plain), _masked_rel(her)
+    assert np.isfinite(r_her)
+    assert (her['W'] >= 0).all() and (her['T'] >= 0).all()
+    assert r_her < r_plain * 0.9, (r_her, r_plain)
+    assert her['obj_history'][-1] <= plain['obj_history'][-1]
+
+
+def test_her_masked_grouped_dispatch_matches():
+    X = _uniform_factor_problem(seed=8)
+    M = (np.random.RandomState(8).rand(*X.shape) < 0.6).astype(float)
+    kw = dict(KW)
+    kw.pop('update_order')     # masked path is interleaved by construction
+    a = nmf(X, max_iter=10, accel='her', W_mat=M, **kw)
+    b = nmf(X, max_iter=10, accel='her', W_mat=M, sweeps_per_dispatch=5,
+            **kw)
+    assert np.allclose(a['W'], b['W'], atol=1e-12)
+    assert np.allclose(a['T'], b['T'], atol=1e-12)
+
+
 def test_her_validation():
     X = _uniform_factor_problem()
     with pytest.raises(ValueError):
         nmf(X, 8, accel='nope')
-    with pytest.raises(ValueError):        # masked
-        nmf(X, 8, accel='her', W_mat=np.ones_like(X), max_iter=2)
     with pytest.raises(ValueError):        # resets on (default)
         nmf(X, 8, accel='her', max_iter=2)
+    with pytest.raises(ValueError):        # masked with resets on
+        nmf(X, 8, accel='her', W_mat=np.ones_like(X), max_iter=2)
     with pytest.raises(ValueError):        # fixed factor
         nmf(X, 8, accel='her', fix_T=True, reset_topic_method=None,
             T_in=np.abs(np.random.RandomState(0).rand(8, X.shape[1])),

@@ -87,3 +87,27 @@ def test_tm_sparse_transform_and_score(text_train):
     assert abs(s_sp - s_de) < 1e-8
     out = M.score_all(X)
     assert np.isfinite(out['r2']) and np.isfinite(out['rel_frobenius_error'])
+
+
+def test_nmf_kwargs_override_presets(recsys_train):
+    """nmf_kwargs entries OVERRIDE the estimator presets instead of
+    raising TypeError on collision, and fit-only kwargs (accel) are
+    dropped from the fixed-T transform preset — so one nmf_kwargs dict
+    serves fit (HER on) and transform (fix_T)."""
+    Xtr = recsys_train
+    n, d = Xtr.shape
+    I, J = np.nonzero(Xtr)
+    X = np.stack([I, J], axis=1)
+    y = Xtr[I, J]
+    E = NMF_RS_Estimator(n, d, 3, random_state=0, max_iter=6,
+                         nmf_kwargs=dict(accel='her', early_stop=False,
+                                         # collides with the fit preset:
+                                         compute_obj_each_iter=True))
+    E.fit(X, y)
+    assert np.isfinite(E.W).all() and np.isfinite(E.T).all()
+    # the override took effect (objective tracked under HER)
+    oh = E.nmf_outputs['obj_history']
+    assert len(oh) > 0 and oh[-1] <= oh[0]
+    # transform runs fix_T sweeps: accel is dropped, not an error
+    W = E.transform(Xtr)
+    assert np.isfinite(np.asarray(W)).all()

@@ -47,10 +47,9 @@ def _sample_config(rng):
             and cfg.get('reset_topic_method') is None
             and rng.rand() < 0.5):
         cfg['inner_reps'] = int(rng.choice([2, 3]))
-    # HER extrapolation: dense, no resets (restart sweeps may tick the
-    # objective up, so the monotone invariant is relaxed for these)
-    if (not masked and cfg.get('reset_topic_method') is None
-            and rng.rand() < 0.4):
+    # HER extrapolation: dense or masked, no resets (restart sweeps may
+    # tick the objective up, so the monotone invariant is relaxed)
+    if cfg.get('reset_topic_method') is None and rng.rand() < 0.4:
         cfg['accel'] = 'her'
     return cfg, masked
 

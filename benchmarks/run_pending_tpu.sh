@@ -23,7 +23,7 @@ for f in results_round3_tm_interleaved results_round3_masked_inference; do
   fi
 done
 for exp in exp_cond_cost exp_tm_interleaved exp_masked_inference \
-           exp_plan_narrow exp_lrc_tpu exp_mxu_group; do
+           exp_plan_narrow exp_lrc_tpu exp_mxu_group exp_her_masked; do
   echo "=== $exp $(date -u +%H:%M:%S)"
   timeout 3600 python "benchmarks/$exp.py" \
     > "benchmarks/logs/$exp.rerun.log" 2>&1

@@ -603,9 +603,35 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     # ---- device state -----------------------------------------------------
     X_obj_dev = None   # sparse fast path keeps a separate f32 data copy
+    # The shard_map'd kernel paths and the canonical (dp, tp) layouts need
+    # the global shape to sit on the mesh quanta. Unaligned DENSE shapes
+    # fall back to axis-wise sharding (shard only the axes the mesh
+    # divides; replicate the rest) + the plain GSPMD sweep — correct, and
+    # still distributed along every divisible axis. Sparse mesh plans pad
+    # internally, so they are always "aligned" here.
+    _mesh_aligned = True
+    if mesh is not None and not sparse_mode:
+        _dp_sz, _tp_sz = mesh.devices.shape
+        _mesh_aligned = (n % _dp_sz == 0) and (d % _tp_sz == 0)
+        if not _mesh_aligned:
+            logger.warning(
+                'X shape (%d, %d) does not sit on the (%d, %d) mesh '
+                'quanta; sharding only the divisible axes and using the '
+                'GSPMD sweep (fused sharded kernels need aligned shapes — '
+                'pad the data to the mesh quanta for peak throughput).',
+                n, d, _dp_sz, _tp_sz)
     if mesh is not None:
         from rri_nmf_tpu.parallel.mesh import problem_shardings
-        s_X, s_W, s_T = problem_shardings(mesh)[:3]
+        if _mesh_aligned:
+            s_X, s_W, s_T = problem_shardings(mesh)[:3]
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            _row_ax = mesh.axis_names[0] if n % _dp_sz == 0 else None
+            _col_ax = mesh.axis_names[1] if d % _tp_sz == 0 else None
+            s_X = NamedSharding(mesh, _P(_row_ax, _col_ax))
+            s_W = NamedSharding(mesh, _P(_row_ax, None))
+            s_T = NamedSharding(mesh, _P(None, _col_ax))
         _put = jax.device_put
         if sparse_mode:
             # beyond-HBM scale path: per-device COO blocks, factors in the
@@ -694,8 +720,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             # sparse mesh sweep pads/reshards internally (n need not
-            # divide dp), so hand the bound vector over replicated there
-            spec = P() if sparse_mode else P(mesh.axis_names[0], None)
+            # divide dp), so hand the bound vector over replicated there;
+            # unaligned dense meshes replicate the row axis too
+            spec = P() if (sparse_mode or n % mesh.devices.shape[0]) \
+                else P(mesh.axis_names[0], None)
             wrs_dev = jax.device_put(wrs_dev, NamedSharding(mesh, spec))
         extras.append(wrs_dev)
 
@@ -730,7 +758,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     if (store_gradients and ind_rows_to_store is not None)
                     else None),
         update_order=update_order,
-        mesh=mesh,
+        # unaligned dense meshes run the single-program sweep (GSPMD
+        # distributes it over the partial shardings); cfg.mesh gates the
+        # shard_map reset path, which needs aligned layouts
+        mesh=mesh if _mesh_aligned else None,
         matmul_precision=matmul_precision,
         inner_reps=inner_reps)
 
@@ -738,7 +769,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         make_dense_phase_sweep_pallas, supports_dense_pallas)
     from rri_nmf_tpu.ops.sweep_pallas import (
         make_masked_sweep_pallas, supports_pallas)
-    if mesh is not None:
+    if mesh is not None and not _mesh_aligned:
+        # neither the shard_map'd mesh kernels (aligned layouts) nor the
+        # single-device pallas_calls (unsharded arrays) can run here
+        pallas_ok = dense_pallas_ok = False
+    elif mesh is not None:
         from rri_nmf_tpu.parallel.sharded_dense import \
             supports_sharded_dense
         from rri_nmf_tpu.parallel.sharded_pallas import \

@@ -26,11 +26,13 @@ from sklearn.utils.validation import check_array, check_is_fitted, check_X_y
 from rri_nmf_tpu.matrixops import normalize, tfidf
 from rri_nmf_tpu.nmf import nmf
 
-# nmf() kwargs that only make sense while FITTING both factors; transform
-# presets (fix_T sweeps) silently drop them so one estimator-level
-# nmf_kwargs dict can serve fit and transform (accel='her' requires both
-# factors free, nmf.py:818-824)
-_FIT_ONLY_KWARGS = ('accel',)
+# nmf() kwargs that only make sense while FITTING; transform presets
+# (fix_T sweeps over NEW data) silently drop them so one estimator-level
+# nmf_kwargs dict can serve fit and transform: accel='her' requires both
+# factors free (nmf.py:818-824), and a checkpoint directory belongs to
+# the fit — a transform restoring the fit's checkpoint would warm-start
+# from the wrong state/shapes.
+_FIT_ONLY_KWARGS = ('accel', 'checkpoint', 'checkpoint_every')
 
 
 def _merged(preset, nmf_kwargs, drop=()):
@@ -199,8 +201,9 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
     nmf_kwargs : extra kwargs forwarded to :func:`rri_nmf_tpu.nmf.nmf`;
         on key collision they OVERRIDE the estimator preset (so e.g.
         ``dict(accel='her')`` or ``dict(mesh=...)`` layer onto the
-        presets). Fit-only kwargs (``accel``) are dropped from the
-        fixed-T ``transform`` presets.
+        presets). Fit-only kwargs (``accel``, ``checkpoint``,
+        ``checkpoint_every``) are dropped from the fixed-T ``transform``
+        presets.
     """
 
     def __init__(self, n, d, k, wr1=0, wr2=0, tr1=0, tr2=0, random_state=0,
@@ -318,13 +321,15 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
             if not sp.issparse(Xnew):
                 Xnew = np.asarray(Xnew)
 
-        soln = nmf(Xnew, self.k, max_iter=4, max_time=7200,
-                   project_W_each_iter=False, w_row_sum=1.0,
-                   t_row_sum=1.0, T_in=self.T,
-                   do_final_project_W=self.do_final_project_W,
-                   fix_T=True, reg_w_l1=self.wr1, reg_w_l2=self.wr2,
-                   reg_t_l1=self.tr1, reg_t_l2=self.tr2,
-                   random_state=self.random_state)
+        soln = nmf(Xnew, self.k, **_merged(
+            dict(max_iter=4, max_time=7200,
+                 project_W_each_iter=False, w_row_sum=1.0,
+                 t_row_sum=1.0, T_in=self.T,
+                 do_final_project_W=self.do_final_project_W,
+                 fix_T=True, reg_w_l1=self.wr1, reg_w_l2=self.wr2,
+                 reg_t_l1=self.tr1, reg_t_l2=self.tr2,
+                 random_state=self.random_state),
+            self.nmf_kwargs, drop=_FIT_ONLY_KWARGS))
         return soln['W']
 
     def constrained_transform(self, X):

@@ -225,3 +225,42 @@ def test_sharded_resets_interleaved_order():
     assert single['n_resets_remaining'] == shard['n_resets_remaining']
     assert np.allclose(single['W'], shard['W'], atol=1e-11)
     assert np.allclose(single['T'], shard['T'], atol=1e-11)
+
+
+@requires_8_devices
+def test_unaligned_shapes_fall_back_to_axiswise_sharding(caplog):
+    """Dense mesh fits with shapes off the mesh quanta shard only the
+    divisible axes (replicating the rest) and run the GSPMD sweep —
+    previously device_put raised on divisibility. Results match the
+    single-device run."""
+    import logging
+
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    mesh = make_mesh(8)                      # (4, 2)
+    # n=50 not divisible by 4; d=39 not divisible by 2 -> replicated
+    X = np.abs(rng.rand(50, 39))
+    kw = dict(k=4, max_iter=5, random_state=0, early_stop=False,
+              compute_obj_each_iter=True)
+    a = nmf(X, **kw)
+    with caplog.at_level(logging.WARNING, logger='rri_nmf_tpu.nmf'):
+        b = nmf(X, mesh=mesh, **kw)
+    assert any('mesh quanta' in r.message for r in caplog.records)
+    assert np.allclose(a['W'], b['W'], atol=1e-11)
+    assert np.allclose(a['obj_history'], b['obj_history'], atol=1e-11)
+
+    # one axis divisible (rows): still sharded along it, same results
+    X2 = np.abs(rng.rand(48, 39))
+    a2 = nmf(X2, **kw)
+    b2 = nmf(X2, mesh=mesh, **kw)
+    assert np.allclose(a2['W'], b2['W'], atol=1e-11)
+
+    # masked + vector w_row_sum exercise the extras placement too
+    M = (rng.rand(50, 39) < 0.7).astype(float)
+    kwm = dict(k=4, max_iter=4, random_state=0, early_stop=False,
+               reset_topic_method=None)
+    am = nmf(X, W_mat=M, **kwm)
+    bm = nmf(X, W_mat=M, mesh=mesh, **kwm)
+    assert np.allclose(am['W'], bm['W'], atol=1e-11)

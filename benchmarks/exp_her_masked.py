@@ -29,6 +29,10 @@ DENSITY = 0.045
 TIMED_SWEEPS = 50
 TRACKED_SWEEPS = 400
 TARGETS = (0.10, 0.03, 0.01, 0.003)
+# soft wall-clock budget: exit cleanly (partials already written) well
+# before the queue's hard `timeout 3600` — a SIGTERM mid-TPU-operation
+# wedges the tunnel for ~15 min (CLAUDE.md)
+DEADLINE = time.time() + 2700
 
 
 def main():
@@ -37,11 +41,12 @@ def main():
 
     from rri_nmf_tpu.nmf import nmf
 
-    rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     # generate ON DEVICE (tunnel transfers ~45 MB/s); mean-dominated
-    # U[0,1] factors — the class HER exists for
+    # U[0,1] factors — the class HER exists for. X and M stay DEVICE
+    # arrays through every nmf() call (the driver's jnp.asarray is a
+    # no-op and X_host is lazy) — no host round-trips.
     Wt = jax.random.uniform(k1, (n, k), jnp.float32)
     Tt = jax.random.uniform(k2, (k, d), jnp.float32)
     X = Wt @ Tt
@@ -50,13 +55,17 @@ def main():
     float(jnp.sum(X)); float(jnp.sum(M))   # sync
 
     base = dict(k=k, random_state=0, early_stop=False,
-                reset_topic_method=None, eps_stop=0.0, W_mat=np.asarray(M))
-    Xh = np.asarray(X)
+                reset_topic_method=None, eps_stop=0.0, W_mat=M)
+    Xh = X
 
     out = {'config': {'n': n, 'd': d, 'k': k, 'density': DENSITY},
            'solvers': {}}
+    path = Path(__file__).parent / 'results_round3_her_masked.json'
     denom = None
     for name, extra in (('plain', {}), ('her', {'accel': 'her'})):
+        if time.time() > DEADLINE:
+            print('soft deadline hit; partial results stand', flush=True)
+            break
         # --- per-sweep cost: grouped dispatch, no per-iter host work.
         # Each nmf() call pays a fixed setup (X/M cross the ~45 MB/s
         # tunnel, init); DIFFERENCE two sweep counts to cancel it.
@@ -85,19 +94,19 @@ def main():
         for t in TARGETS:
             hit = np.nonzero(rel <= t)[0]
             sweeps_to[str(t)] = (int(hit[0]) + 1) if hit.size else None
+        ms_ok = np.isfinite(ms_sweep)
         out['solvers'][name] = {
-            'ms_per_sweep': round(ms_sweep, 3),
+            'ms_per_sweep': round(ms_sweep, 3) if ms_ok else None,
             'final_rel_err': float(rel[-1]),
             'sweeps_to_target': sweeps_to,
             'ms_to_target': {
-                t: (round(sw * ms_sweep, 1) if sw else None)
+                t: (round(sw * ms_sweep, 1) if (sw and ms_ok) else None)
                 for t, sw in sweeps_to.items()},
         }
         print('%-6s %7.2f ms/sweep  final rel err %.3e  to-target %s'
               % (name, ms_sweep, rel[-1], sweeps_to), flush=True)
-
-    path = Path(__file__).parent / 'results_round3_her_masked.json'
-    path.write_text(json.dumps(out, indent=1))
+        # write after EACH solver: a timeout mid-run keeps partials
+        path.write_text(json.dumps(out, indent=1))
     print('wrote', path)
 
 

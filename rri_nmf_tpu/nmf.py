@@ -760,8 +760,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         update_order=update_order,
         # unaligned dense meshes run the single-program sweep (GSPMD
         # distributes it over the partial shardings); cfg.mesh gates the
-        # shard_map reset path, which needs aligned layouts
+        # shard_map reset path, which needs aligned layouts — and the
+        # blockwise reset scan is turned off there too (its
+        # dynamic_slice over a row-sharded X would gather X per block;
+        # the one-piece residual stays distributed under GSPMD)
         mesh=mesh if _mesh_aligned else None,
+        reset_blockwise=(mesh is None or _mesh_aligned),
         matmul_precision=matmul_precision,
         inner_reps=inner_reps)
 
@@ -865,7 +869,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _acc_dt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) \
             else dtype
         _her_base = sweep_fn
-        _her_obj = make_residual_obj(cfg)
+        # distributed=True also for UNALIGNED meshes (cfg.mesh is None
+        # there, but X is still axis-sharded — the blockwise
+        # dynamic_slice scan would gather it every restart check)
+        _her_obj = make_residual_obj(cfg, distributed=(mesh is not None))
         _her_step = make_her_step(_her_base, _her_obj)
         her_state = {}
 
@@ -973,13 +980,22 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     # callbacks see the host X (the scipy matrix itself when the input was
     # sparse — including the on-device-densified path, where the host
-    # never materializes the dense form)
-    X_host = X if (sparse_mode or hasattr(X, 'toarray')) else np.asarray(X)
+    # never materializes the dense form). Materialized LAZILY: only
+    # diagnostics and a callable early_stop consume it, and when X is a
+    # device array the np.asarray is a device->host fetch (~45 MB/s on
+    # the tunnel) a plain fit should never pay.
+    _X_host = [None]
+
+    def X_host():
+        if _X_host[0] is None:
+            _X_host[0] = X if (sparse_mode or hasattr(X, 'toarray')) \
+                else np.asarray(X)
+        return _X_host[0]
 
     if len(diagnostics) > 0:
         for func in diagnostics:
             rtv['diagnostics'][func.__name__].append(
-                func(X_host, np.array(W_dev), np.array(T_dev)))
+                func(X_host(), np.array(W_dev), np.array(T_dev)))
 
     if _resumed is not None:
         # restored run: rebuild history so stopping conditions see it
@@ -1067,7 +1083,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if early_stop:
             if callable(early_stop):
-                this_score = early_stop(X_host, np.array(W_dev),
+                this_score = early_stop(X_host(), np.array(W_dev),
                                         np.array(T_dev))
             else:
                 if compute_obj_each_iter and len(obj_history) > 0:
@@ -1136,7 +1152,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if len(diagnostics) > 0:
             for func in diagnostics:
-                dval = func(X_host, np.array(W_dev), np.array(T_dev))
+                dval = func(X_host(), np.array(W_dev), np.array(T_dev))
                 rtv['diagnostics'][func.__name__].append(dval)
                 logger.info('\t%s: %s', func.__name__, dval)
 

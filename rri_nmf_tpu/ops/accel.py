@@ -57,17 +57,22 @@ def supports_her(cfg) -> bool:
 
 
 @lru_cache(maxsize=32)
-def make_residual_obj(cfg, block_rows=4096):
+def make_residual_obj(cfg, block_rows=4096, distributed=None):
     """Jitted ``0.5||X - WT||² + regs`` via blockwise explicit residual
     (forward-stable at 1e-4-scale errors; see module docstring).
 
-    With ``cfg.mesh`` set the residual is computed in one piece instead:
-    under GSPMD each device materializes only its local ``(n/dp, d/tp)``
-    tile of ``R`` (a blockwise ``dynamic_slice`` scan would instead
-    GATHER the dp-sharded ``X`` — the same reasoning as the sharded
-    reset path, :class:`~rri_nmf_tpu.ops.sweep_xla.SweepConfig`). The
-    transient per-device f32 tile is 1/n_devices of X — the single-chip
-    HBM-ceiling concern the blockwise form exists for does not apply."""
+    When ``distributed`` (default: ``cfg.mesh is not None``) the residual
+    is computed in one piece instead: under GSPMD each device
+    materializes only its local tile of ``R`` (a blockwise
+    ``dynamic_slice`` scan would instead GATHER a row-sharded ``X`` —
+    the same reasoning as the sharded reset path,
+    :class:`~rri_nmf_tpu.ops.sweep_xla.SweepConfig`). The transient
+    per-device f32 tile is a fraction of X — the single-chip HBM-ceiling
+    concern the blockwise form exists for does not apply. The driver
+    passes ``distributed=True`` for UNALIGNED meshes too (cfg.mesh is
+    None there but X is still axis-sharded)."""
+    if distributed is None:
+        distributed = cfg.mesh is not None
 
     def obj(X, W, T, *extras):
         # masked (WRRI) form: 0.5 Σ M ⊙ (X - WT)² — the mask/weight
@@ -86,7 +91,7 @@ def make_residual_obj(cfg, block_rows=4096):
                 Rb = Mb.astype(acc) * Rb
             return jnp.sum(jnp.sum(Rb, axis=1))
 
-        if cfg.mesh is not None:
+        if distributed:
             s = _sq(X, W, M)
         else:
             B = min(block_rows, n)

@@ -26,13 +26,16 @@ from sklearn.utils.validation import check_array, check_is_fitted, check_X_y
 from rri_nmf_tpu.matrixops import normalize, tfidf
 from rri_nmf_tpu.nmf import nmf
 
-# nmf() kwargs that only make sense while FITTING; transform presets
-# (fix_T sweeps over NEW data) silently drop them so one estimator-level
-# nmf_kwargs dict can serve fit and transform: accel='her' requires both
-# factors free (nmf.py:818-824), and a checkpoint directory belongs to
-# the fit — a transform restoring the fit's checkpoint would warm-start
-# from the wrong state/shapes.
-_FIT_ONLY_KWARGS = ('accel', 'checkpoint', 'checkpoint_every')
+# nmf() kwargs dropped from the TRANSFORM presets (fix_T sweeps over NEW
+# data) so one estimator-level nmf_kwargs dict can serve fit and
+# transform: accel='her' requires both factors free (nmf.py:818-824); a
+# checkpoint directory belongs to the fit (a transform restoring the
+# fit's checkpoint would warm-start from the wrong state/shapes); and
+# the factor/structure kwargs define WHAT a transform is — the preset's
+# T_in=self.T (the learned topics) and fix_T=True must never be
+# overridden by a warm-start T_in/W_in/W_mat meant for fit.
+_TRANSFORM_DROPPED_KWARGS = ('accel', 'checkpoint', 'checkpoint_every',
+                             'T_in', 'W_in', 'W_mat', 'fix_T', 'fix_W')
 
 
 def _merged(preset, nmf_kwargs, drop=()):
@@ -161,7 +164,7 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
                  reg_w_l1=self.wr1, reg_t_l1=self.tr1, t_row_sum=1.0,
                  w_row_sum=None, reset_topic_method='random',
                  random_state=self.random_state),
-            self.nmf_kwargs, drop=_FIT_ONLY_KWARGS))
+            self.nmf_kwargs, drop=_TRANSFORM_DROPPED_KWARGS))
         return soln['W']
 
     def make_Xpred(self):
@@ -329,7 +332,7 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
                  fix_T=True, reg_w_l1=self.wr1, reg_w_l2=self.wr2,
                  reg_t_l1=self.tr1, reg_t_l2=self.tr2,
                  random_state=self.random_state),
-            self.nmf_kwargs, drop=_FIT_ONLY_KWARGS))
+            self.nmf_kwargs, drop=_TRANSFORM_DROPPED_KWARGS))
         return soln['W']
 
     def constrained_transform(self, X):

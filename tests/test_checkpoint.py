@@ -91,6 +91,31 @@ def test_her_resume_equals_straight(tmp_path):
     assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
 
 
+def test_her_mesh_resume_equals_straight(tmp_path):
+    """The HER momentum state (her_Wy/her_Ty) saves and restores as
+    mesh-sharded arrays: a sharded accel='her' run resumed on a (4, 2)
+    mesh equals the uninterrupted sharded run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip('needs 8 virtual devices')
+    from rri_nmf_tpu.parallel import make_mesh
+
+    X = _problem(n=24, d=16)
+    mesh = make_mesh(8)
+    kw = dict(k=3, max_iter=10, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, reset_topic_method=None,
+              eps_stop=0.0, accel='her', update_order='phase', mesh=mesh)
+    straight = nmf(X, **kw)
+    ck_dir = str(tmp_path / 'her_mesh')
+    nmf(X, max_iter=5, checkpoint=ck_dir, checkpoint_every=5,
+        **{k: v for k, v in kw.items() if k != 'max_iter'})
+    resumed = nmf(X, checkpoint=ck_dir, checkpoint_every=100, **kw)
+    assert np.allclose(resumed['W'], straight['W'], atol=1e-12)
+    assert np.allclose(resumed['T'], straight['T'], atol=1e-12)
+
+
 def test_her_resume_from_plain_checkpoint_warns(tmp_path, caplog):
     """Resuming accel='her' from a checkpoint written WITHOUT it cannot
     recover momentum — it must warn and restart the sequence."""

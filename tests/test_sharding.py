@@ -257,10 +257,21 @@ def test_unaligned_shapes_fall_back_to_axiswise_sharding(caplog):
     b2 = nmf(X2, mesh=mesh, **kw)
     assert np.allclose(a2['W'], b2['W'], atol=1e-11)
 
-    # masked + vector w_row_sum exercise the extras placement too
+    # masked exercises the Wm extras placement
     M = (rng.rand(50, 39) < 0.7).astype(float)
     kwm = dict(k=4, max_iter=4, random_state=0, early_stop=False,
                reset_topic_method=None)
     am = nmf(X, W_mat=M, **kwm)
     bm = nmf(X, W_mat=M, mesh=mesh, **kwm)
     assert np.allclose(am['W'], bm['W'], atol=1e-11)
+
+    # vector w_row_sum exercises the bound-vector placement: on an
+    # unaligned row axis it must be handed over replicated
+    wrs = 1.0 + 0.5 * rng.rand(50)
+    kwv = dict(k=4, max_iter=4, random_state=0, early_stop=False,
+               reset_topic_method=None, w_row_sum=wrs,
+               project_W_each_iter=True)
+    av = nmf(X, **kwv)
+    bv = nmf(X, mesh=mesh, **kwv)
+    assert np.allclose(av['W'], bv['W'], atol=1e-11)
+    assert np.allclose(bv['W'].sum(1), wrs, atol=1e-8)

@@ -97,6 +97,22 @@ def tm_proj_fits(k, d, narrow=False) -> bool:
     return bufs * k * dpad * 4 + k * (k + 1) * 4 <= TM_PROJ_VMEM_BUDGET
 
 
+def gs_fits(k, narrow=False) -> bool:
+    """Whether the GS topic-loop kernels fit VMEM at this ``k``.
+
+    :func:`_pick_block` floors the tile at the quantum, so feasibility
+    requires the 12 MB tile budget to admit one QUANTUM-sized block
+    (worst axis: BD columns) and the VMEM-resident (k, k) Gram to stay
+    small next to the double-buffered tiles — at e.g. k=4096 the floored
+    quantum tiles alone are 48 MB and the Gram 64 MB, past the ~100 MB
+    scoped-vmem limit, and Mosaic fails at compile time. Declining here
+    routes such configs to the XLA Gram-blocked sweep instead."""
+    bufs = 4 if narrow else 3
+    block_ok = 4 * k * bufs * BD <= 12 * 2**20
+    gram_ok = 4 * k * k <= 32 * 2**20
+    return block_ok and gram_ok
+
+
 def _supports_base(cfg) -> bool:
     return (not cfg.masked
             and cfg.update_order == 'phase'
@@ -120,7 +136,7 @@ def supports_dense_pallas(cfg, d=None, narrow=False) -> bool:
     whole (k, d) panel fits VMEM (:func:`tm_proj_fits`); shape-blind
     callers (e.g. the sharded dense sweep) keep the conservative answer.
     """
-    if not _supports_base(cfg):
+    if not _supports_base(cfg) or not gs_fits(cfg.k, narrow):
         return False
     if _tm_proj_active(cfg):
         return d is not None and tm_proj_fits(cfg.k, int(d), narrow)

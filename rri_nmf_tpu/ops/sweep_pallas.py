@@ -46,7 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 from rri_nmf_tpu.matrixops import (_proj_simplex_core,
     reproject_row_if_drifted)
 from rri_nmf_tpu.optimization import qf_min_vector_c
-from rri_nmf_tpu.ops.sweep_xla import make_reset_rowcol
+from rri_nmf_tpu.ops.dense_pallas import _round_up
+from rri_nmf_tpu.ops.sweep_xla import (make_reset_rowcol,
+                                       resolve_mixed_dtypes)
+
+
+def _acc_of(dt):
+    """Accumulator dtype: f32 for 16-bit storage, dtype-preserving
+    otherwise (f64 under CPU interpret tests) — the one shared rule,
+    same as ``resolve_mixed_dtypes``'s accumulator column."""
+    return jnp.float32 if dt in (jnp.bfloat16, jnp.float16) else dt
 
 # tile-size QUANTA: shapes are padded to (BN, BD) multiples, then
 # :func:`_pick_tiles` grows the actual tile to the largest divisor block
@@ -82,10 +91,6 @@ def _pick_tiles(n, d, itemsize=4):
     return npad, best[0], dpad, best[1]
 
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
-
 def _phase_a_kernel(R_ref, M_ref, dw_ref, tprev_ref, w_ref,
                     R_out_ref, wR0_ref, nw_ref):
     """Apply pending rank-one update; accumulate T-phase reductions.
@@ -102,8 +107,7 @@ def _phase_a_kernel(R_ref, M_ref, dw_ref, tprev_ref, w_ref,
     w = w_ref[:]                                        # (BN, 1)
     # accumulate in float32 for low-precision storage; dtype-preserving
     # otherwise (float64 under CPU interpret tests)
-    acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
-        else MR.dtype
+    acc_t = _acc_of(MR.dtype)
     # cast dot inputs to the accumulator dtype explicitly: Mosaic cannot
     # lower mixed bf16-in / f32-out contractions
     part_wR0 = jax.lax.dot_general(
@@ -140,8 +144,7 @@ def _phase_b_kernel(R_ref, M_ref, w_ref, weff_ref, told_ref, tnew_ref,
     MR = M_ref[:] * Rblk
 
     tn = tnew_ref[:]                                    # (1, BD)
-    acc_t = jnp.float32 if MR.dtype in (jnp.bfloat16, jnp.float16) \
-        else MR.dtype
+    acc_t = _acc_of(MR.dtype)
     part_Rt = jax.lax.dot_general(
         MR.astype(acc_t), tn.astype(acc_t),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -166,7 +169,7 @@ def _phase_a(R, M, dw, t_prev, w, interpret, bn=BN, bd=BD):
     npad, dpad = R.shape
     gn, gd = npad // bn, dpad // bd
     dtype = R.dtype
-    acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    acc_dtype = _acc_of(dtype)
     return pl.pallas_call(
         _phase_a_kernel,
         grid=(gd, gn),
@@ -210,7 +213,7 @@ def _phase_b(R, M, w, w_eff, t_old, t_new, interpret, bn=BN, bd=BD):
     npad, dpad = R.shape
     gn, gd = npad // bn, dpad // bd
     dtype = R.dtype
-    acc_dtype = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+    acc_dtype = _acc_of(dtype)
     return pl.pallas_call(
         _phase_b_kernel,
         grid=(gn, gd),
@@ -288,12 +291,26 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
         w_row_sum_vec = (extras[1].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
         n, d = X.shape
-        dtype = X.dtype
+        # factor dtype follows W, like the XLA masked sweep
+        # (resolve_mixed_dtypes); a bf16 X with f32 factors is upcast into
+        # the f32 buffers here — the driver routes bf16-masked configs to
+        # the XLA sweep anyway (it measures faster), this only protects
+        # direct callers from a silent factor downcast
+        dtype, _, _ = resolve_mixed_dtypes(X.dtype, W.dtype,
+                                           cfg.matmul_precision)
         if tiles is not None:
             bn, bd = tiles
             npad, dpad = _round_up(n, bn), _round_up(d, bd)
         else:
             npad, bn, dpad, bd = _pick_tiles(n, d, jnp.dtype(dtype).itemsize)
+
+        # validity masks for the padded tails: the per-coordinate solves
+        # must never see the pads — with a NEGATIVE L1 regularizer a
+        # padded coordinate (numer = -reg_l1 > 0) would otherwise receive
+        # phantom mass max(-reg_l1, 0)/reg_l2 that corrupts sum-to-s
+        # rescales, aliveness checks, and the returned factors
+        row_ok = jnp.arange(npad) < n
+        col_ok = jnp.arange(dpad) < d
 
         Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
         Mp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(W_mat)
@@ -329,8 +346,8 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
                 mt2 = mt2.reshape(-1)
                 Rt = Rt0 + w * mt2          # rank-one restore
 
-                numer_w = Rt - cfg.reg_w_l1
-                denom_w = mt2 + cfg.reg_w_l2
+                numer_w = jnp.where(row_ok, Rt - cfg.reg_w_l1, -1.0)
+                denom_w = jnp.where(row_ok, mt2 + cfg.reg_w_l2, 1.0)
                 ub = ubp if cfg.w_row_sum_is_vector else cfg.w_row_sum
                 w_new, _ = qf_min_vector_c(-numer_w, denom_w, s=None,
                                            ub=ub)
@@ -349,7 +366,7 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
                     # factor panels AND the padded residual per topic on
                     # the never-taken branch (see
                     # sweep_xla.make_reset_rowcol).
-                    alive = jnp.sum(Wp[:, t]) > 1e-10
+                    alive = jnp.sum(Wp[:n, t]) > 1e-10
                     do_reset = jnp.logical_and(jnp.logical_not(alive),
                                                resets_left > 0)
                     row, col, key = lax.cond(
@@ -396,8 +413,8 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
             nw = nw.reshape(-1)
             wR = wR0 + Tp[t] * nw      # rank-one restore, vector identity
 
-            numer = wR - cfg.reg_t_l1
-            denom = nw + cfg.reg_t_l2
+            numer = jnp.where(col_ok, wR - cfg.reg_t_l1, -1.0)
+            denom = jnp.where(col_ok, nw + cfg.reg_t_l2, 1.0)
             t_new, nt1 = qf_min_vector_c(-numer, denom,
                                          s=cfg.t_update_s, ub=cfg.t_row_sum)
             t_old = Tp[t]
@@ -425,8 +442,8 @@ def make_masked_sweep_pallas(cfg, interpret=False, tiles=None):
             mt2 = mt2.reshape(-1)
             Rt = Rt0 + w_eff * mt2     # rank-one restore on the W side
 
-            numer_w = Rt - cfg.reg_w_l1
-            denom_w = mt2 + cfg.reg_w_l2
+            numer_w = jnp.where(row_ok, Rt - cfg.reg_w_l1, -1.0)
+            denom_w = jnp.where(row_ok, mt2 + cfg.reg_w_l2, 1.0)
             ub = ubp if cfg.w_row_sum_is_vector else cfg.w_row_sum
             w_new, _ = qf_min_vector_c(-numer_w, denom_w, s=None, ub=ub)
             Wp = Wp.at[:, t].set(w_new.astype(dtype))

@@ -235,3 +235,86 @@ def test_pick_tiles_policy():
     assert npad % bn == 0 and dpad % bd == 0
     assert 6 * bn * bd * 4 <= 48 * 2**20
     assert bn * bd >= 512 * 1024  # never smaller than the old fixed tiles
+
+
+def test_pallas_negative_l1_padding_no_phantom_mass():
+    """Negative L1 regularizers must not leak mass into the zero-padded
+    tails: a padded coordinate's subproblem sees numer = -reg_l1 > 0 and
+    denom = reg_l2 > 0, so an unmasked solve would give it
+    max(-reg_l1, 0)/reg_l2 phantom mass that corrupts the sum-to-s
+    rescale (T-phase) and the returned factors (W-phase). Pinned against
+    the XLA sweep on heavily padded shapes."""
+    n, d, k = 6, 5, 3      # pads to (512, 1024): ~99% padding
+    X, M, W0, T0 = _problem(n, d, k, seed=3)
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      project_T_each_iter=True, t_row_sum=1.0,
+                      reg_t_l1=-0.1, reg_t_l2=0.5,
+                      reg_w_l1=-0.05, reg_w_l2=0.5)
+    assert supports_pallas(cfg)
+    xla = make_sweep(cfg)
+    pls = make_masked_sweep_pallas(cfg, interpret=True)
+    Wx, Tx = _run(xla, X, M, W0, T0, iters=2)
+    Wp, Tp = _run(pls, X, M, W0, T0, iters=2)
+    assert np.allclose(Wx, Wp, atol=1e-9), np.abs(Wx - Wp).max()
+    assert np.allclose(Tx, Tp, atol=1e-9), np.abs(Tx - Tp).max()
+
+
+def test_pallas_fix_t_reset_fires_despite_negative_l1_padding():
+    """The fix_T reset aliveness check must ignore padded rows: with
+    reg_w_l1 < 0 phantom pad mass once made dead topics look alive and
+    suppressed resets (XLA fired them). Reset budgets must match."""
+    n, d, k = 6, 5, 3
+    rng = np.random.RandomState(4)
+    X = np.zeros((n, d))                   # all-zero data: dead topics
+    M = np.ones((n, d))
+    W0 = np.abs(rng.rand(n, k)) + 0.1
+    T0 = np.abs(rng.rand(k, d)) + 0.1
+    cfg = SweepConfig(k=k, masked=True, fix_T=True,
+                      reset_topic_method='random',
+                      reg_w_l1=-1e-3, reg_w_l2=1.0)
+    assert supports_pallas(cfg)
+    xla = make_sweep(cfg)
+    pls = make_masked_sweep_pallas(cfg, interpret=True)
+
+    def run(sweep):
+        key = jax.random.PRNGKey(0)
+        resets = jnp.asarray(5, jnp.int32)
+        W, T, key, resets = sweep(jnp.asarray(X), jnp.asarray(W0),
+                                  jnp.asarray(T0), key, resets, key,
+                                  jnp.asarray(M))
+        return np.array(W), np.array(T), int(resets)
+
+    Wx, Tx, rx = run(xla)
+    Wp, Tp, rp = run(pls)
+    assert rx < 5, 'sanity: XLA fires resets on dead topics'
+    assert rp == rx, (rp, rx)
+    assert np.allclose(Wx, Wp, atol=1e-9)
+    assert np.allclose(Tx, Tp, atol=1e-9)
+
+
+def test_dense_pallas_gs_vmem_gate():
+    """supports_dense_pallas declines k too large for the GS kernels'
+    VMEM (quantum-floored tiles + the resident (k,k) Gram) instead of
+    failing at Mosaic compile time."""
+    from rri_nmf_tpu.ops.dense_pallas import gs_fits, supports_dense_pallas
+    ok = SweepConfig(k=256, reset_topic_method=None, update_order='phase')
+    big = SweepConfig(k=4096, reset_topic_method=None, update_order='phase')
+    assert gs_fits(256) and supports_dense_pallas(ok, d=512)
+    assert not gs_fits(4096) and not supports_dense_pallas(big, d=512)
+
+
+def test_pallas_masked_factor_dtype_follows_w():
+    """Direct calls with a narrow X and f32 factors must not silently
+    quantize the factors (the XLA masked sweep's resolve_mixed_dtypes
+    rule: factor dtype follows W)."""
+    n, d, k = 30, 20, 3
+    X, M, W0, T0 = _problem(n, d, k, seed=5)
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None)
+    pls = make_masked_sweep_pallas(cfg, interpret=True)
+    key = jax.random.PRNGKey(0)
+    W1, T1, _, _ = pls(jnp.asarray(X, jnp.bfloat16),
+                       jnp.asarray(W0, jnp.float32),
+                       jnp.asarray(T0, jnp.float32),
+                       key, jnp.asarray(0, jnp.int32), key,
+                       jnp.asarray(M, jnp.bfloat16))
+    assert W1.dtype == jnp.float32 and T1.dtype == jnp.float32

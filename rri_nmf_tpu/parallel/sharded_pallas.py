@@ -86,13 +86,22 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
     dp, tp = mesh.axis_names
     dp_size, tp_size = mesh.devices.shape
 
-    def local_sweep(X, W, T, key, resets_left, W_mat):
+    def local_sweep(X, W, T, key, resets_left, W_mat, n_true, d_true):
         # everything here is per-device code on local tiles
         R = X - W @ T                       # (n_loc, d_loc): local GEMM of
         # row-sharded W against col-sharded T — no communication
         n_loc = X.shape[0]
         d_loc = X.shape[1]
         dtype = X.dtype
+
+        # validity of this device's coordinates against the TRUE global
+        # shape: the per-coordinate solves must never see the zero-padded
+        # tails — with a negative L1 regularizer a padded coordinate
+        # (numer = -reg_l1 > 0) would pick up phantom mass that corrupts
+        # the psum'd sum-to-s rescale and the scale transfer (same root
+        # cause as the single-device masked kernel fix)
+        row_ok = (lax.axis_index(dp) * n_loc + jnp.arange(n_loc)) < n_true
+        col_ok = (lax.axis_index(tp) * d_loc + jnp.arange(d_loc)) < d_true
 
         pend_dw = jnp.zeros((n_loc,), dtype)
         pend_t = jnp.zeros((d_loc,), dtype)
@@ -106,8 +115,8 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
             nw = lax.psum(nw.reshape(-1), dp)
             wR = wR0 + T[t] * nw
 
-            numer = wR - cfg.reg_t_l1
-            denom = nw + cfg.reg_t_l2
+            numer = jnp.where(col_ok, wR - cfg.reg_t_l1, -1.0)
+            denom = jnp.where(col_ok, nw + cfg.reg_t_l2, 1.0)
             t_new, nt1 = _qf_min_vector_psum(
                 -numer, denom, s=cfg.t_update_s, ub=cfg.t_row_sum, axis=tp)
             t_old = T[t]
@@ -124,8 +133,8 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
             mt2 = lax.psum(mt2.reshape(-1), tp)
             Rt = Rt0 + w_eff.astype(Rt0.dtype) * mt2
 
-            numer_w = Rt - cfg.reg_w_l1
-            denom_w = mt2 + cfg.reg_w_l2
+            numer_w = jnp.where(row_ok, Rt - cfg.reg_w_l1, -1.0)
+            denom_w = jnp.where(row_ok, mt2 + cfg.reg_w_l2, 1.0)
             w_new, _ = _qf_min_vector_psum(
                 -numer_w, denom_w, s=None, ub=cfg.w_row_sum, axis=dp)
             W = W.at[:, t].set(w_new.astype(dtype))
@@ -148,7 +157,8 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
 
     sharded = shard_map(
         local_sweep, mesh=mesh,
-        in_specs=(P(dp, tp), P(dp, None), P(None, tp), P(), P(), P(dp, tp)),
+        in_specs=(P(dp, tp), P(dp, None), P(None, tp), P(), P(), P(dp, tp),
+                  P(), P()),
         out_specs=(P(dp, None), P(None, tp)),
         check_vma=False)  # pallas_call outputs carry no varying-axis info
 
@@ -171,7 +181,8 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
         Tp = lax.with_sharding_constraint(Tp, NamedSharding(mesh,
                                                             P(None, tp)))
 
-        Wp, Tp = sharded(Xp, Wp, Tp, key, resets_left, Mp)
+        Wp, Tp = sharded(Xp, Wp, Tp, key, resets_left, Mp,
+                         jnp.asarray(n, jnp.int32), jnp.asarray(d, jnp.int32))
         return Wp[:n], Tp[:, :d], key, resets_left
 
     return jax.jit(sweep)

@@ -275,3 +275,39 @@ def test_unaligned_shapes_fall_back_to_axiswise_sharding(caplog):
     bv = nmf(X, mesh=mesh, **kwv)
     assert np.allclose(av['W'], bv['W'], atol=1e-11)
     assert np.allclose(bv['W'].sum(1), wrs, atol=1e-8)
+
+
+@requires_8_devices
+def test_sharded_pallas_negative_l1_padding_no_phantom_mass():
+    """The sharded masked sweep's per-coordinate solves ignore the
+    zero-padded tails (and each device's share of them), mirroring the
+    single-device masked-kernel fix. Within this path's support gates
+    the phantom pad mass had no *observable* consumer (sum rescales,
+    scale transfer under regs, and resets are all excluded), so the
+    masks are pre-armed hardening — this pins tight parity against the
+    single-device XLA sweep under negative L1 at a shape where padding
+    dominates every device tile."""
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    from rri_nmf_tpu.parallel.sharded_pallas import (
+        make_sharded_masked_sweep_pallas)
+    n, d, k = 10, 9, 3
+    rng = np.random.RandomState(1)
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d))
+    M = np.ones((n, d))
+    W0 = np.abs(rng.rand(n, k)) + 0.1
+    T0 = np.abs(rng.rand(k, d)) + 0.1
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None,
+                      reg_t_l1=-0.1, reg_t_l2=0.5,
+                      reg_w_l1=-0.05, reg_w_l2=0.5)
+    mesh = make_mesh(8)
+    sharded = make_sharded_masked_sweep_pallas(cfg, mesh, interpret=True)
+    single = make_sweep(cfg)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Ws, Ts, _, _ = sharded(jnp.asarray(X), jnp.asarray(W0),
+                           jnp.asarray(T0), key, r, key, jnp.asarray(M))
+    Wd, Td, _, _ = single(jnp.asarray(X), jnp.asarray(W0),
+                          jnp.asarray(T0), key, r, key, jnp.asarray(M))
+    assert np.allclose(np.array(Ws), np.array(Wd), atol=1e-9), \
+        np.abs(np.array(Ws) - np.array(Wd)).max()
+    assert np.allclose(np.array(Ts), np.array(Td), atol=1e-9)

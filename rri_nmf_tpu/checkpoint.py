@@ -47,6 +47,11 @@ class NMFState:
     # extrapolating, so a resumed HER run continues the momentum
     # sequence exactly (resume ≡ straight run).
     her: Optional[dict] = None
+    # early-stopping comparison score (the driver's ``last_score``) as of
+    # this checkpoint — restoring it keeps resumed ≡ straight for
+    # early-stop fits (a fresh np.inf would miss the stop+rollback the
+    # straight run performs at the first post-resume score increase)
+    es_score: Optional[float] = None
 
     def tree(self):
         # orbax cannot serialize zero-size arrays: an empty history is
@@ -71,6 +76,8 @@ class NMFState:
             # factor-shaped entries the run's W/T shardings
             for k in ('Wy', 'Ty', 'beta', 'e'):
                 t['her_' + k] = self.her[k]
+        if self.es_score is not None:
+            t['es_score'] = np.asarray(self.es_score, np.float64)
         return t
 
     @classmethod
@@ -90,7 +97,9 @@ class NMFState:
             resets_left=int(tree['resets_left']),
             random_state=int(tree['random_state']),
             obj_tracked=bool(tree.get('obj_tracked', True)),
-            her=her)
+            her=her,
+            es_score=(float(tree['es_score'])
+                      if 'es_score' in tree else None))
 
 
 class NMFCheckpointer:

@@ -408,10 +408,29 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     if update_order not in ('interleaved', 'phase'):
         raise ValueError("update_order must be 'interleaved' or 'phase', "
                          'got %r' % (update_order,))
-    if sparse not in (True, False, None, 'auto', 'mxu', 'dma'):
-        # a typo here would otherwise silently densify and run dense
+    if isinstance(sparse, np.bool_):
+        sparse = bool(sparse)
+    if not (sparse is True or sparse is False or sparse is None
+            or sparse in ('auto', 'mxu', 'dma')):
+        # a typo would otherwise silently densify and run dense; identity
+        # checks so sparse=1/0 don't slip through bool==int equality and
+        # then fail every later `sparse is True` test
         raise ValueError("sparse must be one of True, False, 'auto', "
                          "'mxu', 'dma'; got %r" % (sparse,))
+    # With T fixed only the W-phase runs, so the phase and interleaved
+    # orders are the SAME computation (pinned by
+    # tests/test_phase_order.py::test_phase_order_fix_T_transform) — take
+    # the phase path for its batched X @ T^T GEMM (k x fewer X reads).
+    # This accelerates the estimators' transform() calls (fix_T sweeps,
+    # reference sklearn_interface.py:144-156,320-334). NOT valid for fix_W:
+    # the T-phase scale transfer behaves differently across orders.
+    # Decided BEFORE the sparse='auto' engagement below, which requires
+    # the phase order — a sparse fix_T transform must not densify just
+    # because the order had not been coerced yet.
+    if fix_T and not fix_W and W_mat is None and \
+            update_order == 'interleaved':
+        update_order = 'phase'
+
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
     sparse_mode = False
     _viable = (W_mat is None and w_row is None and not store_gradients
@@ -504,6 +523,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             'project_W_each_iter=%s and reg_w_l2=%s<0 doesnt converge with '
             'the current implementation.', project_W_each_iter, reg_w_l2)
 
+    # a vector w_row_sum always bounds W (every row has a target sum);
+    # `not w_row_sum` on an ndarray would raise the ambiguous-truth error
+    _w_sum_unset = (w_row_sum is None
+                    or (np.size(w_row_sum) == 1
+                        and not float(np.asarray(w_row_sum).reshape(-1)[0])))
+    _sentinel_extra = {'random_state': random_state,
+                       'n_resets_remaining': n_resets}
     if (not project_T_each_iter and not t_row_sum) and (reg_t_l1 < 0 or
                                                         reg_t_l2 < 0):
         logger.error(
@@ -511,26 +537,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             'project_T_each_iter=%s and t_row_sum=%s.',
             reg_t_l1, reg_t_l2, project_T_each_iter, t_row_sum)
         return {'W': np.ones((n, k)), 'T': np.ones((k, d)) * 1e6,
-                'obj_history': [-np.inf], 'iter_cputime': [0]}
-    if (not project_W_each_iter and not w_row_sum) and (reg_w_l1 < 0 or
-                                                        reg_w_l2 < 0):
+                'obj_history': [-np.inf], 'iter_cputime': [0],
+                **_sentinel_extra}
+    if (not project_W_each_iter and _w_sum_unset) and (reg_w_l1 < 0 or
+                                                       reg_w_l2 < 0):
         logger.error(
             'Unbounded objective. reg_w_l1=%s, reg_w_l2=%s but '
             'project_W_each_iter=%s and w_row_sum=%s.',
             reg_w_l1, reg_w_l2, project_W_each_iter, w_row_sum)
         return {'W': np.ones((n, k)) * 1e6, 'T': np.ones((k, d)),
-                'obj_history': [-np.inf], 'iter_cputime': [0]}
-
-    # With T fixed only the W-phase runs, so the phase and interleaved
-    # orders are the SAME computation (pinned by
-    # tests/test_phase_order.py::test_phase_order_fix_T_transform) — take
-    # the phase path for its batched X @ T^T GEMM (k x fewer X reads).
-    # This accelerates the estimators' transform() calls (fix_T sweeps,
-    # reference sklearn_interface.py:144-156,320-334). NOT valid for fix_W:
-    # the T-phase scale transfer behaves differently across orders.
-    if fix_T and not fix_W and W_mat is None and \
-            update_order == 'interleaved':
-        update_order = 'phase'
+                'obj_history': [-np.inf], 'iter_cputime': [0],
+                **_sentinel_extra}
 
     # The masked sweep has no phase-order variant (its Gauss-Seidel residual
     # bookkeeping is interleaved by construction); normalize the effective
@@ -706,15 +723,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         W_dev = jnp.asarray(W, dtype=dtype)
         T_dev = jnp.asarray(T, dtype=dtype)
     extras = []
-    obj_extras = []
+    Wm_dev = wr_obj_dev = None
     if masked:
         Wm_dev = jnp.asarray(W_mat, dtype=dtype)
         if mesh is not None:
             Wm_dev = jax.device_put(Wm_dev, s_X)
         extras.append(Wm_dev)
-        obj_extras.append(Wm_dev)
     if w_row is not None:
-        obj_extras.append(jnp.asarray(w_row, dtype=dtype))
+        # device copy for the objective computer — handing it the host
+        # array would re-upload it on EVERY objective evaluation
+        wr_obj_dev = jnp.asarray(w_row, dtype=dtype)
     if w_row_sum_is_vector:
         wrs_dev = jnp.asarray(w_row_sum, dtype=dtype)
         if mesh is not None:
@@ -908,7 +926,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     _resumed = None
     if checkpoint is not None:
         from rri_nmf_tpu.checkpoint import NMFCheckpointer
-        ckpt = checkpoint if isinstance(checkpoint, NMFCheckpointer) \
+        _ckpt_owned = not isinstance(checkpoint, NMFCheckpointer)
+        ckpt = checkpoint if not _ckpt_owned \
             else NMFCheckpointer(checkpoint)
         # restore factors straight onto their run layouts (mesh shards or
         # the single device) — no host gather / resharding stall
@@ -952,8 +971,26 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                         _resumed.iteration)
 
     # ---- early stopping state (reference nmf.py:360-363) ------------------
-    if early_stop:
+    # a non-callable truthy early_stop scores from the tracked objective;
+    # without compute_obj_each_iter no score ever exists, so stopping
+    # could never trigger while the loop still paid a full W/T
+    # device->host snapshot per iteration — warn and deactivate
+    _es_active = bool(early_stop) and (callable(early_stop)
+                                       or compute_obj_each_iter)
+    if early_stop and not _es_active:
+        logger.warning(
+            'early_stop=%r scores from the tracked objective, but '
+            'compute_obj_each_iter=False — no score is ever computed, so '
+            'early stopping will never trigger. Pass '
+            'compute_obj_each_iter=True (or a callable early_stop).',
+            early_stop)
+    if _es_active:
         last_score = np.inf
+        if _resumed is not None and _resumed.es_score is not None:
+            # continue the straight run's comparison state: without it a
+            # resumed run misses the stop+rollback the straight run
+            # performs at the first post-resume objective increase
+            last_score = float(_resumed.es_score)
         W_prev = np.array(W_dev)
         T_prev = np.array(T_dev)
 
@@ -972,10 +1009,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
             X_obj_dev = to_bcoo(X, dtype)
     if compute_obj_each_iter:
+        # the mask / row weights go in as DEVICE arrays (Wm_dev is also
+        # mesh-sharded like X): the host W_mat would otherwise cross the
+        # (~45 MB/s tunnel) link on every objective evaluation
         OBJ = TrueObjComputer(X_obj_dev if X_obj_dev is not None else X_dev,
                               W_dev, T_dev, reg_w_l1=reg_w_l1,
                               reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
-                              reg_t_l1=reg_t_l1, Wm=W_mat, wr=w_row,
+                              reg_t_l1=reg_t_l1, Wm=Wm_dev, wr=wr_obj_dev,
                               sparse=sparse_mode, mesh=mesh)
 
     # callbacks see the host X (the scipy matrix itself when the input was
@@ -1010,7 +1050,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     # ---- grouped fast path: many sweeps per dispatch ----------------------
     group = int(sweeps_per_dispatch)
-    if (group > 1 and not early_stop and not compute_obj_each_iter
+    if (group > 1 and not _es_active and not compute_obj_each_iter
             and not diagnostics and not store_gradients and not debug_checks):
         from rri_nmf_tpu.ops.sweep_xla import make_multi_sweep
 
@@ -1081,7 +1121,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     for iter_no in range(start_iter, max_iter):
         logger.info('Iteration %d', iter_no)
 
-        if early_stop:
+        if _es_active:
             if callable(early_stop):
                 this_score = early_stop(X_host(), np.array(W_dev),
                                         np.array(T_dev))
@@ -1145,8 +1185,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             obj_history.append(OBJ.true_objective())
             logger.info('\tObj: %3.3e', obj_history[-1])
         else:
-            # keep host clock honest under async dispatch
-            W_dev.block_until_ready()
+            # keep host clock honest under async dispatch. Scalar
+            # readback, NOT block_until_ready: on the tunnel-hosted TPU
+            # backend block_until_ready returns BEFORE the computation
+            # finishes (CLAUDE.md), which would corrupt iter_cputime and
+            # let the dispatch queue sail past max_time.
+            float(jnp.sum(W_dev[0]))
 
         iter_cputime.append(time.perf_counter())
 
@@ -1167,7 +1211,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 key=key, resets_left=int(resets_left),
                 random_state=random_state,
                 obj_tracked=bool(compute_obj_each_iter),
-                her=_her_ckpt_state()))
+                her=_her_ckpt_state(),
+                es_score=(float(last_score) if (_es_active and
+                                                np.isfinite(last_score))
+                          else None)))
 
         if time.time() - t_global_start >= max_time:
             logger.info('STOPPING because max_time after iter %d', iter_no)
@@ -1193,9 +1240,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     # ---- row-weighted post-solve: re-fit W on unscaled X (nmf.py:531-539) -
     if w_row is not None:
+        # thread the run settings through: the reference omits them, but
+        # dropping random_state made row-weighted fits non-reproducible
+        # (the sub-fit's init drew a clock seed) and dropping mesh/dtype
+        # would run the re-fit single-device full-precision
         sub = nmf(X_orig, k, T_in=T, fix_T=True, max_iter=10,
                   w_row_sum=w_row_sum, project_W_each_iter=True,
-                  compute_obj_each_iter=compute_obj_each_iter)
+                  compute_obj_each_iter=compute_obj_each_iter,
+                  random_state=random_state, dtype=dtype, mesh=mesh,
+                  matmul_precision=matmul_precision)
         for oh in sub.get('obj_history', []):
             obj_history.append(oh)
         for itc in sub['iter_cputime']:
@@ -1226,8 +1279,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     rtv['iter_cputime'] = iter_cputime
     rtv['random_state'] = random_state
     if ckpt is not None:
-        # orbax saves are async; commit them before handing control back
-        ckpt.manager.wait_until_finished()
+        # orbax saves are async; commit them before handing control back.
+        # Close self-constructed managers too — each CheckpointManager
+        # holds background threads/handles, and a stepped-fit loop
+        # (one_iter) would otherwise accumulate one per call.
+        if _ckpt_owned:
+            ckpt.close()
+        else:
+            ckpt.manager.wait_until_finished()
     return rtv
 
 

@@ -188,3 +188,124 @@ def test_invalid_k_rejected():
             nmf(X, bad, max_iter=1)
     # integral values in any numeric type are fine
     assert np.asarray(nmf(X, np.int64(2), max_iter=1)['W']).shape == (20, 2)
+
+
+def test_vector_w_row_sum_without_per_iter_projection():
+    """A vector w_row_sum with project_W_each_iter=False (the documented
+    project-once-at-the-end mode) must run, not crash on ndarray
+    truthiness in the unbounded-objective guard, and the final projection
+    must hit the per-row targets."""
+    X = _problem(n=24, d=16, k=3)
+    wrs = 1.0 + 0.5 * np.random.RandomState(1).rand(24)
+    soln = nmf(X, 3, w_row_sum=wrs, max_iter=4, random_state=0,
+               early_stop=False, reset_topic_method=None)
+    assert np.allclose(soln['W'].sum(1), wrs, atol=1e-8)
+
+
+def test_unbounded_sentinel_carries_documented_keys():
+    """The unbounded-objective early returns carry the documented
+    random_state / n_resets_remaining keys."""
+    X = _problem()
+    s = nmf(X, 3, reg_t_l2=-0.1, random_state=7, max_iter=2)
+    assert s['obj_history'] == [-np.inf]
+    assert s['random_state'] == 7
+    assert 'n_resets_remaining' in s
+    s2 = nmf(X, 3, reg_w_l1=-0.1, random_state=3, max_iter=2)
+    assert s2['random_state'] == 3
+
+
+def test_sparse_int_rejected():
+    """sparse=1/0 must raise, not slip through bool==int equality and
+    silently densify."""
+    import scipy.sparse as sp
+    X = sp.csr_matrix(_problem())
+    with pytest.raises(ValueError):
+        nmf(X, 3, sparse=1, max_iter=2)
+    with pytest.raises(ValueError):
+        nmf(X, 3, sparse=0, max_iter=2)
+    # np.bool_ normalizes instead of raising
+    s = nmf(X, 3, sparse=np.False_, max_iter=2, random_state=0,
+            early_stop=False)
+    assert np.isfinite(s['W']).all()
+
+
+def test_sparse_auto_fix_t_stays_sparse():
+    """sparse='auto' fix_T transforms engage the sparse sweep even at the
+    default interleaved order (the fix_T order coercion must run BEFORE
+    the auto decision): a beyond-RAM corpus must never densify."""
+    import scipy.sparse as sp
+
+    class NoDensify(sp.csr_matrix):
+        def toarray(self, *a, **k):
+            raise AssertionError('sparse fix_T transform densified X')
+
+    rng = np.random.RandomState(0)
+    X = sp.random(40, 30, density=0.3, random_state=0, format='csr')
+    T_in = np.abs(rng.rand(3, 30)) + 0.01
+    s = nmf(NoDensify(X), 3, T_in=T_in, fix_T=True, max_iter=3,
+            random_state=0, early_stop=False, reset_topic_method=None)
+    assert np.isfinite(s['W']).all()
+
+
+def test_early_stop_without_tracking_warns(caplog):
+    """early_stop=True without compute_obj_each_iter can never trigger;
+    the driver must say so instead of silently fetching W/T per iter."""
+    import logging
+    X = _problem()
+    with caplog.at_level(logging.WARNING, logger='rri_nmf_tpu.nmf'):
+        s = nmf(X, 3, early_stop=True, max_iter=3, random_state=0)
+    assert any('never trigger' in r.message for r in caplog.records)
+    assert np.isfinite(s['W']).all()
+
+
+def test_w_row_refit_reproducible():
+    """Row-weighted fits are reproducible: the post-solve W re-fit
+    inherits random_state (it previously drew a clock seed)."""
+    X = _problem(n=25, d=18, k=3)
+    w = 0.5 + np.random.RandomState(2).rand(25)
+    a = nmf(X, 3, w_row=w, random_state=0, max_iter=4, early_stop=False)
+    b = nmf(X, 3, w_row=w, random_state=0, max_iter=4, early_stop=False)
+    assert np.array_equal(a['W'], b['W'])
+    assert np.array_equal(a['T'], b['T'])
+
+
+def test_obj_calculator_holds_device_mask():
+    """TrueObjComputer gets DEVICE copies of the mask/row weights — the
+    host arrays would re-cross the (slow) host->device link on every
+    objective evaluation."""
+    import jax
+    X = _problem()
+    M = (np.random.RandomState(0).rand(*X.shape) < 0.7).astype(float)
+    s = nmf(X, 3, W_mat=M, compute_obj_each_iter=True, max_iter=2,
+            random_state=0, early_stop=False, reset_topic_method=None)
+    calc = s['obj_calculator']
+    assert isinstance(calc.Wm, jax.Array)
+    assert np.isfinite(calc.true_objective())
+
+
+def test_checkpoint_es_score_saved_and_resumed(tmp_path):
+    """Checkpoints written by early-stop runs carry the comparison score
+    (last_score), and a resumed run loads it — without it a resumed run
+    misses the stop+rollback a straight run performs."""
+    from rri_nmf_tpu.checkpoint import NMFCheckpointer
+
+    X = _problem(n=24, d=16, k=3)
+
+    def score(Xh, W, T):
+        return float(np.linalg.norm(Xh - W @ T))
+
+    kw = dict(k=3, random_state=0, reset_topic_method=None, eps_stop=0.0,
+              early_stop=score)
+    ck = str(tmp_path / 'es')
+    nmf(X, max_iter=4, checkpoint=ck, checkpoint_every=4, **kw)
+    st = NMFCheckpointer(ck).restore()
+    assert st.es_score is not None
+    # the saved score is the straight run's last_score at that point:
+    # score() evaluated at the post-sweep-3 factors (assigned at the TOP
+    # of iteration 3, where 3 sweeps have completed, before its sweep)
+    ref = nmf(X, max_iter=3, **kw)
+    assert np.isclose(st.es_score, score(X, ref['W'], ref['T']), rtol=1e-10)
+    # and resume equals straight for the early-stop fit
+    straight = nmf(X, max_iter=8, **kw)
+    resumed = nmf(X, max_iter=8, checkpoint=ck, checkpoint_every=100, **kw)
+    assert np.allclose(straight['W'], resumed['W'], atol=1e-12)

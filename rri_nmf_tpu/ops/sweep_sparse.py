@@ -53,7 +53,8 @@ import numpy as np
 from jax import lax
 from jax.experimental import sparse as jsparse
 
-from rri_nmf_tpu.ops.sweep_xla import SweepConfig, _gram_block_size
+from rri_nmf_tpu.ops.sweep_xla import (SweepConfig, _gram_block_size,
+                                       resolve_mixed_dtypes)
 from rri_nmf_tpu.optimization import qf_min_scalar_c
 from rri_nmf_tpu.matrixops import (_proj_simplex_core,
     reproject_row_if_drifted)
@@ -205,8 +206,10 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
         w_row_sum_vec = (extras[0].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
-        dtype = W.dtype
-        acc = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+        # sparse X is stored as nonzeros in the factor dtype (the driver
+        # forbids x_dtype here), so the shared rule resolves on W alone
+        dtype, acc, _ = resolve_mixed_dtypes(W.dtype, W.dtype,
+                                             cfg.matmul_precision)
         if mxu:
             Xc = X
             cd = acc
@@ -303,24 +306,59 @@ def make_sparse_sweep(cfg: SweepConfig, gs_kernels=False, interpret=False,
 
         return W, T, key, resets_left
 
+    if cfg.matmul_precision is not None:
+        # honor the explicit precision request exactly like make_sweep
+        # and the dense kernels: the Grams and Gram-blocked correction
+        # dots otherwise run at the default single-bf16-pass precision,
+        # flooring reachable error near 1e-3 (SweepConfig docstring)
+        _sweep_body = sweep
+
+        def sweep(*args):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _sweep_body(*args)
+
     return jax.jit(sweep)
 
 
 def make_sparse_objective(reg_w_l2=0.0, reg_t_l2=0.0,
-                          reg_w_l1=0.0, reg_t_l1=0.0):
-    """``0.5||X - WT||² + regs`` for BCOO X without materializing WT."""
+                          reg_w_l1=0.0, reg_t_l1=0.0,
+                          chunk=1 << 18, gather_budget=2 << 30):
+    """``0.5||X - WT||² + regs`` for BCOO X without materializing WT.
+
+    The cross term Σ_nnz X_ij (W_i · T_j) gathers factor rows per
+    nonzero; one-shot gathers are O(nnz·k) temporaries — 512 GB at the
+    module's stated beyond-HBM scale (1e9 nnz, k=128). Past ~2 GB of
+    gather temporaries the sum accumulates over ``chunk``-nonzero slices
+    in a fori_loop instead (zero-padded tail contributes exactly 0)."""
 
     def objective(X, W, T):
         acc = jnp.float32 if W.dtype in (jnp.bfloat16, jnp.float16) \
             else W.dtype
         W = W.astype(acc)
         T = T.astype(acc)
-        x2 = jnp.sum(X.data.astype(acc) ** 2)
+        data = X.data.astype(acc)
+        x2 = jnp.sum(data ** 2)
         rows = X.indices[:, 0]
         cols = X.indices[:, 1]
-        # Σ_nnz X_ij (W_i · T_j): O(nnz · k)
-        cross = jnp.sum(X.data.astype(acc) *
-                        jnp.sum(W[rows] * T[:, cols].T, axis=1))
+        nnz = int(data.shape[0])
+        k = int(W.shape[1])
+        if nnz * k * jnp.dtype(acc).itemsize <= gather_budget:
+            # Σ_nnz X_ij (W_i · T_j): O(nnz · k) gather, one shot
+            cross = jnp.sum(data * jnp.sum(W[rows] * T[:, cols].T, axis=1))
+        else:
+            nch = -(-nnz // chunk)
+            pad = nch * chunk - nnz
+            d_p = jnp.pad(data, (0, pad))          # zero data ⇒ zero term
+            r_p = jnp.pad(rows, (0, pad))
+            c_p = jnp.pad(cols, (0, pad))
+
+            def blk(i, s):
+                db = lax.dynamic_slice(d_p, (i * chunk,), (chunk,))
+                rb = lax.dynamic_slice(r_p, (i * chunk,), (chunk,))
+                cb = lax.dynamic_slice(c_p, (i * chunk,), (chunk,))
+                return s + jnp.sum(db * jnp.sum(W[rb] * T[:, cb].T, axis=1))
+
+            cross = lax.fori_loop(0, nch, blk, jnp.zeros((), acc))
         wtw = W.T @ W
         ttt = T @ T.T
         wt2 = jnp.sum(wtw * ttt)        # tr((W^T W)(T T^T)) = ||WT||²

@@ -456,6 +456,17 @@ def make_sweep(cfg: SweepConfig):
     """
     k = cfg.k
     method = cfg.reset_topic_method
+    if cfg.inner_reps > 1 and (cfg.update_order != 'phase' or cfg.masked
+                               or method is not None or cfg.store_gradients
+                               or cfg.dp_sigma is not None):
+        # mirror the driver's rule (nmf.py) for direct callers: the extra
+        # passes reuse the per-phase numerators, which these features
+        # invalidate — e.g. a mid-phase reset rewrites W[:, t] but
+        # WX_pre[t] keeps the pre-reset contraction, so pass 2's
+        # T-update would use a wrong numerator (silently non-monotone)
+        raise ValueError(
+            "inner_reps > 1 requires update_order='phase', unmasked, "
+            'reset_topic_method=None, no store_gradients, no DP noise')
 
     # ----- shared pieces -------------------------------------------------
 
@@ -463,8 +474,13 @@ def make_sweep(cfg: SweepConfig):
         """Re-project T[t] if it drifted off the simplex
         (reference ``nmf.py:759-761``; threshold 1e-15). The cond
         carries only the ``(d,)`` row — not T — so the untaken branch
-        never copies the factor (see _project_and_check_reset_t)."""
-        if not (cfg.t_row_sum and cfg.project_T_each_iter):
+        never copies the factor (see _project_and_check_reset_t).
+
+        Masked configs skip this: their reprojection is hoisted into the
+        T-phase itself, BEFORE the rank-2 residual bookkeeping (a
+        post-step reprojection would leave the carried masked residual
+        stale by the projection delta for the rest of the sweep)."""
+        if cfg.masked or not (cfg.t_row_sum and cfg.project_T_each_iter):
             return T
         row = reproject_row_if_drifted(T[t], cfg.t_row_sum, T.dtype)
         return T.at[t].set(row)
@@ -501,7 +517,11 @@ def make_sweep(cfg: SweepConfig):
             # simplex row), but the guard keeps this function equivalent
             # to the nested-cond form for any caller state.
             row = T[t]
-            if cfg.t_row_sum and cfg.project_T_each_iter:
+            if (cfg.t_row_sum and cfg.project_T_each_iter
+                    and not cfg.masked):
+                # masked configs reproject inside the T-phase instead
+                # (before the rank-2 residual bookkeeping) — see
+                # _maybe_reproject_t_row
                 row = reproject_row_if_drifted(row, cfg.t_row_sum,
                                                T.dtype, extra_pred=alive)
             return row, W[:, t], key
@@ -677,7 +697,20 @@ def make_sweep(cfg: SweepConfig):
                     w_eff = w * nt1.astype(dtype)
                 else:
                     w_eff = w
-                T = T.at[t].set(t_new.astype(dtype))
+                t_stored = t_new.astype(dtype)
+                if (cfg.masked and cfg.t_row_sum
+                        and cfg.project_T_each_iter):
+                    # drift reprojection HOISTED before the rank-2
+                    # residual bookkeeping: reprojecting after it (as the
+                    # reset-check step does for the unmasked path) would
+                    # leave R != M ⊙ (X − WT) by the projection delta for
+                    # the rest of the sweep. Same aliveness guard as
+                    # _project_and_check_reset_t._keep.
+                    _pred = (jnp.sum(t_stored) > 1e-10
+                             if method is not None else None)
+                    t_stored = reproject_row_if_drifted(
+                        t_stored, cfg.t_row_sum, dtype, extra_pred=_pred)
+                T = T.at[t].set(t_stored)
 
                 if cfg.masked:
                     # MR <- MR + M ⊙ (w_old t_old^T - w_eff t_new^T): the

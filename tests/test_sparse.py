@@ -159,3 +159,59 @@ def test_sparse_gemm_dtype_bf16_descends():
     # bf16 input rounding: agreement to ~1e-2 relative
     assert np.allclose(np.array(Wa), np.array(Wb),
                        atol=3e-2 * float(np.max(np.abs(np.array(Wa)))))
+
+
+def test_sparse_objective_chunked_matches_oneshot():
+    """Past the gather budget the cross term accumulates over nnz chunks
+    (the one-shot form is O(nnz*k) of gather temporaries — 512 GB at the
+    beyond-HBM scale); the chunked sum must equal the one-shot exactly,
+    including a zero-padded tail chunk."""
+    rng = np.random.RandomState(0)
+    Xs = scipy.sparse.random(37, 29, density=0.3, random_state=0,
+                             format='csr')
+    X = to_bcoo(Xs, jnp.float64)
+    W = jnp.asarray(np.abs(rng.rand(37, 5)))
+    T = jnp.asarray(np.abs(rng.rand(5, 29)))
+    one = make_sparse_objective(0.1, 0.2, 0.05, 0.01)
+    chunked = make_sparse_objective(0.1, 0.2, 0.05, 0.01,
+                                    chunk=64, gather_budget=0)
+    assert np.isclose(float(one(X, W, T)), float(chunked(X, W, T)),
+                      rtol=1e-13)
+
+
+def test_make_sweep_rejects_inner_reps_with_resets():
+    """Direct make_sweep callers get the same inner_reps guard as the
+    driver: a mid-phase reset invalidates the cached per-phase
+    numerators, so the extra passes would silently use wrong math."""
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+    with pytest.raises(ValueError):
+        make_sweep(SweepConfig(k=4, update_order='phase',
+                               reset_topic_method='max_resid_document',
+                               inner_reps=2))
+    with pytest.raises(ValueError):
+        make_sweep(SweepConfig(k=4, update_order='interleaved',
+                               reset_topic_method=None, inner_reps=2))
+
+
+def test_sparse_sweep_accepts_matmul_precision():
+    """matmul_precision threads through the sparse sweep (previously
+    silently ignored); on CPU the results are identical to the default,
+    which pins that the wrapper at least composes."""
+    rng = np.random.RandomState(0)
+    Xs = scipy.sparse.random(40, 30, density=0.3, random_state=0,
+                             format='csr')
+    W0 = np.abs(rng.rand(40, 4))
+    T0 = np.abs(rng.rand(4, 30))
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+
+    def run(cfg):
+        Xb = to_bcoo(Xs, jnp.float64)
+        sweep = make_sparse_sweep(cfg)
+        return sweep(Xb, jnp.asarray(W0), jnp.asarray(T0), key, r, key)
+
+    a = run(SweepConfig(k=4, update_order='phase',
+                        reset_topic_method=None))
+    b = run(SweepConfig(k=4, update_order='phase', reset_topic_method=None,
+                        matmul_precision='float32'))
+    assert np.allclose(np.array(a[0]), np.array(b[0]), atol=1e-12)

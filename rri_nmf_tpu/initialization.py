@@ -246,14 +246,23 @@ def _lrc_correct_np(Us, Vt, W, H, iters=2):
     return W, H
 
 
+def _lrc_rank(k, n, d):
+    """NNSVD-LRC half-rank: ``(p, degenerate)`` — the SVD rank
+    ``p ≈ k/2 + 1`` clipped to min(n, d), and whether the ±-part
+    construction cannot yield k candidates (k near full rank; callers
+    fall back to plain nndsvd). One shared rule — the dispatch gate and
+    the host builder must agree or the fallback turns into an assert."""
+    p = min(max(-(-k // 2) + 1, 2), min(n, d))
+    return p, 2 * (p - 1) + 1 < k
+
+
 def _nndsvd_lrc_host(X, k, random_state, eps, lrc_iters=2):
-    p = max(-(-k // 2) + 1, 2)
     n, d = np.shape(X)
+    p, _degenerate = _lrc_rank(k, n, d)
     # callers gate the k-near-full-rank degenerate case (dispatch falls
     # back to nndsvd there); assert rather than silently misbehave
-    assert 2 * (min(p, min(n, d)) - 1) + 1 >= k, \
+    assert not _degenerate, \
         'half-rank construction cannot yield k candidates'
-    p = min(p, min(n, d))
     U, S, Vt = _randomized_svd_sklearn(X, p, random_state)
     W, H = _nndsvd_lrc_split(U, S, Vt, k, np)
     W, H = _lrc_correct_np((U * S), Vt, W, H, iters=lrc_iters)
@@ -352,14 +361,13 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         # low-rank HALS correction — better initial error than NNDSVD at
         # roughly half the SVD cost. Net-new over the reference's family.
         k = n_components
-        p = max(-(-k // 2) + 1, 2)
-        if 2 * (min(p, min(n_samples, n_features)) - 1) + 1 < k:
+        p, _degenerate = _lrc_rank(k, n_samples, n_features)
+        if _degenerate:
             init = 'nndsvd'      # k near full rank: construction degenerate
         elif svd_backend == 'jax':
-            key = jax.random.PRNGKey(
-                0 if random_state is None else random_state)
+            key = jax.random.PRNGKey(_seed_int(random_state))
             W, H = _nndsvd_lrc_device_jit(
-                k, min(p, min(n_samples, n_features)), float(eps), 2)(
+                k, p, float(eps), 2)(
                 jnp.asarray(X), key)
             W, H = np.array(W), np.array(H)
             if row_normalize:
@@ -376,13 +384,22 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
             'Invalid init parameter: got %r instead of one of %r' % (
                 init, (None, 'random', 'smart_random', 'nndsvd', 'nndsvda',
                        'nndsvdar', 'nndsvd_lrc', 'coherence_pmi')))
+    if n_components > min(n_samples, n_features):
+        # the SVD has only min(n, d) components: both backends would
+        # silently return truncated factors and the fit would fail later
+        # with a confusing shape mismatch
+        raise ValueError(
+            "init=%r requires n_components <= min(n_samples, n_features) "
+            "= %d, got %d; use init='random' for overcomplete "
+            'factorizations' % (init, min(n_samples, n_features),
+                                n_components))
 
     if svd_backend == 'jax':
         # ONE jitted program (SVD + NNDSVD split) and ONE W/H fetch: on the
         # tunnel-hosted backend an eager op-by-op SVD queues dozens of
         # dispatches with trailing fetches, which stalls for minutes
         # (CLAUDE.md); the fused form runs at GEMM speed.
-        key = jax.random.PRNGKey(0 if random_state is None else random_state)
+        key = jax.random.PRNGKey(_seed_int(random_state))
         W, H = _nndsvd_device_jit(n_components, float(eps))(
             jnp.asarray(X), key)
         W, H = np.array(W), np.array(H)   # writable copies (nndsvda/ar)
@@ -405,10 +422,20 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         H[H == 0] = np.abs(avg * rng.randn(len(H[H == 0])) / 100)
 
     if row_normalize:
-        from rri_nmf_tpu.matrixops import normalize as _normalize
-        H = np.asarray(_normalize(H))
+        H = np.asarray(normalize(H))
 
     return W, H
+
+
+def _seed_int(random_state):
+    """Integer seed for the jax PRNG from any accepted ``random_state``
+    form (None, int, or a ``np.random.RandomState`` — every host branch
+    accepts the latter, so the device branches must too)."""
+    if random_state is None:
+        return 0
+    if isinstance(random_state, np.random.RandomState):
+        return int(random_state.randint(2 ** 31))
+    return int(random_state)
 
 
 def _randomized_svd_numpy(X, k, rng, n_oversamples=10, n_iter=4):

@@ -208,6 +208,10 @@ def labels_to_mat(y):
     (n,k) soft-label matrix (reference ``matrixops.py:182-200``)."""
     y = np.asarray(_densify(y))
     if y.size == y.shape[0]:
+        # covers (n,) AND (n,1): ravel before the fancy index — an (n,1)
+        # index column would broadcast against arange(n) into an (n,n)
+        # index set and silently return all-ones rows
+        y = y.reshape(-1)
         k = len(np.unique(y))
         W = np.zeros((y.size, k))
         W[np.arange(y.size), y.astype(int)] = 1

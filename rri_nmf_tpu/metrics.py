@@ -11,9 +11,17 @@ RMSE") plus the relative Frobenius error that defines the north-star target
 import numpy as np
 
 
+def _dense(X):
+    """Accept scipy-sparse inputs: np.asarray on a sparse matrix wraps it
+    in a 0-d object array (downstream ops then raise confusing truthiness
+    errors), and the library's own text path deliberately keeps count
+    matrices sparse."""
+    return X.toarray() if hasattr(X, 'toarray') else np.asarray(X)
+
+
 def frobenius_relative_error(X, W, T):
     """``||X - WT||_F / ||X||_F`` — the north-star convergence criterion."""
-    X = np.asarray(X)
+    X = _dense(X)
     return float(np.linalg.norm(X - np.asarray(W) @ np.asarray(T)) /
                  np.linalg.norm(X))
 
@@ -22,7 +30,7 @@ def rmse_observed(X, W, T, min_rating=None, max_rating=None):
     """RMSE over the nonzero (observed) entries of X, with optional rating
     clipping — the RS estimator's scoring rule
     (reference ``sklearn_interface.py:85-93,172-182``)."""
-    X = np.asarray(X)
+    X = _dense(X)
     I, J = X.nonzero()
     pred = (np.asarray(W) @ np.asarray(T))[I, J]
     if min_rating is not None or max_rating is not None:
@@ -32,7 +40,7 @@ def rmse_observed(X, W, T, min_rating=None, max_rating=None):
 
 def r2_reconstruction(X, W, T):
     """R² of reconstructing X (reference ``sklearn_interface.py:339-345``)."""
-    X = np.asarray(X)
+    X = _dense(X)
     SST = ((X - X.mean(axis=0)) ** 2).sum()
     SSE = ((X - np.asarray(W) @ np.asarray(T)) ** 2).sum()
     return float(1 - SSE / SST)
@@ -46,7 +54,7 @@ def umass_coherence(X_counts, T, top_n=10, eps=1.0):
     the word(s). Standard topic-quality metric (Mimno et al. 2011); the
     BASELINE 20-Newsgroups config reports it alongside reconstruction.
     """
-    X = np.asarray(X_counts) > 0            # (docs, words) occurrence
+    X = _dense(X_counts) > 0                # (docs, words) occurrence
     T = np.asarray(T)
     k = T.shape[0]
     scores = []

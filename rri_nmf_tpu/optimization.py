@@ -153,22 +153,53 @@ def qf_min(w, c, s=1.0, ub=1.0, x0=None):
     for the RRI scale-invariance transfer (reference ``nmf.py:447-452``).
 
     Raises ``ValueError`` for unbounded configurations, like the reference.
+
+    Parity quirk kept deliberately: the scalar-``c > 0`` branch never
+    applies ``ub`` (reference ``optimization.py:53-59`` — with ``s`` the
+    result is the Duchi simplex projection, without ``s`` the raw
+    per-coordinate minimizer); only the vector-``c`` branch clips to
+    ``ub``. The driver always passes ``ub == s`` on the scalar path, so
+    the bound can never bind there. A concave objective with a sum
+    constraint and a BINDING bound (``ub < s``) raises
+    ``NotImplementedError`` instead of returning the reference's
+    infeasible all-mass vertex.
     """
     w = jnp.asarray(w)
     d = w.size
+    # per-coordinate ub is supported (the solvers take traced arrays);
+    # Python truthiness on an ndarray would raise, so every gate below
+    # uses explicit None/size checks
+    _ub_vec = ub is not None and not np.isscalar(ub)
+    ub_full = (np.broadcast_to(np.asarray(ub, dtype=float).reshape(-1),
+                               (d,))
+               if _ub_vec else None)
     if s:
-        if ub:
-            ub_chk = min(ub, s)
-            assert d * ub_chk >= s, ('Impossible to satisfy sum and upper '
-                                     'bound constraints.')
+        if ub is not None:
+            cap = (float(np.sum(np.minimum(ub_full, s))) if _ub_vec
+                   else d * min(float(ub), s))
+            assert cap >= s, ('Impossible to satisfy sum and upper '
+                              'bound constraints.')
         # _normalize_ub applied inside the branch helpers
 
     if np.isscalar(c) or np.ndim(c) == 0:
         c = float(c)
-        if c <= 0 and s is None and not ub:
+        if c <= 0 and s is None and ub is None:
             raise ValueError(
                 'Minimum objective is unbounded. w={w}, c={c}, s={s}, ub={ub}'
                 .format(w=w, c=c, s=s, ub=ub))
+        if c <= 0 and s is not None and ub is not None:
+            # the concave-branch vertex puts all mass s on one coordinate;
+            # when an upper bound binds (some ub_i < s) that vertex can be
+            # infeasible and the true optimum mixes coordinates — refuse
+            # rather than return a constraint-violating answer (the
+            # reference raises for EVERY concave sum-constrained case,
+            # optimization.py:67-70; this keeps its generalization only
+            # where the vertex solution is exact)
+            ub_min = float(np.min(ub_full)) if _ub_vec else float(ub)
+            if ub_min < s:
+                raise NotImplementedError(
+                    'qf_min: concave objective with a sum constraint and '
+                    'binding upper bounds (ub < s) is not supported')
         ub_arg = ub if (ub is None or np.isscalar(ub)) else jnp.asarray(ub)
         x, nx = qf_min_scalar_c(w, jnp.asarray(c, dtype=w.dtype), s, ub_arg)
         return x, nx

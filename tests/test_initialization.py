@@ -205,3 +205,31 @@ def test_nndsvd_lrc_fit_integration():
     assert all(b <= a + 1e-9 for a, b in zip(oh, oh[1:]))
     s_std = nmf(X, init='nndsvd', **kw)
     assert oh[0] <= s_std['obj_history'][0] + 1e-9  # better start
+
+
+def test_initialize_nmf_randomstate_jax_backend():
+    """A np.random.RandomState seed works on the device SVD backends too
+    (every host branch accepts it; the jax branches crashed in
+    PRNGKey)."""
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(24, 5) @ rng.rand(5, 16))
+    W, H = initialize_nmf(X, 3, 'nndsvd',
+                          random_state=np.random.RandomState(0),
+                          svd_backend='jax')
+    assert W.shape == (24, 3) and np.isfinite(W).all()
+    W2, H2 = initialize_nmf(X, 4, 'nndsvd_lrc',
+                            random_state=np.random.RandomState(0),
+                            svd_backend='jax')
+    assert W2.shape == (24, 4) and np.isfinite(H2).all()
+
+
+def test_initialize_nmf_k_exceeds_rank_raises():
+    """nndsvd-family inits with n_components > min(n, d) used to return
+    silently truncated factors; now a clear error points at
+    init='random'."""
+    X = np.abs(np.random.RandomState(0).rand(12, 8))
+    with pytest.raises(ValueError, match='n_components'):
+        initialize_nmf(X, 9, 'nndsvd')
+    # random init supports overcomplete factorizations
+    W, H = initialize_nmf(X, 9, 'random', random_state=0)
+    assert W.shape == (12, 9) and H.shape == (9, 8)

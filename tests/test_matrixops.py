@@ -119,3 +119,14 @@ def test_col_vector_and_stack():
     assert stack_matrices([{'m': A}, {'m': B}], dict_key='m').shape == (3, 3)
     out = stack_matrices([x, x], transform=lambda r: r.reshape(1, r.size))
     assert out.shape == (2, 3)
+
+
+def test_labels_to_mat_column_vector():
+    """(n, 1) label columns one-hot exactly like (n,) vectors — the fancy
+    index used to broadcast an (n,1) y into an (n,n) index set and return
+    all-ones rows."""
+    y = np.array([0, 2, 1, 2])
+    a = np.asarray(labels_to_mat(y))
+    b = np.asarray(labels_to_mat(y.reshape(-1, 1)))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a.sum(axis=1), np.ones(4))

@@ -53,3 +53,24 @@ def test_tm_estimator_score_all(text_train):
     assert set(scores) == {'r2', 'rel_frobenius_error', 'umass_coherence'}
     assert 0 < scores['rel_frobenius_error'] < 1.0
     assert np.isfinite(scores['umass_coherence'])
+
+
+def test_metrics_accept_scipy_sparse():
+    """The metrics take scipy-sparse X directly (the library's text path
+    keeps counts sparse; np.asarray on a sparse matrix yields a 0-d
+    object array and confusing errors)."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(0)
+    Xd = np.abs(rng.rand(20, 5) @ rng.rand(5, 15))
+    Xd[rng.rand(20, 15) < 0.5] = 0.0
+    W = np.abs(rng.rand(20, 3))
+    T = np.abs(rng.rand(3, 15))
+    Xs = sp.csr_matrix(Xd)
+    assert np.isclose(frobenius_relative_error(Xs, W, T),
+                      frobenius_relative_error(Xd, W, T))
+    assert np.isclose(rmse_observed(Xs, W, T), rmse_observed(Xd, W, T))
+    assert np.isclose(r2_reconstruction(Xs, W, T),
+                      r2_reconstruction(Xd, W, T))
+    cs = umass_coherence(Xs, T, top_n=4)
+    cd = umass_coherence(Xd, T, top_n=4)
+    assert np.isclose(cs, cd)

@@ -187,3 +187,39 @@ def test_stopping_conditions():
     assert not universal_stopping_condition([10.0, 5.0, 4.0], eps_stop=1e-3)
     assert not first_last_stopping_condition([10.0])
     assert first_last_stopping_condition([10.0, 0.0005], eps_stop=1e-4)
+
+
+def test_qf_min_vector_ub_accepted():
+    """Per-coordinate ub with the default s (previously crashed on ndarray
+    truthiness before reaching the solver): result is feasible and sums
+    to s."""
+    w = np.array([-3.0, -1.0, -2.0])
+    ub = np.array([0.4, 1.0, 1.0])
+    x, _ = qf_min(w, 2.0, s=1.0, ub=ub)
+    x = np.asarray(x)
+    # contract: clip to ub, then RESCALE (not project) to sum s — the
+    # rescale may exceed ub (reference optimization.py:75-88 semantics),
+    # so only nonnegativity and the sum are guaranteed here
+    assert abs(x.sum() - 1.0) < 1e-12
+    assert (x >= 0).all()
+    # and with s=None (the other crashing gate). NOTE the scalar-convex
+    # branch ignores ub entirely — that is the REFERENCE's semantics
+    # (reference optimization.py:53-59 never applies ub for scalar c>0),
+    # kept for parity; only the crash is fixed.
+    x2, _ = qf_min(np.array([-3.0, 1.0]), 2.0, s=None,
+                   ub=np.array([0.5, 2.0]))
+    assert np.allclose(np.asarray(x2), [1.5, 0.0])
+
+
+def test_qf_min_concave_binding_ub_refused():
+    """Concave objective + sum constraint + a binding upper bound
+    (ub < s): the all-mass vertex is infeasible, so qf_min must refuse
+    instead of returning a constraint-violating x (it previously
+    returned x with max(x) = s > ub)."""
+    w = np.array([3.0, 1.0, 2.0])
+    with pytest.raises(NotImplementedError):
+        qf_min(w, -1.0, s=2.0, ub=1.0)
+    # non-binding ub (>= s): the vertex solution stands and is feasible
+    x, _ = qf_min(w, -1.0, s=1.0, ub=1.0)
+    x = np.asarray(x)
+    assert abs(x.sum() - 1.0) < 1e-12 and x.max() <= 1.0 + 1e-12

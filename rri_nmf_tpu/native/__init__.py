@@ -35,14 +35,41 @@ _ABI_VERSION = 2
 
 
 def _build():
-    # compile to a temp name and rename into place: dlopen caches by
-    # dev/inode, so overwriting the .so in place (same inode) would make
-    # the post-rebuild CDLL return the already-loaded stale handle
-    tmp = _SO.with_name(_SO.name + '.tmp')
-    cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared', '-fPIC',
-           str(_SRC), '-o', str(tmp)]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, _SO)
+    # compile to a UNIQUE temp name and rename into place: dlopen caches
+    # by dev/inode, so overwriting the .so in place (same inode) would
+    # make the post-rebuild CDLL return the already-loaded stale handle —
+    # and a FIXED temp name would let concurrent first-use processes
+    # (multihost launches) interleave g++ writes into one file and
+    # os.replace a corrupt library into place. mkstemp + atomic replace:
+    # every completed build is self-consistent; last writer wins.
+    import tempfile
+    fd, tmppath = tempfile.mkstemp(suffix='.so.tmp', prefix='_nmfdata_',
+                                   dir=str(_SO.parent))
+    os.close(fd)
+    try:
+        cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared',
+               '-fPIC', str(_SRC), '-o', tmppath]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmppath, _SO)
+    finally:
+        if os.path.exists(tmppath):
+            os.unlink(tmppath)
+
+
+def _cdll_unique(so_path):
+    """CDLL through a unique temp copy: dlopen caches by PATHNAME (glibc
+    compares l_name before stat'ing), so re-CDLL'ing the canonical path
+    after a rebuild would hand back the stale handle. The mapping
+    survives the unlink."""
+    import shutil
+    import tempfile
+    fd, tmppath = tempfile.mkstemp(suffix='.so', prefix='_nmfdata_')
+    os.close(fd)
+    try:
+        shutil.copy2(so_path, tmppath)
+        return ctypes.CDLL(tmppath)
+    finally:
+        os.unlink(tmppath)
 
 
 def _abi_ok(lib):
@@ -65,27 +92,23 @@ def _load():
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
                 _build()
-            lib = ctypes.CDLL(str(_SO))
+            try:
+                lib = ctypes.CDLL(str(_SO))
+            except OSError:
+                # a corrupt cached .so (crashed/interrupted earlier build)
+                # must not pin the NumPy slow path forever: rebuild once
+                # and load through a unique temp path
+                logger.info('cached native library failed to load; '
+                            'rebuilding')
+                _build()
+                lib = _cdll_unique(_SO)
             if not _abi_ok(lib):
-                # stale binary (mtime lied) — rebuild from source. dlopen
-                # caches by PATHNAME (glibc compares l_name strings before
-                # stat'ing), so re-CDLL'ing the canonical path would hand
-                # back the stale handle; load the fresh build through a
-                # unique temp path instead (the canonical .so on disk is
-                # correct for future processes; the mapping survives the
-                # unlink).
+                # stale binary (mtime lied) — rebuild from source and load
+                # through a unique temp path (the canonical .so on disk is
+                # correct for future processes)
                 logger.info('native library ABI mismatch; rebuilding')
                 _build()
-                import shutil
-                import tempfile
-                fd, tmppath = tempfile.mkstemp(suffix='.so',
-                                               prefix='_nmfdata_')
-                os.close(fd)
-                try:
-                    shutil.copy2(_SO, tmppath)
-                    lib = ctypes.CDLL(tmppath)
-                finally:
-                    os.unlink(tmppath)
+                lib = _cdll_unique(_SO)
                 if not _abi_ok(lib):
                     raise RuntimeError(
                         'rebuilt native library still reports a foreign '
@@ -214,12 +237,15 @@ def plan_scatter(g, s, v, n_gtiles, slot_base, vals_out, glo_out, slo_out):
 def column_df(X):
     """Per-column document frequency of a dense count matrix (the tfidf
     host path, :func:`rri_nmf_tpu.matrixops.tfidf`)."""
-    X = np.ascontiguousarray(X, dtype=np.float64)
     lib = _load()
     if lib is not None:
+        # the f64 contiguous copy is only the NATIVE call's ABI need —
+        # the NumPy fallback works on the original array (the copy is
+        # 2x a float32 matrix's RAM for nothing)
+        X = np.ascontiguousarray(X, dtype=np.float64)
         n, d = X.shape
         df = np.empty((d,), dtype=np.int64)
         lib.column_df(_ptr(X, ctypes.c_double), n, d,
                       _ptr(df, ctypes.c_int64))
         return df
-    return (X > 0).sum(0).astype(np.int64)
+    return (np.asarray(X) > 0).sum(0).astype(np.int64)

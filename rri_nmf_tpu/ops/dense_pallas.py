@@ -90,9 +90,14 @@ def _pick_block(m, quantum, k=128, narrow=False, cap=BLOCK_CAP):
 TM_PROJ_VMEM_BUDGET = 64 * 2**20
 
 
-def tm_proj_fits(k, d, narrow=False) -> bool:
-    """Whether the fused projected T-phase panels fit the VMEM budget."""
-    dpad = _round_up(d, BD)
+def tm_proj_fits(k, d, narrow=False, dpad=None) -> bool:
+    """Whether the fused projected T-phase panels fit the VMEM budget.
+
+    ``dpad`` overrides the single-chip padding — the SHARDED variant's
+    all-gathered panel is ``round_up(d, BD·tp)`` wide, which can be far
+    larger than ``round_up(d, BD)`` (the budget must reflect the panel
+    Mosaic actually holds resident)."""
+    dpad = _round_up(d, BD) if dpad is None else int(dpad)
     bufs = 4 if narrow else 3      # N, F, out (+ f32 scratch when narrow)
     return bufs * k * dpad * 4 + k * (k + 1) * 4 <= TM_PROJ_VMEM_BUDGET
 
@@ -345,7 +350,7 @@ def _tm_proj_call(k, d, dpad, reg_l1, reg_l2, s, acc_dt, dtype,
                   G, diag, N, F, interpret=False, reps=1):
     """Run the projected T-phase kernel on whole VMEM-resident panels."""
     narrow = jnp.dtype(dtype) != jnp.dtype(acc_dt)
-    assert tm_proj_fits(k, d, narrow), \
+    assert tm_proj_fits(k, d, narrow, dpad=dpad), \
         'projected T-phase panels exceed the VMEM budget'
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((k, dpad), acc_dt)] if narrow else []

@@ -101,6 +101,12 @@ def make_sharded_training_step(cfg: SweepConfig, mesh: Mesh,
     """
     import dataclasses
     dp, tp = mesh.axis_names
+    if cfg.mesh is not None and cfg.mesh is not mesh:
+        # a silently-kept foreign cfg.mesh would run the reset shard_map
+        # over one mesh while the jit shardings use another
+        raise ValueError('cfg.mesh differs from the mesh argument; pass '
+                         'a cfg without a mesh (it is filled in here) or '
+                         'the same mesh object')
     if cfg.mesh is None:
         # make the reset path mesh-aware (shard_map blockwise argmax)
         cfg = dataclasses.replace(cfg, mesh=mesh)
@@ -117,6 +123,15 @@ def make_sharded_training_step(cfg: SweepConfig, mesh: Mesh,
     in_shardings = (s_X, s_W, s_T, replicated, replicated, replicated) \
         + in_data[3:]
 
+    # gradient stores stay distributed: numer_store is (k, d) — column-
+    # aligned with T — and replicating it would force a cross-mesh
+    # gather of k·d accumulators every step; the masked denom_store is
+    # (k, d) too, the unmasked one is (k, 1) (can't split over tp)
+    grad_shardings = ()
+    if cfg.store_gradients:
+        s_grad = NamedSharding(mesh, P(None, tp))
+        grad_shardings = (s_grad, s_grad if cfg.masked else replicated)
+
     if with_objective:
         def step(X, W, T, key, resets_left, reset_key, *extras):
             out = sweep(X, W, T, key, resets_left, reset_key, *extras)
@@ -124,14 +139,12 @@ def make_sharded_training_step(cfg: SweepConfig, mesh: Mesh,
             obj_extras = extras[:1] if cfg.masked else ()
             obj = obj_fn(X, W2, T2, *obj_extras)
             return out + (obj,)
-        out_shardings = (s_W, s_T, replicated, replicated) + (
-            (replicated, replicated) if cfg.store_gradients else ()) + (
-            replicated,)
+        out_shardings = (s_W, s_T, replicated, replicated) \
+            + grad_shardings + (replicated,)
     else:
         step = lambda X, W, T, key, resets_left, reset_key, *extras: \
             sweep(X, W, T, key, resets_left, reset_key, *extras)
-        out_shardings = (s_W, s_T, replicated, replicated) + (
-            (replicated, replicated) if cfg.store_gradients else ())
+        out_shardings = (s_W, s_T, replicated, replicated) + grad_shardings
 
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)

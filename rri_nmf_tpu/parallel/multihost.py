@@ -130,14 +130,26 @@ def make_global_mesh(mesh_shape=None, axis_names=('dp', 'tp'),
 
 def process_row_block(n, mesh):
     """The global ``[start, stop)`` row range of X this process must
-    load, under the canonical row-over-``dp`` layout. With r processes
-    and dp laid out across them (``make_global_mesh``), process p owns
-    rows ``[p·n/r, (p+1)·n/r)`` (n need not divide evenly; the tail
-    process takes the remainder)."""
-    r = jax.process_count()
-    p = jax.process_index()
-    per = -(-n // r)
-    return p * per, min((p + 1) * per, n)
+    load, under the canonical row-over-``dp`` layout.
+
+    Derived from the dp coordinates this process's devices actually own
+    (clamped ceil-chunks, jax's uneven-axis convention) — not an even
+    split over the process count: with dp > process_count or n not
+    divisible, a naive ``p·ceil(n/r)`` split disagrees with the device
+    shards that :func:`distribute_dense`'s
+    ``make_array_from_process_local_data`` expects (and its unclamped
+    start could even exceed ``n``)."""
+    dp_size = mesh.devices.shape[0]
+    per = -(-n // dp_size)
+    pidx = jax.process_index()
+    mine = [i for i in range(dp_size)
+            if any(d.process_index == pidx
+                   for d in np.atleast_1d(mesh.devices[i]).ravel())]
+    if not mine:
+        return 0, 0
+    lo = min(min(i * per, n) for i in mine)
+    hi = max(min((i + 1) * per, n) for i in mine)
+    return lo, hi
 
 
 def distribute_dense(X_local, global_shape, mesh, spec=None):

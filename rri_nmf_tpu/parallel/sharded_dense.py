@@ -58,9 +58,23 @@ def supports_sharded_dense(cfg, d=None, narrow=False) -> bool:
     (phase order, unmasked, no resets/stores/DP). The TM preset's
     per-topic T simplex projection IS covered (whole-row projected
     kernel on tp-gathered panels) when the caller supplies ``d`` and the
-    full ``(k, d)`` panel fits the VMEM budget — shape-blind callers get
-    the conservative answer, matching :func:`supports_dense_pallas`."""
-    return supports_dense_pallas(cfg, d=d, narrow=narrow)
+    full ``(k, d)`` panel fits the VMEM budget — budgeted at the
+    GATHERED width ``round_up(d, BD·tp)``, which can far exceed the
+    single-chip padding (the panel is replicated per tp rank). Shape-
+    blind callers get the conservative answer."""
+    from rri_nmf_tpu.ops.dense_pallas import (_round_up, _supports_base,
+                                              _tm_proj_active, gs_fits,
+                                              tm_proj_fits)
+    if not _supports_base(cfg) or not gs_fits(cfg.k, narrow):
+        return False
+    if _tm_proj_active(cfg):
+        if d is None:
+            return False
+        tp_size = (cfg.mesh.devices.shape[1]
+                   if cfg.mesh is not None else 1)
+        dpad = _round_up(int(d), BD * tp_size)
+        return tm_proj_fits(cfg.k, int(d), narrow, dpad=dpad)
+    return True
 
 
 @lru_cache(maxsize=16)
@@ -132,6 +146,17 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                                  cfg.reg_t_l2, t_bound, acc_dt, dtype,
                                  G, diag, WX, T, interpret=interpret,
                                  reps=cfg.inner_reps)
+                    if d_glob < d_loc * tp_size:
+                        # zero the global zero-padding's ghost columns
+                        # before the W-phase Gram: a negative reg_t_l1
+                        # grows them (numer = -reg_l1 > 0 on pads) and
+                        # they would flow into psum(T @ T.T) — the
+                        # single-chip sweep slices T[:, :d] here
+                        # (dense_pallas) and the projected branch masks
+                        # in-kernel
+                        col_ok = (lax.axis_index(tp) * d_loc
+                                  + jnp.arange(d_loc)) < d_glob
+                        T = jnp.where(col_ok[None, :], T, 0)
 
             # ---------------- W-phase ----------------------------------
             if not cfg.fix_W:
@@ -182,7 +207,11 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
             check_vma=False)  # pallas outputs carry no varying-axis info
 
         # skip the O(nd) repad when the shapes already sit on the mesh
-        # block quanta (matching make_sharded_sparse_sweep)
+        # block quanta (matching make_sharded_sparse_sweep). Shapes OFF
+        # the quanta pay this X-sized pad on EVERY sweep (the jitted
+        # sweep is pure; X cannot be cached across calls) — roughly one
+        # extra X read+write, comparable to a GEMM pass of HBM traffic.
+        # Pre-pad the input to (BN·dp, BD·tp) multiples to avoid it.
         Xp = X if (npad == n and dpad == d) else \
             jnp.zeros((npad, dpad), X.dtype).at[:n, :d].set(X)
         Wp = W if npad == n else \

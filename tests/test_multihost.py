@@ -63,3 +63,15 @@ def test_global_mesh_drives_a_sharded_fit():
     sharded = nmf(X, mesh=make_global_mesh(mesh_shape=(4, 2)), **kw)
     assert np.allclose(single['W'], sharded['W'], atol=1e-11)
     assert np.allclose(single['T'], sharded['T'], atol=1e-11)
+
+
+def test_process_row_block_clamped_and_mesh_aware():
+    """process_row_block derives from the dp coordinates this process's
+    devices own (clamped ceil-chunks) — the single process owns every
+    row for ANY n (previously a naive even split left the start
+    unclamped past n for tiny n), and dp > 1 does not change that."""
+    for mesh in (make_mesh(8, mesh_shape=(8, 1)),
+                 make_mesh(8, mesh_shape=(4, 2))):
+        for n in (100, 5, 64, 17, 3):
+            lo, hi = process_row_block(n, mesh)
+            assert (lo, hi) == (0, n), (mesh.devices.shape, n, lo, hi)

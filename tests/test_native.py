@@ -161,3 +161,25 @@ def test_stale_abi_library_rebuilt(tmp_path):
         native._lib = None
         native._tried = False
         assert native.available()
+
+
+def test_corrupt_library_rebuilt():
+    """A corrupt cached .so (e.g. a crashed earlier build) must trigger a
+    rebuild instead of pinning the NumPy fallback forever — the CDLL
+    OSError previously escaped to the broad fallback except."""
+    if not native.available():
+        pytest.skip('no native library / compiler')
+    import os
+    native._SO.write_bytes(b'not an ELF library')
+    os.utime(native._SO)
+    native._lib = None
+    native._tried = False
+    try:
+        assert native.available(), 'corrupt .so should be rebuilt'
+        counts = native.plan_hist(np.array([0, 129]), np.array([0, 129]),
+                                  2, 2)
+        assert counts.tolist() == [1, 0, 0, 1]
+    finally:
+        native._lib = None
+        native._tried = False
+        assert native.available()

@@ -150,3 +150,40 @@ def test_driver_mesh_tm_full_preset_projected():
     assert np.allclose(single['T'], sharded['T'], atol=1e-11)
     assert np.allclose(sharded['W'], gspmd['W'], atol=1e-6)
     assert np.allclose(sharded['T'], gspmd['T'], atol=1e-6)
+
+
+def test_sharded_dense_negative_l1_padding_no_ghost_mass():
+    """Negative reg_t_l1 with d off the BD*tp quantum: ghost T columns
+    grown by the GS kernel must be zeroed before the W-phase Gram (the
+    single-chip sweep slices T[:, :d] there) — parity vs make_sweep."""
+    from rri_nmf_tpu.ops.sweep_xla import make_sweep
+    X, W0, T0 = _problem(n=60, d=50, k=4)   # d=50 pads to 2048 on (4,2)
+    cfg = SweepConfig(k=4, reset_topic_method=None, update_order='phase',
+                      reg_t_l1=-0.05, reg_t_l2=0.5,
+                      reg_w_l1=-0.02, reg_w_l2=0.5)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    a = make_sweep(cfg)
+    b = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+    Wa, Ta = _run(a, X, W0, T0)
+    Wb, Tb = _run(b, X, W0, T0)
+    assert np.allclose(Wa, Wb, atol=1e-10), np.abs(Wa - Wb).max()
+    assert np.allclose(Ta, Tb, atol=1e-10)
+
+
+def test_sharded_tm_gate_budgets_gathered_width():
+    """The TM projected-kernel VMEM gate budgets the all-gathered panel
+    (round_up(d, BD*tp) columns), not the single-chip padding — a config
+    that fits one chip but not the gathered panel must decline (it
+    previously passed the gate and failed at Mosaic compile time)."""
+    import dataclasses
+    from rri_nmf_tpu.ops.dense_pallas import supports_dense_pallas
+    cfg = SweepConfig(k=768, reset_topic_method=None, update_order='phase',
+                      project_T_each_iter=True, t_row_sum=1.0)
+    assert supports_dense_pallas(cfg, d=6000)          # single chip: 59 MB
+    mesh = make_mesh(8, mesh_shape=(1, 8))             # tp = 8
+    cfg8 = dataclasses.replace(cfg, mesh=mesh)
+    # gathered panel pads to round_up(6000, 1024*8) = 8192 cols: 78 MB
+    assert not supports_sharded_dense(cfg8, d=6000)
+    mesh21 = make_mesh(8, mesh_shape=(8, 1))           # tp = 1: same pad
+    cfg1 = dataclasses.replace(cfg, mesh=mesh21)
+    assert supports_sharded_dense(cfg1, d=6000)

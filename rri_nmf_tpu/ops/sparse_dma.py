@@ -59,7 +59,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rri_nmf_tpu.ops.sparse_mxu import TILE, _plan_direction_np, _round_up
+from rri_nmf_tpu.ops.sparse_mxu import (TILE, _plan_direction_np,
+                                         _round_up, _run_starts)
 
 # Chunk-metadata block size (chunks per metadata DMA). Plans are padded
 # so a trailing metadata block may safely over-read; kernels may use any
@@ -117,9 +118,7 @@ def _plan_direction_dma(g, s, v, n_gtiles, n_stiles, C, dtype):
     nchunks = ftile.shape[0]
     # CSR-like offsets over the (already output-tile-major) chunk order
     # (sorted runs — boundary flags, not np.unique's re-sort)
-    onew = np.empty(nchunks, np.bool_)
-    onew[0] = True
-    np.not_equal(otile[1:], otile[:-1], out=onew[1:])
+    onew = _run_starts(otile)
     ofirst = np.flatnonzero(onew)
     uo = otile[ofirst]
     ostart = np.concatenate([ofirst, [nchunks]]).astype(np.int32)

@@ -30,7 +30,6 @@ point: this is the path for corpora whose dense form exceeds HBM
 HOST unconditionally, ``sklearn_interface.py:78-83``).
 """
 
-from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -41,6 +40,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+
+
+def _run_starts(a):
+    """First-of-run boolean flags for a SORTED array (boundary flags,
+    not np.unique — every caller's array holds sorted runs by
+    construction). Shared by both plan builders and the DMA planner."""
+    new = np.empty(a.shape[0], np.bool_)
+    if new.size:
+        new[0] = True
+        np.not_equal(a[1:], a[:-1], out=new[1:])
+    return new
+
 
 
 class ContractPlan(NamedTuple):
@@ -123,9 +134,7 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
     v = v[order]
     gl = (g % TILE).astype(np.uint8)
     sl = (s % TILE).astype(np.uint8)
-    newrun = np.empty(len(pair), np.bool_)
-    newrun[0] = True
-    np.not_equal(pair[1:], pair[:-1], out=newrun[1:])
+    newrun = _run_starts(pair)
     first = np.flatnonzero(newrun)
     counts = np.diff(np.append(first, len(pair)))
     gt_first = (pair[first] % n_gtiles).astype(np.int64)
@@ -150,9 +159,7 @@ def _plan_direction_np(g, s, v, n_gtiles, n_stiles, C, G, dtype):
         # pad each otile's chunk run to a multiple of G (dummy chunks:
         # v = 0, ftile = 0) so no group straddles an output tile
         # (otile holds sorted runs — run boundaries, not np.unique)
-        onew = np.empty(nchunks, np.bool_)
-        onew[0] = True
-        np.not_equal(otile[1:], otile[:-1], out=onew[1:])
+        onew = _run_starts(otile)
         ofirst = np.flatnonzero(onew)
         uo = otile[ofirst]
         ocnt = np.diff(np.append(ofirst, nchunks))
@@ -204,9 +211,7 @@ def _plan_direction_counting_np(g, s, v, counts, n_gtiles, n_stiles, C, G,
     e = np.concatenate([[0], cum[:-1]])      # exclusive chunk offsets
     tot_real = int(cum[-1])
     if G > 1:
-        onew = np.empty(len(nb), np.bool_)
-        onew[0] = True
-        np.not_equal(st_first[1:], st_first[:-1], out=onew[1:])
+        onew = _run_starts(st_first)
         ofirst = np.flatnonzero(onew)        # bucket-run start per otile
         run_id = np.cumsum(onew) - 1         # otile run index per bucket
         tot_o = np.add.reduceat(chunks_per, ofirst)
@@ -348,6 +353,14 @@ def mxu_contract(plan: ContractPlan, F, acc_dt=None, interpret=False,
     assert nchunks % G == 0, \
         'plan chunk count %d is not a multiple of group=%d (plan built ' \
         'with a different group?)' % (nchunks, G)
+    # otile is stored per GROUP (one entry per grid step): its length
+    # pins the grouping the plan was built with, so a mismatched
+    # ``group`` argument is caught here instead of silently indexing the
+    # scalar-prefetch array out of bounds (garbage SMEM on TPU)
+    assert plan.otile.shape[0] * G == nchunks, \
+        'group=%d does not match the plan (otile has %d groups for %d ' \
+        'chunks -> group=%d)' % (G, plan.otile.shape[0], nchunks,
+                                 nchunks // max(plan.otile.shape[0], 1))
     # normalize narrow (uint8 host-form) index arrays to the int32 the
     # kernel requires; a no-op for device plans built by _plan_direction
     gloc = plan.gloc if plan.gloc.dtype == jnp.int32 \

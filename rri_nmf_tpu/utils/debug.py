@@ -62,7 +62,7 @@ class FactorValidationError(AssertionError):
 
 def validate_factors(W, T, w_row_sum=None, t_row_sum=None,
                      project_W_each_iter=False, project_T_each_iter=False,
-                     tol=1e-10):
+                     tol=None):
     """Check the reference's runtime invariants on (W, T).
 
     - non-negativity of both factors (reference nmf.py:475, clipping at
@@ -71,10 +71,18 @@ def validate_factors(W, T, w_row_sum=None, t_row_sum=None,
     - row-sum feasibility when per-iteration projection is on
       (tests/test_nmf.py:41-54 pins 1e-13 aggregate violation).
 
+    ``tol`` bounds both the negativity and the per-row sum violation;
+    ``None`` picks a dtype-aware default — 1e-10 for float64 factors,
+    1e-5 for 32/16-bit storage, whose simplex projections legitimately
+    leave ~eps-scale per-row residue (a fixed f64-calibrated threshold
+    would spuriously flag healthy float32 fits).
+
     Raises :class:`FactorValidationError` with a precise message.
     """
     W = np.asarray(W)
     T = np.asarray(T)
+    if tol is None:
+        tol = 1e-10 if W.dtype == np.float64 else 1e-5
     if not np.all(np.isfinite(W)):
         raise FactorValidationError('W contains non-finite entries')
     if not np.all(np.isfinite(T)):
@@ -90,12 +98,12 @@ def validate_factors(W, T, w_row_sum=None, t_row_sum=None,
             np.asarray(w_row_sum).reshape(-1) if np.ndim(w_row_sum)
             else w_row_sum, (W.shape[0],))
         cv = np.abs(W.sum(1) - target).sum()
-        if cv > 1e-10 * max(1, W.shape[0]):
+        if cv > tol * max(1, W.shape[0]):
             raise FactorValidationError(
                 'W row-sum constraint violated (aggregate %g)' % cv)
     if project_T_each_iter and t_row_sum is not None:
         cv = np.abs(T.sum(1) - t_row_sum).sum()
-        if cv > 1e-10 * max(1, T.shape[0]):
+        if cv > tol * max(1, T.shape[0]):
             raise FactorValidationError(
                 'T row-sum constraint violated (aggregate %g)' % cv)
     return True

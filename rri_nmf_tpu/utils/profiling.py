@@ -42,10 +42,17 @@ class TraceAnnotation(jax.profiler.TraceAnnotation):
 
 
 class SweepTimer:
-    """Per-iteration wall-clock timer with forced device synchronization.
+    """Per-iteration wall-clock timer.
 
     Produces a list shaped like the reference's ``iter_cputime``
     (cumulative seconds since construction, ``nmf.py:349,492,516``).
+
+    Synchronization is ONLY performed when :meth:`mark` receives device
+    arrays — a bare ``mark()`` records the host clock as-is, which on
+    the tunnel-hosted TPU measures dispatch, not execution (even
+    ``block_until_ready`` returns early there; CLAUDE.md). Pass the
+    iteration's output array unless something else already forced a
+    readback.
     """
 
     def __init__(self):
@@ -54,7 +61,9 @@ class SweepTimer:
 
     def mark(self, *sync_arrays):
         """Record an iteration boundary; pass device arrays to synchronize
-        on (a scalar is read back from the first one)."""
+        on (a scalar is read back from the first one). Without them the
+        timestamp is dispatch-time, not execution-time — see the class
+        docstring."""
         if sync_arrays:
             _ = float(jnp.sum(sync_arrays[0]))
         self.marks.append(time.perf_counter() - self.start)

@@ -282,3 +282,18 @@ def test_plan_transfers_narrow_widens_on_device():
     out = sm.mxu_contract(narrow, Wt, interpret=True, group=8)
     ref = W.T @ Xd
     assert np.allclose(np.asarray(out)[:, :300], ref, atol=1e-12)
+
+
+def test_mxu_contract_rejects_wrong_group():
+    """A group argument that disagrees with the plan's own per-group
+    otile array must fail loudly — it previously indexed the
+    scalar-prefetch array out of bounds (garbage SMEM on TPU)."""
+    import scipy.sparse as sp
+    from rri_nmf_tpu.ops.sparse_mxu import mxu_contract, plan_sparse_matrix
+    rng = np.random.RandomState(0)
+    Xs = sp.random(300, 200, density=0.05, random_state=0, format='csr')
+    plan = plan_sparse_matrix(Xs, np.float32, group=8)
+    F = jnp.asarray(np.abs(rng.rand(4, plan.t_phase.mask.shape[1])),
+                    jnp.float32)
+    with pytest.raises(AssertionError, match='group'):
+        mxu_contract(plan.t_phase, F, interpret=True, group=1)

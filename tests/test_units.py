@@ -123,3 +123,22 @@ def test_resolve_mixed_dtypes():
     dt, acc, _ = resolve_mixed_dtypes(jnp.dtype(jnp.bfloat16),
                                       jnp.dtype(jnp.float32), None)
     assert dt == jnp.float32 and acc == jnp.float32
+
+
+def test_validate_factors_dtype_aware_tolerance():
+    """debug-check row-sum thresholds scale with the factor dtype: an
+    f32 simplex projection's ~1e-7 per-row residue must pass (the fixed
+    f64-calibrated 1e-10 spuriously flagged healthy f32 fits), while an
+    explicit tol is honored."""
+    from rri_nmf_tpu.utils.debug import (FactorValidationError,
+                                         validate_factors)
+    rng = np.random.RandomState(0)
+    W = np.abs(rng.rand(50, 4)).astype(np.float32)
+    W /= W.sum(1, keepdims=True)
+    W += np.float32(3e-7) * rng.randn(50, 4).astype(np.float32)
+    W = np.abs(W)
+    T = np.abs(rng.rand(4, 30)).astype(np.float32)
+    assert validate_factors(W, T, w_row_sum=1.0, project_W_each_iter=True)
+    with pytest.raises(FactorValidationError):
+        validate_factors(W, T, w_row_sum=1.0, project_W_each_iter=True,
+                         tol=1e-12)

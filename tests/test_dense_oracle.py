@@ -129,3 +129,54 @@ def test_k1_and_k_equals_d_edges():
                    compute_obj_each_iter=True, reset_topic_method=None)
         assert np.all(np.isfinite(soln['W']))
         assert np.all(np.diff(soln['obj_history']) <= 0)
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_dense_sweep_matches_oracle_randomized(seed):
+    """Randomized differential test: random shapes + random config draws
+    against the naive per-topic oracle (the fixed CONFIGS list covers 5
+    points; this sweeps the cross-product space — reg signs, projection,
+    sum targets, bounds — at f64 roundoff parity)."""
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    k = int(rng.randint(2, 7))
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+
+    kw = {}
+    if rng.rand() < 0.6:
+        kw['project_T_each_iter'] = True
+        kw['t_row_sum'] = float(rng.choice([1.0, 2.0, 5.0]))
+    elif rng.rand() < 0.3:
+        kw['t_row_sum'] = 1.0      # qf upper bound without projection
+    if rng.rand() < 0.4:
+        kw['w_row_sum'] = float(rng.choice([1.0, 3.0]))
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+        if rng.rand() < 0.4:
+            kw[r] = float(rng.choice([0.01, 0.1]))
+    # a negative L2 is bounded when the matching factor is box/sum
+    # constrained; exercise the concave branch there
+    if kw.get('t_row_sum') and rng.rand() < 0.3:
+        kw['reg_t_l2'] = -0.05
+
+    cfg = SweepConfig(k=k, reset_topic_method=None,
+                      project_T_each_iter=kw.get('project_T_each_iter',
+                                                 False),
+                      t_row_sum=kw.get('t_row_sum'),
+                      w_row_sum=kw.get('w_row_sum'),
+                      reg_w_l1=kw.get('reg_w_l1', 0.0),
+                      reg_w_l2=kw.get('reg_w_l2', 0.0),
+                      reg_t_l1=kw.get('reg_t_l1', 0.0),
+                      reg_t_l2=kw.get('reg_t_l2', 0.0))
+    sweep = make_sweep(cfg)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Wj, Tj = jnp.asarray(W0), jnp.asarray(T0)
+    Wn, Tn = W0.copy(), T0.copy()
+    for it in range(3):
+        Wj, Tj, key, r = sweep(jnp.asarray(X), Wj, Tj, key, r, key)
+        Wn, Tn = _numpy_dense_sweep(X, Wn, Tn, **kw)
+        assert np.allclose(np.array(Wj), Wn, atol=1e-10), (kw, it)
+        assert np.allclose(np.array(Tj), Tn, atol=1e-10), (kw, it)

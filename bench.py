@@ -151,13 +151,22 @@ def _wait_for_backend(max_wait_s=900, probe_timeout_s=180):
     import subprocess
     deadline = time.time() + max_wait_s
     attempt = 0
+    # the probe REFUSES a silent CPU fallback: a failed TPU-plugin init
+    # can leave jax on the host backend, where the probe would "succeed"
+    # and the benchmark would report host-CPU throughput as per-chip TPU
+    # GFLOP/s. The probe timeout is a last resort — an 8x8 sum stuck for
+    # minutes means the tunnel is already hung (the kill-mid-op wedge,
+    # CLAUDE.md, applies to HEALTHY in-flight work).
+    probe_code = (
+        'import jax, jax.numpy as jnp;'
+        "assert jax.devices()[0].platform != 'cpu', "
+        "'cpu fallback: ' + jax.devices()[0].platform;"
+        'print(float(jnp.sum(jnp.ones((8, 8)))))')
     while True:
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, '-c',
-                 'import jax, jax.numpy as jnp;'
-                 'print(float(jnp.sum(jnp.ones((8, 8)))))'],
+                [sys.executable, '-c', probe_code],
                 capture_output=True, timeout=probe_timeout_s)
             if r.returncode == 0:
                 if attempt > 1:
@@ -184,9 +193,23 @@ def main():
 
     _wait_for_backend()
 
+    # refuse to report host-CPU throughput as per-chip TPU GFLOP/s (a
+    # failed accelerator init silently falls back to the CPU backend)
+    import os
+
+    import jax
+    if (jax.devices()[0].platform == 'cpu'
+            and not os.environ.get('RRI_NMF_BENCH_ALLOW_CPU')):
+        print(json.dumps({
+            'metric': 'rri_sweep_gflops_per_chip', 'value': 0,
+            'unit': 'GFLOP/s', 'vs_baseline': 0,
+            'note': 'accelerator unavailable; refusing the silent CPU '
+                    'fallback (RRI_NMF_BENCH_ALLOW_CPU=1 overrides)'}))
+        return
+
     sizes = [(16384, 8192, 128), (8192, 4096, 128), (2048, 2048, 64)]
 
-    jax_dt = None
+    result = None
     for (n, d, k) in sizes:
         try:
             # primary: phase update order — every update is still an exact
@@ -205,19 +228,24 @@ def main():
                 print('pallas kernel failed (%s); using XLA sweep' % e,
                       file=sys.stderr)
                 dt_pls = float('inf')
-            jax_dt = min(dt_xla, dt_pls)
-            kernel_used = 'pallas' if dt_pls < dt_xla else 'xla'
             jax_dt_ref_order = bench_jax(n, d, k, n_timed=8,
                                          update_order='interleaved')
+            # commit ATOMICALLY: a partial failure (e.g. the interleaved
+            # bench dying after dt_xla succeeded) must not leave timings
+            # from one config paired with a later loop iteration's (n,d,k)
+            result = (n, d, k, min(dt_xla, dt_pls),
+                      'pallas' if dt_pls < dt_xla else 'xla',
+                      jax_dt_ref_order)
             break
         except Exception as e:
             print('config (%d,%d,%d) failed: %s' % (n, d, k, e),
                   file=sys.stderr)
             continue
-    if jax_dt is None:
+    if result is None:
         print(json.dumps({'metric': 'rri_sweep_gflops_per_chip', 'value': 0,
                           'unit': 'GFLOP/s', 'vs_baseline': 0}))
         return
+    n, d, k, jax_dt, kernel_used, jax_dt_ref_order = result
 
     flops = 4.0 * n * d * k
 

@@ -12,6 +12,7 @@ to float64 literals. The .npz data files are the reference's own fixtures
 """
 
 import os
+import re
 import tempfile
 
 # Force CPU: the ambient environment may point JAX at a remote TPU tunnel
@@ -19,13 +20,22 @@ import tempfile
 # local float64 and 8 virtual host devices, so set the config directly.
 os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in _flags:
+_m = re.search(r'--xla_force_host_platform_device_count=(\d+)', _flags)
+if _m is None:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
+elif int(_m.group(1)) < 8:
+    # a pre-existing LOWER count (e.g. left over from another harness)
+    # would silently skip every requires_8_devices mesh test — the suite
+    # would go green with zero multi-device coverage
+    os.environ['XLA_FLAGS'] = _flags.replace(
+        _m.group(0), '--xla_force_host_platform_device_count=8')
 # silence XLA:CPU AOT cache-load machine-feature chatter (the
 # 'prefer-no-scatter/gather' pseudo-features trip a spurious mismatch
-# warning on every persistent-cache hit)
-os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+# warning on every persistent-cache hit). Level 2 filters WARNING and
+# below but keeps genuine XLA ERRORs visible (level 3 would hide e.g.
+# persistent-cache corruption falling back to full recompiles).
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '2')
 
 import jax  # noqa: E402
 

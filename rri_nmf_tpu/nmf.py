@@ -125,7 +125,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         checkpoint_every=10,
         debug_checks=False, mesh=None, sweeps_per_dispatch=1,
         update_order='interleaved', sparse='auto', matmul_precision=None,
-        inner_reps=1, accel=None):
+        inner_reps=1, accel=None, accel_opts=None):
     """Factorize non-negative (n,d) ``X`` as non-negative ``W @ T``.
 
     Minimizes ``0.5 ||X - WT||_F^2`` (entrywise-weighted by ``W_mat`` and/or
@@ -367,6 +367,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         device holds only its tile).
         Per-iteration strict monotonicity of ``obj_history`` is
         traded for rate (restart sweeps may tick up before recovering).
+    accel_opts : dict, optional
+        HER tuning knobs (Ang & Gillis 2019's per-problem parameters):
+        ``gamma`` — momentum growth per accepted sweep (default 1.05);
+        ``beta0`` — initial momentum (default 0.5); ``beta_max`` —
+        momentum ceiling (default 0.9999). Restarts always halve beta.
         Extrapolation state rides the checkpoint (resumed ≡ straight);
         resuming from a checkpoint written WITHOUT ``accel='her'``
         restarts the momentum sequence (warned). Default None (plain
@@ -874,6 +879,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # restarts around the chosen sweep kernel (ops/accel.py) -----------------
     her_state = None
     _her_base = _her_obj = None
+    if accel is None and accel_opts:
+        raise ValueError("accel_opts requires accel='her'")
     if accel is not None:
         if accel != 'her':
             raise ValueError("accel must be None or 'her'")
@@ -891,14 +898,23 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # there, but X is still axis-sharded — the blockwise
         # dynamic_slice scan would gather it every restart check)
         _her_obj = make_residual_obj(cfg, distributed=(mesh is not None))
-        _her_step = make_her_step(_her_base, _her_obj)
+        _opts = dict(gamma=1.05, beta0=0.5, beta_max=0.9999)
+        if accel_opts:
+            unknown = set(accel_opts) - set(_opts)
+            if unknown:
+                raise ValueError('accel_opts: unknown keys %s (valid: %s)'
+                                 % (sorted(unknown), sorted(_opts)))
+            _opts.update({k: float(v) for k, v in accel_opts.items()})
+        _her_step = make_her_step(_her_base, _her_obj,
+                                  gamma=_opts['gamma'],
+                                  beta_max=_opts['beta_max'])
         her_state = {}
 
         def _her_init(W, T):
             if not her_state:
                 her_state.update(
                     Wy=W, Ty=T,
-                    beta=jnp.asarray(0.5, jnp.float32),
+                    beta=jnp.asarray(_opts['beta0'], jnp.float32),
                     e=jnp.asarray(jnp.inf, _acc_dt))
 
         def sweep_fn(X, W, T, key, resets_left, reset_key, *extras):
@@ -1059,7 +1075,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         def _get_multi(g):
             if her_state is not None:
                 from rri_nmf_tpu.ops.accel import make_her_multi
-                multi_h = make_her_multi(_her_base, _her_obj, g)
+                multi_h = make_her_multi(_her_base, _her_obj, g,
+                                         gamma=_opts['gamma'],
+                                         beta_max=_opts['beta_max'])
 
                 def multi(X, W, T, key, resets_left, reset_key, *extras):
                     _her_init(W, T)

@@ -167,3 +167,26 @@ def test_her_validation():
         nmf(X, 8, accel='her', fix_T=True, reset_topic_method=None,
             T_in=np.abs(np.random.RandomState(0).rand(8, X.shape[1])),
             max_iter=2)
+
+
+def test_accel_opts_tuning_knobs():
+    """accel_opts exposes HER's gamma/beta0/beta_max; different knobs
+    change the trajectory, defaults match omitting the dict, unknown
+    keys and accel=None usage raise."""
+    X = _uniform_factor_problem(seed=9)
+    a = nmf(X, max_iter=15, accel='her', **KW)
+    b = nmf(X, max_iter=15, accel='her',
+            accel_opts=dict(gamma=1.05, beta0=0.5, beta_max=0.9999), **KW)
+    assert np.array_equal(a['W'], b['W'])      # explicit defaults == none
+    c = nmf(X, max_iter=15, accel='her',
+            accel_opts=dict(gamma=1.5, beta0=0.9), **KW)
+    assert np.isfinite(c['W']).all()
+    assert not np.allclose(a['W'], c['W'])     # knobs actually bite
+    # grouped dispatch uses the same knobs
+    d = nmf(X, max_iter=15, accel='her', sweeps_per_dispatch=5,
+            accel_opts=dict(gamma=1.5, beta0=0.9), **KW)
+    assert np.allclose(c['W'], d['W'], atol=1e-12)
+    with pytest.raises(ValueError):
+        nmf(X, max_iter=2, accel='her', accel_opts=dict(nope=1.0), **KW)
+    with pytest.raises(ValueError):
+        nmf(X, max_iter=2, accel_opts=dict(gamma=1.1), **KW)

@@ -87,8 +87,11 @@ def make_cond_full(reps):
                     def dead(ops):
                         W, T = ops
                         # the never-taken expensive branch: full reset
-                        row = jnp.maximum(jnp.einsum('i,ij->j', W[:, t],
-                                                     T), 0.0)
+                        # O(nk + kd) never-taken work touching both
+                        # operands (the original 'i,ij->j' einsum was
+                        # dimensionally wrong: W[:, t] is (n,), T (k, d))
+                        row = jnp.maximum(
+                            jnp.einsum('n,nk,kj->j', W[:, t], W, T), 0.0)
                         return W.at[:, t].set(0.0), T.at[t].set(row)
 
                     W, T = lax.cond(jnp.sum(T[t]) > 1e-10, alive, dead,
@@ -116,7 +119,7 @@ def make_cond_row():
                     jnp.sum(T[t]) > 1e-10,
                     lambda: T[t] / jnp.sum(T[t]),
                     lambda: jnp.maximum(
-                        jnp.einsum('i,ij->j', W[:, t], T), 0.0))
+                        jnp.einsum('n,nk,kj->j', W[:, t], W, T), 0.0))
                 return W, T.at[t].set(row)
 
             return lax.fori_loop(0, k, topic, (W, T))

@@ -169,10 +169,16 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
         npad = _round_up(n, BN * dp_size)
         dpad = _round_up(d, BD * tp_size)
 
-        Xp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
-        Mp = jnp.zeros((npad, dpad), dtype).at[:n, :d].set(W_mat)
-        Wp = jnp.zeros((npad, k), dtype).at[:n].set(W)
-        Tp = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
+        # skip the O(nd) repad when the shapes already sit on the mesh
+        # quanta (same policy as sharded_dense; the pad is loop-invariant
+        # under grouped dispatch but per-iteration fits pay it per sweep)
+        aligned = (npad == n and dpad == d)
+        Xp = X if aligned else \
+            jnp.zeros((npad, dpad), dtype).at[:n, :d].set(X)
+        Mp = W_mat if aligned else \
+            jnp.zeros((npad, dpad), dtype).at[:n, :d].set(W_mat)
+        Wp = W if npad == n else jnp.zeros((npad, k), dtype).at[:n].set(W)
+        Tp = T if dpad == d else jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
 
         Xp = lax.with_sharding_constraint(Xp, NamedSharding(mesh, P(dp, tp)))
         Mp = lax.with_sharding_constraint(Mp, NamedSharding(mesh, P(dp, tp)))

@@ -311,3 +311,57 @@ def test_sharded_pallas_negative_l1_padding_no_phantom_mass():
     assert np.allclose(np.array(Ws), np.array(Wd), atol=1e-9), \
         np.abs(np.array(Ws) - np.array(Wd)).max()
     assert np.allclose(np.array(Ts), np.array(Td), atol=1e-9)
+
+
+@requires_8_devices
+def test_sharded_masked_skips_repad_when_aligned():
+    """Structural pin of the aligned-shape fast path: when (n, d) already
+    sit on the (BN*dp, BD*tp) mesh quanta the sharded masked sweep must
+    not trace the O(nd) zero-pad (a dynamic_update_slice writing a full
+    (npad, dpad) X/M copy per sweep); off-quanta shapes must (that's the
+    pad doing its job). Same policy as sharded_dense (ADVICE round 2)."""
+    from rri_nmf_tpu.ops.sweep_pallas import BN, BD
+    from rri_nmf_tpu.parallel.sharded_pallas import (
+        make_sharded_masked_sweep_pallas)
+
+    k = 3
+    mesh = make_mesh(8)                       # (4, 2) dp x tp
+    dp, tp = mesh.devices.shape
+    n_al, d_al = BN * dp, BD * tp
+    cfg = SweepConfig(k=k, masked=True, reset_topic_method=None)
+    sweep = make_sharded_masked_sweep_pallas(cfg, mesh, interpret=True)
+
+    def matrix_dus_shapes(n, d):
+        args = (jax.ShapeDtypeStruct((n, d), jnp.float32),
+                jax.ShapeDtypeStruct((n, k), jnp.float32),
+                jax.ShapeDtypeStruct((k, d), jnp.float32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                jax.ShapeDtypeStruct((n, d), jnp.float32))
+        jaxpr = jax.make_jaxpr(sweep)(*args)
+        found = []
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                if eqn.primitive.name in ('scatter',
+                                          'dynamic_update_slice'):
+                    for ov in eqn.outvars:
+                        if tuple(ov.aval.shape) == (n_al, d_al):
+                            found.append(tuple(ov.aval.shape))
+                for v in eqn.params.values():
+                    if hasattr(v, 'jaxpr'):
+                        walk(v.jaxpr)
+                    elif isinstance(v, (list, tuple)):
+                        for b in v:
+                            if hasattr(b, 'jaxpr'):
+                                walk(b.jaxpr)
+
+        walk(jaxpr.jaxpr)
+        return found
+
+    # aligned: no global-matrix-sized pad writes anywhere in the trace
+    assert matrix_dus_shapes(n_al, d_al) == []
+    # off-quanta: the X and M pads must appear, writing (n_al, d_al)
+    off = matrix_dus_shapes(n_al - 8, d_al - 8)
+    assert (n_al, d_al) in off

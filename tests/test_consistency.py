@@ -58,12 +58,45 @@ def test_unit_w_row_matches_unweighted_factor_quality():
     assert np.allclose(base['T'], weighted['T'], atol=1e-8)
 
 
-def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0):
+def _proj_simplex_np(v, s):
+    """Duchi sort-based simplex projection (oracle copy)."""
+    u = np.sort(v)[::-1]
+    css = np.cumsum(u)
+    rho = np.nonzero(u * np.arange(1, v.size + 1) > (css - s))[0][-1]
+    theta = (css[rho] - s) / (rho + 1.0)
+    return np.clip(v - theta, 0, None)
+
+
+def _qf_vector_np(numer, denom, s, ub):
+    """qf_min's vector branch (optimization.qf_min_vector_c semantics):
+    solve on the denom > 0 coordinates, clip to ub, rescale (not
+    project) to sum s; the returned norm is taken AFTER the clip and
+    BEFORE the rescale."""
+    eps = np.spacing(10)
+    x = np.where(denom > 0,
+                 np.maximum(numer, 0) / (np.where(denom > 0, denom, 1.0)
+                                         + eps), 0.0)
+    ub_eff = ub if s is None or ub is None else min(ub, s)
+    if ub_eff is not None:
+        x = np.minimum(x, ub_eff)
+    nx = x.sum()
+    if s is not None and nx > 0:
+        x = s * x / nx
+    return x, nx
+
+
+def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0, *, reg_t_l1=0.0,
+                        reg_t_l2=0.0, reg_w_l1=0.0, reg_w_l2=0.0,
+                        project_T_each_iter=False, w_row_sum=None):
     """Definitional WRRI sweep: the per-topic residual is recomputed from
     scratch (reference nmf.py:687-714,735-746 semantics), NOT maintained
-    incrementally. Oracle for the jitted kernel's rank-one bookkeeping."""
-    eps = np.spacing(10)
+    incrementally. Oracle for the jitted kernel's rank-one bookkeeping,
+    covering regularizers, the sum-to-s T-subproblem (rescale + drift
+    reprojection), and W upper bounds."""
     k = W.shape[1]
+    scale_transfer = (abs(reg_t_l1) + abs(reg_t_l2) + abs(reg_w_l1) +
+                      abs(reg_w_l2)) == 0
+    s_t = t_row_sum if project_T_each_iter else None
     for t in range(k):
         w = W[:, t].copy()
         Wz = W.copy()
@@ -71,18 +104,21 @@ def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0):
         Rt = M * (X - Wz @ T)
         wR = w @ Rt
         nw = (w * w) @ M
-        x = np.where(nw > 0, np.maximum(wR, 0) / (nw + eps), 0.0)
-        if t_row_sum is not None:
-            x = np.minimum(x, t_row_sum)
-        nt1 = x.sum()
-        W[:, t] *= nt1                      # scale transfer (regs all zero)
+        x, nt1 = _qf_vector_np(wR - reg_t_l1, nw + reg_t_l2,
+                               s_t, t_row_sum)
+        if scale_transfer:
+            W[:, t] *= nt1
         T[t, :] = x
+        if t_row_sum and project_T_each_iter and \
+                abs(T[t].sum() - t_row_sum) > 1e-15:
+            T[t, :] = _proj_simplex_np(T[t], t_row_sum)
         Wz = W.copy()
         Wz[:, t] = 0
         Rt = M * (X - Wz @ T)
         Rw = Rt @ T[t]
         nt = M @ (T[t] ** 2)
-        W[:, t] = np.where(nt > 0, np.maximum(Rw, 0) / (nt + eps), 0.0)
+        W[:, t], _ = _qf_vector_np(Rw - reg_w_l1, nt + reg_w_l2,
+                                   None, w_row_sum)
     return W, T
 
 
@@ -113,6 +149,77 @@ def test_masked_incremental_residual_matches_definitional_sweep():
         Wn, Tn = _numpy_masked_sweep(X, M, Wn, Tn)
         assert np.allclose(np.array(Wj), Wn, atol=1e-10), 'sweep %d' % it
         assert np.allclose(np.array(Tj), Tn, atol=1e-10), 'sweep %d' % it
+
+
+def test_masked_sweep_matches_oracle_randomized():
+    """Randomized differential fuzz of the MASKED sweep against the
+    definitional oracle: random shapes, mask densities, and config draws
+    over the reg (incl. negative L1) / sum-to-s projection / upper-bound
+    cross-product at f64 roundoff parity. The dense randomized oracle
+    (test_dense_oracle) never exercises the vector qf branch, the masked
+    rank-2 residual bookkeeping, or reg x mask interactions — the class
+    where both round-3 review bugs (phantom mass on padded/unobserved
+    coordinates) lived."""
+    import jax
+    import jax.numpy as jnp
+
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
+
+    for seed in range(8):
+        rng = np.random.RandomState(300 + seed)
+        n = int(rng.randint(20, 60))
+        d = int(rng.randint(15, 50))
+        k = int(rng.randint(2, 6))
+        X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+        M = (rng.rand(n, d) < rng.choice([0.3, 0.6, 0.9])).astype(float)
+        W0 = np.abs(rng.rand(n, k))
+        T0 = np.abs(rng.rand(k, d))
+
+        kw = {'t_row_sum': float(rng.choice([1.0, 2.0, 5.0]))
+              if rng.rand() < 0.8 else None}
+        if kw['t_row_sum'] and rng.rand() < 0.5:
+            kw['project_T_each_iter'] = True
+        if rng.rand() < 0.4:
+            kw['w_row_sum'] = float(rng.choice([1.0, 3.0]))
+        for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+            if rng.rand() < 0.4:
+                kw[r] = float(rng.choice([0.01, 0.1]))
+        # negative L1 promotes mass onto unobserved coordinates when the
+        # matching L2 keeps the denominator positive — the sign class the
+        # masked phantom-mass kernel bugs lived in
+        if rng.rand() < 0.3:
+            kw['reg_t_l1'] = -0.02
+            kw['reg_t_l2'] = max(kw.get('reg_t_l2', 0.0), 0.05)
+
+        cfg = SweepConfig(
+            k=k, masked=True, reset_topic_method=None,
+            t_row_sum=kw.get('t_row_sum'),
+            w_row_sum=kw.get('w_row_sum'),
+            project_T_each_iter=kw.get('project_T_each_iter', False),
+            reg_w_l1=kw.get('reg_w_l1', 0.0),
+            reg_w_l2=kw.get('reg_w_l2', 0.0),
+            reg_t_l1=kw.get('reg_t_l1', 0.0),
+            reg_t_l2=kw.get('reg_t_l2', 0.0))
+        sweep = make_sweep(cfg)
+        key = jax.random.PRNGKey(0)
+        resets = jnp.asarray(0, jnp.int32)
+        Wj, Tj = jnp.asarray(W0), jnp.asarray(T0)
+        Wn, Tn = W0.copy(), T0.copy()
+        for it in range(3):
+            Wj, Tj, key, resets = sweep(jnp.asarray(X), Wj, Tj, key,
+                                        resets, key, jnp.asarray(M))
+            Wn, Tn = _numpy_masked_sweep(
+                X, M, Wn, Tn, kw.get('t_row_sum'),
+                reg_t_l1=kw.get('reg_t_l1', 0.0),
+                reg_t_l2=kw.get('reg_t_l2', 0.0),
+                reg_w_l1=kw.get('reg_w_l1', 0.0),
+                reg_w_l2=kw.get('reg_w_l2', 0.0),
+                project_T_each_iter=kw.get('project_T_each_iter', False),
+                w_row_sum=kw.get('w_row_sum'))
+            assert np.allclose(np.array(Wj), Wn, atol=1e-10), \
+                (seed, kw, it)
+            assert np.allclose(np.array(Tj), Tn, atol=1e-10), \
+                (seed, kw, it)
 
 
 def test_dp_noise_large_eps_close_to_clean():

@@ -46,6 +46,57 @@ logger = logging.getLogger(__name__)
 eps_div_by_zero = float(np.spacing(10))  # reference nmf.py:52
 
 
+def _is_global_array(a):
+    """True for a multi-controller ``jax.Array`` whose shards span
+    processes (cannot be materialized with a plain ``np.asarray``)."""
+    return isinstance(a, jax.Array) and not a.is_fully_addressable
+
+
+def _to_host(a):
+    """Device->host materialization that also works multi-controller.
+
+    Single-process (or fully-addressable / fully-replicated) arrays take
+    the plain ``np.asarray`` path; process-spanning shards are gathered
+    with ``multihost_utils.process_allgather`` (every host receives the
+    full array — the reference result-dict contract returns host
+    factors)."""
+    if _is_global_array(a):
+        if a.is_fully_replicated:
+            return np.asarray(a.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
+def _from_host(a, like):
+    """Place a host array back onto ``like``'s sharding (the early-stop
+    rollback path). Multi-controller shardings cannot take a plain
+    ``device_put`` from one host's full array; every process holds the
+    same host copy, so build from the per-shard callback."""
+    if _is_global_array(like):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, like.sharding, lambda idx: a[idx])
+    return jnp.asarray(a)
+
+
+def _place(a, s):
+    """``device_put`` onto sharding ``s``, multi-controller-safe.
+
+    When ``s`` spans processes a plain ``device_put`` cannot place host
+    data; a host array (identical on every process, the warm-start
+    contract) is assembled shard-by-shard, and an already-global array
+    reshards through a jitted identity."""
+    if isinstance(a, jax.Array) and a.sharding == s:
+        return a
+    if s.is_fully_addressable:
+        return jax.device_put(a, s)
+    if _is_global_array(a):
+        return jax.jit(lambda x: x, out_shardings=s)(a)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+
+
 class TrueObjComputer(object):
     """Full-objective calculator returned as ``rtv['obj_calculator']``.
 
@@ -327,6 +378,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         the phase contractions psum over the mesh
         (:mod:`rri_nmf_tpu.parallel.sparse_mesh` — the beyond-HBM corpus
         path; T-row sum constraints need a ``(n_devices, 1)`` mesh).
+
+        Multi-controller (multi-host) runs pass a process-spanning
+        ``jax.Array`` X built with :func:`rri_nmf_tpu.parallel.
+        distribute_dense` over :func:`~rri_nmf_tpu.parallel.
+        make_global_mesh` — no host ever materializes X. That mode
+        requires the dense path, ``w_row=None``, and both ``W_in`` /
+        ``T_in`` warm starts (e.g. via :func:`~rri_nmf_tpu.parallel.
+        distribute_factors`); every process calls ``nmf()`` with the
+        same arguments and receives the same gathered host results
+        (validated 2-process in tests/test_multiprocess.py).
     update_order : str, optional
         ``'interleaved'`` (default) follows the reference's per-topic
         T-then-W interleaving exactly. ``'phase'`` updates all T rows, then
@@ -491,9 +552,30 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                        and reset_topic_method is None and x_dtype is None)
 
     # ---- host-side input normalization -----------------------------------
+    # A process-spanning X (multi-controller: assembled per host with
+    # parallel.distribute_dense) must never be materialized on one host;
+    # it skips the numpy normalization and stays on its mesh layout.
+    _X_global = _is_global_array(X)
+    if _X_global:
+        if mesh is None:
+            raise ValueError(
+                'X spans processes but mesh=None; pass the global mesh '
+                '(parallel.make_global_mesh) the array was built over')
+        if sparse_mode or _is_sp:
+            raise NotImplementedError(
+                'multi-controller fits support the dense mesh path only; '
+                'partition sparse corpora per process and densify, or '
+                'run single-controller')
+        if w_row is not None:
+            raise NotImplementedError(
+                'w_row pre-scales X on the host; with a process-spanning '
+                'X apply sqrt(w_row) row scaling before distribute_dense '
+                'and run the W re-fit explicitly')
+        if not np.issubdtype(np.dtype(X.dtype), np.floating):
+            raise ValueError('process-spanning X must be floating point')
     if _is_sp and not sparse_mode:
         X = X.toarray()
-    if not sparse_mode:
+    if not sparse_mode and not _X_global:
         X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
             np.asarray(X).dtype, np.floating) else None)
         X = np.asarray(X)
@@ -654,7 +736,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             s_X = NamedSharding(mesh, _P(_row_ax, _col_ax))
             s_W = NamedSharding(mesh, _P(_row_ax, None))
             s_T = NamedSharding(mesh, _P(None, _col_ax))
-        _put = jax.device_put
+        _put = _place  # multi-controller-safe device_put
         if sparse_mode:
             # beyond-HBM scale path: per-device COO blocks, factors in the
             # canonical mesh layouts (parallel/sparse_mesh.py). n/d need
@@ -730,9 +812,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     extras = []
     Wm_dev = wr_obj_dev = None
     if masked:
-        Wm_dev = jnp.asarray(W_mat, dtype=dtype)
+        Wm_dev = W_mat if _is_global_array(W_mat) \
+            else jnp.asarray(W_mat, dtype=dtype)
+        if Wm_dev.dtype != dtype:
+            Wm_dev = Wm_dev.astype(dtype)
         if mesh is not None:
-            Wm_dev = jax.device_put(Wm_dev, s_X)
+            Wm_dev = _place(Wm_dev, s_X)
         extras.append(Wm_dev)
     if w_row is not None:
         # device copy for the objective computer — handing it the host
@@ -747,7 +832,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             # unaligned dense meshes replicate the row axis too
             spec = P() if (sparse_mode or n % mesh.devices.shape[0]) \
                 else P(mesh.axis_names[0], None)
-            wrs_dev = jax.device_put(wrs_dev, NamedSharding(mesh, spec))
+            wrs_dev = _place(wrs_dev, NamedSharding(mesh, spec))
         extras.append(wrs_dev)
 
     inner_reps = int(inner_reps)
@@ -1007,8 +1092,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             # resumed run misses the stop+rollback the straight run
             # performs at the first post-resume objective increase
             last_score = float(_resumed.es_score)
-        W_prev = np.array(W_dev)
-        T_prev = np.array(T_dev)
+        W_prev = _to_host(W_dev)
+        T_prev = _to_host(T_dev)
 
     obj_history = []
     if logger.getEffectiveLevel() <= logging.DEBUG:
@@ -1045,13 +1130,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     def X_host():
         if _X_host[0] is None:
             _X_host[0] = X if (sparse_mode or hasattr(X, 'toarray')) \
-                else np.asarray(X)
+                else _to_host(X)
         return _X_host[0]
 
     if len(diagnostics) > 0:
         for func in diagnostics:
             rtv['diagnostics'][func.__name__].append(
-                func(X_host(), np.array(W_dev), np.array(T_dev)))
+                func(X_host(), _to_host(W_dev), _to_host(T_dev)))
 
     if _resumed is not None:
         # restored run: rebuild history so stopping conditions see it
@@ -1141,8 +1226,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if _es_active:
             if callable(early_stop):
-                this_score = early_stop(X_host(), np.array(W_dev),
-                                        np.array(T_dev))
+                this_score = early_stop(X_host(), _to_host(W_dev),
+                                        _to_host(T_dev))
             else:
                 if compute_obj_each_iter and len(obj_history) > 0:
                     this_score = obj_history[-1]
@@ -1151,8 +1236,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             logger.info('Iter %d stopping score %.3f', iter_no, this_score)
             if this_score > last_score:  # STOP EARLY (nmf.py:391-403)
                 logger.info('Stopping early at iter %d', iter_no)
-                W_dev = jnp.asarray(W_prev)
-                T_dev = jnp.asarray(T_prev)
+                W_dev = _from_host(W_prev, W_dev)
+                T_dev = _from_host(T_prev, T_dev)
                 obj_history = obj_history[:-1]
                 iter_cputime = iter_cputime[:-1]
                 if len(diagnostics) > 0:
@@ -1161,8 +1246,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                             rtv['diagnostics'][func.__name__][:-1]
                 break
             last_score = this_score
-            W_prev = np.array(W_dev)
-            T_prev = np.array(T_dev)
+            W_prev = _to_host(W_dev)
+            T_prev = _to_host(T_dev)
 
         it_start_time = time.time()
 
@@ -1182,8 +1267,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                        *extras)
         if store_gradients:
             W_dev, T_dev, key, resets_left, numer_s, denom_s = out
-            rtv['numer_W'][iter_no] = np.array(numer_s)
-            rtv['denom_W'][iter_no] = np.array(denom_s)
+            rtv['numer_W'][iter_no] = _to_host(numer_s)
+            rtv['denom_W'][iter_no] = _to_host(denom_s)
         else:
             W_dev, T_dev, key, resets_left = out
 
@@ -1214,7 +1299,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
         if len(diagnostics) > 0:
             for func in diagnostics:
-                dval = func(X_host(), np.array(W_dev), np.array(T_dev))
+                dval = func(X_host(), _to_host(W_dev), _to_host(T_dev))
                 rtv['diagnostics'][func.__name__].append(dval)
                 logger.info('\t%s: %s', func.__name__, dval)
 
@@ -1253,8 +1338,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             proj_mat_to_simplex(W_dev, w_row_sum if not w_row_sum_is_vector
                                 else np.asarray(w_row_sum).reshape(-1)))
 
-    W = np.array(W_dev)
-    T = np.array(T_dev)
+    W = _to_host(W_dev)
+    T = _to_host(T_dev)
 
     # ---- row-weighted post-solve: re-fit W on unscaled X (nmf.py:531-539) -
     if w_row is not None:
@@ -1321,6 +1406,13 @@ def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
     """
     W = T = None
     if np.prod(np.shape(W_in)) == 0 or np.prod(np.shape(T_in)) == 0:
+        if _is_global_array(X):
+            raise ValueError(
+                'multi-controller fits require both W_in and T_in warm '
+                'starts (X spans processes, so no host can run the '
+                'initializer on it — initialize from a host copy / row '
+                'block and hand the factors to parallel.'
+                'distribute_factors)')
         X_init = W_mat * X if W_mat is not None else X
         W, T = initialize_nmf(X_init, k, init, random_state=random_state,
                               row_normalize=False)
@@ -1340,21 +1432,29 @@ def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
             raise ValueError('T_in has wrong dimensions, must be k*d')
         T = T_in
 
-    if hasattr(W, 'toarray'):
-        W = W.toarray()
-    if hasattr(T, 'toarray'):
-        T = T.toarray()
+    # process-spanning warm starts stay on their mesh layouts (the clip
+    # and the initial projections are elementwise / row-local, so eager
+    # jnp on the global arrays preserves the shardings); everything else
+    # takes the reference's host path
+    def _clip(A):
+        if _is_global_array(A):
+            return jnp.maximum(A, 0)
+        if hasattr(A, 'toarray'):
+            A = A.toarray()
+        return np.maximum(np.asarray(A, dtype=float), 0)
 
-    W = np.maximum(np.asarray(W, dtype=float), 0)
-    T = np.maximum(np.asarray(T, dtype=float), 0)
+    W = _clip(W)
+    T = _clip(T)
 
     if project_W_each_iter and not fix_W and w_row_sum is not None:
         logger.debug('Projecting W rows after initialization')
         s = w_row_sum if np.isscalar(w_row_sum) \
             else np.asarray(w_row_sum).reshape(-1)
-        W = np.asarray(proj_mat_to_simplex(W, s))
+        W = proj_mat_to_simplex(W, s) if _is_global_array(W) \
+            else np.asarray(proj_mat_to_simplex(W, s))
     if project_T_each_iter and not fix_T and t_row_sum is not None:
         logger.debug('Projecting T rows after initialization')
-        T = np.asarray(proj_mat_to_simplex(T, t_row_sum))
+        T = proj_mat_to_simplex(T, t_row_sum) if _is_global_array(T) \
+            else np.asarray(proj_mat_to_simplex(T, t_row_sum))
 
     return W, T

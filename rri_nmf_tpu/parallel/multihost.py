@@ -23,9 +23,14 @@ while the n-proportional psum stays on intra-host ICI. That is why
 Single-process calls are exact no-ops / equivalents of the local
 helpers, so the same driver script runs unchanged from a laptop to a
 pod — only ``initialize_distributed()`` + per-process loading differ.
-There is no multi-host hardware in this environment: these paths carry
-single-process tests (tests/test_multihost.py) and the layout math
-above; treat multi-slice runs as wired-but-unvalidated.
+Validation: beyond the single-process contracts
+(tests/test_multihost.py), a REAL 2-process ``jax.distributed`` group
+(XLA:CPU gloo collectives on localhost) drives this whole module plus
+``nmf(mesh=...)`` end-to-end in tests/test_multiprocess.py — both
+processes' gathered results are bitwise identical and match a
+single-controller oracle fit. Multi-slice TPU runs remain unexercised
+(no pod here), but the multi-controller code paths themselves are
+tested, not just wired.
 """
 
 import logging
@@ -121,8 +126,28 @@ def make_global_mesh(mesh_shape=None, axis_names=('dp', 'tp'),
         if dp % n_proc != 0:
             raise ValueError('dp=%d must be a multiple of the process '
                              'count %d' % (dp, n_proc))
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            (dp // n_proc, tp), (n_proc, 1), devices=devices)
+        try:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (dp // n_proc, tp), (n_proc, 1), devices=devices)
+        except ValueError:
+            # Fabrics whose devices carry no slice metadata (multi-process
+            # CPU fleets report every device as slice 0; some non-pod
+            # fabrics omit `slice_index` entirely) fail the hybrid
+            # builder's slice-count check. The layout goal only needs
+            # process locality: sort process-major so each process's
+            # devices fill dp//n_proc consecutive dp rows and tp stays
+            # within a process. Validated by the 2-process gloo tests
+            # (tests/test_multiprocess.py).
+            devs = sorted(devices,
+                          key=lambda dv: (dv.process_index, dv.id))
+            dev_array = np.array(devs).reshape(mesh_shape)
+            row_procs = np.vectorize(
+                lambda dv: dv.process_index)(dev_array)
+            if not (row_procs == row_procs[:, :1]).all():
+                raise ValueError(
+                    'cannot lay out mesh_shape=%r with tp inside a '
+                    'process: processes own unequal device counts'
+                    % (mesh_shape,))
         return Mesh(dev_array.reshape(mesh_shape), axis_names)
     return Mesh(np.asarray(devices[:mesh_shape[0] * mesh_shape[1]])
                 .reshape(mesh_shape), axis_names)

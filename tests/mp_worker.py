@@ -1,0 +1,94 @@
+"""Multi-controller worker: one JAX process of a 2-process gloo group.
+
+Launched by tests/test_multiprocess.py (never collected by pytest). Each
+process owns 4 virtual CPU devices; together they form a (4, 2) global
+mesh with ``dp`` spanning the two processes — the layout
+``parallel.multihost`` promises on fabrics without slice metadata. The
+worker drives the REAL public entry points end-to-end:
+
+    initialize_distributed -> make_global_mesh -> process_row_block ->
+    distribute_dense / distribute_factors -> nmf(mesh=...) -> host results
+
+and writes its gathered results to ``<outdir>/result_<pid>.npz``; the
+parent test compares both processes' files bitwise and checks parity
+against a single-controller oracle fit.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    outdir = sys.argv[4]
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    cache = os.environ.get('RRI_NMF_TEST_CACHE')
+    if cache:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+    import numpy as np
+
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import (
+        distribute_dense, distribute_factors, initialize_distributed,
+        make_global_mesh, process_row_block)
+
+    p, r = initialize_distributed('localhost:' + port, nproc, pid)
+    assert (p, r) == (pid, nproc), (p, r)
+    assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+
+    # dp = 4 over 2 processes: each process owns 2 consecutive dp rows,
+    # tp = 2 stays inside a process (the DCN-aware layout contract)
+    mesh = make_global_mesh(mesh_shape=(4, 2))
+    procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
+    assert (procs == procs[:, :1]).all(), 'tp row spans processes'
+    assert sorted(set(procs[:, 0])) == [0, 1], 'dp does not span processes'
+
+    n, d, k = 64, 32, 5
+    rng = np.random.RandomState(0)
+    X_full = rng.rand(n, d)          # deterministic: every process agrees
+    W0 = np.abs(np.random.RandomState(1).rand(n, k))
+    T0 = np.abs(np.random.RandomState(2).rand(k, d))
+
+    lo, hi = process_row_block(n, mesh)
+    expected = (0, 32) if pid == 0 else (32, 64)
+    assert (lo, hi) == expected, (lo, hi)
+
+    Xg = distribute_dense(X_full[lo:hi], (n, d), mesh)
+    assert not Xg.is_fully_addressable
+    Wg, Tg = distribute_factors(W0[lo:hi], T0, n, mesh)
+
+    # config A: phase-order TM-style fit on the GSPMD sweep
+    ra = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=5,
+             random_state=7, compute_obj_each_iter=True,
+             update_order='phase', project_T_each_iter=True, t_row_sum=1.0)
+    # config B: interleaved order + early stopping (exercises the
+    # _to_host snapshot / _from_host rollback multi-controller paths)
+    rb = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=5,
+             random_state=7, compute_obj_each_iter=True, early_stop=True,
+             project_T_each_iter=True, t_row_sum=1.0)
+
+    for tag, res in (('A', ra), ('B', rb)):
+        assert isinstance(res['W'], np.ndarray) and res['W'].shape == (n, k)
+        assert np.isfinite(res['W']).all() and np.isfinite(res['T']).all()
+        oh = res['obj_history']
+        assert len(oh) >= 2 and oh[-1] <= oh[0], (tag, oh)
+
+    np.savez(os.path.join(outdir, 'result_%d.npz' % pid),
+             WA=ra['W'], TA=ra['T'], ohA=np.asarray(ra['obj_history']),
+             WB=rb['W'], TB=rb['T'], ohB=np.asarray(rb['obj_history']))
+    with open(os.path.join(outdir, 'ok_%d.json' % pid), 'w') as f:
+        json.dump({'rows': [int(lo), int(hi)]}, f)
+    print('worker', pid, 'OK', flush=True)
+
+
+if __name__ == '__main__':
+    main()

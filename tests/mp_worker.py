@@ -75,8 +75,42 @@ def main():
     rb = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=5,
              random_state=7, compute_obj_each_iter=True, early_stop=True,
              project_T_each_iter=True, t_row_sum=1.0)
+    # config C: grouped dispatch (fori-loop multi-sweep wrapper) must
+    # equal config A's per-iteration fit exactly
+    rc = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=5,
+             random_state=7, sweeps_per_dispatch=5,
+             update_order='phase', project_T_each_iter=True, t_row_sum=1.0)
+    np.testing.assert_array_equal(rc['W'], ra['W'])
+    np.testing.assert_array_equal(rc['T'], ra['T'])
+    # config D: HER extrapolation over the group (momentum + distributed
+    # restart-check objective on process-spanning factors)
+    rd = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=5,
+             random_state=7, compute_obj_each_iter=True, accel='her',
+             reset_topic_method=None, update_order='phase',
+             project_T_each_iter=True, t_row_sum=1.0)
+    # config E: orbax checkpointing across the process group — every
+    # process writes its own shards; a resumed run ≡ the straight run
+    ckdir = os.path.join(outdir, 'ckpt')
+    re1 = nmf(Xg, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=2,
+              random_state=7, compute_obj_each_iter=True,
+              update_order='phase', project_T_each_iter=True,
+              t_row_sum=1.0, checkpoint=ckdir, checkpoint_every=2)
+    assert len(re1['obj_history']) == 2
+    # resume with DIFFERENT warm starts: matching config A's straight
+    # run proves the checkpoint state was actually restored (identical
+    # warm starts could not tell a resume from a fresh 5-iter fit)
+    Wg2, Tg2 = distribute_factors(1.0 - W0[lo:hi], 1.0 - T0, n, mesh)
+    re2 = nmf(Xg, k, W_in=Wg2, T_in=Tg2, mesh=mesh, max_iter=5,
+              random_state=7, compute_obj_each_iter=True,
+              update_order='phase', project_T_each_iter=True,
+              t_row_sum=1.0, checkpoint=ckdir, checkpoint_every=100)
+    assert len(re2['obj_history']) == 5
+    np.testing.assert_allclose(re2['obj_history'][:2], re1['obj_history'],
+                               rtol=1e-12)
+    np.testing.assert_allclose(re2['W'], ra['W'], atol=1e-12)
+    np.testing.assert_allclose(re2['T'], ra['T'], atol=1e-12)
 
-    for tag, res in (('A', ra), ('B', rb)):
+    for tag, res in (('A', ra), ('B', rb), ('D', rd)):
         assert isinstance(res['W'], np.ndarray) and res['W'].shape == (n, k)
         assert np.isfinite(res['W']).all() and np.isfinite(res['T']).all()
         oh = res['obj_history']
@@ -84,7 +118,8 @@ def main():
 
     np.savez(os.path.join(outdir, 'result_%d.npz' % pid),
              WA=ra['W'], TA=ra['T'], ohA=np.asarray(ra['obj_history']),
-             WB=rb['W'], TB=rb['T'], ohB=np.asarray(rb['obj_history']))
+             WB=rb['W'], TB=rb['T'], ohB=np.asarray(rb['obj_history']),
+             WD=rd['W'], TD=rd['T'], ohD=np.asarray(rd['obj_history']))
     with open(os.path.join(outdir, 'ok_%d.json' % pid), 'w') as f:
         json.dump({'rows': [int(lo), int(hi)]}, f)
     print('worker', pid, 'OK', flush=True)

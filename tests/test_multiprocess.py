@@ -72,7 +72,7 @@ def group_results(tmp_path_factory):
 
 def test_two_process_results_agree_bitwise(group_results):
     r0, r1 = group_results
-    for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB'):
+    for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB', 'WD', 'TD', 'ohD'):
         np.testing.assert_array_equal(np.asarray(r0[key]),
                                       np.asarray(r1[key]), err_msg=key)
 
@@ -92,6 +92,10 @@ def test_multiprocess_matches_single_controller(group_results):
     rb = nmf(X, k, W_in=W0, T_in=T0, max_iter=5, random_state=7,
              compute_obj_each_iter=True, early_stop=True,
              project_T_each_iter=True, t_row_sum=1.0)
+    rd = nmf(X, k, W_in=W0, T_in=T0, max_iter=5, random_state=7,
+             compute_obj_each_iter=True, accel='her',
+             reset_topic_method=None, update_order='phase',
+             project_T_each_iter=True, t_row_sum=1.0)
 
     np.testing.assert_allclose(r0['WA'], ra['W'], atol=1e-10)
     np.testing.assert_allclose(r0['TA'], ra['T'], atol=1e-10)
@@ -99,3 +103,6 @@ def test_multiprocess_matches_single_controller(group_results):
     np.testing.assert_allclose(r0['WB'], rb['W'], atol=1e-10)
     np.testing.assert_allclose(r0['TB'], rb['T'], atol=1e-10)
     np.testing.assert_allclose(r0['ohB'], rb['obj_history'], rtol=1e-12)
+    np.testing.assert_allclose(r0['WD'], rd['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TD'], rd['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohD'], rd['obj_history'], rtol=1e-11)

@@ -341,8 +341,11 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         return W, T
 
     if init == 'smart_random':
-        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
-        avg = np.sqrt(X_host.mean() / n_components)
+        if isinstance(X, jax.Array) and not X.is_fully_addressable:
+            avg = np.sqrt(_global_mean(X) / n_components)
+        else:
+            X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
+            avg = np.sqrt(X_host.mean() / n_components)
         rng = np.random.RandomState(random_state) \
             if not isinstance(random_state, np.random.RandomState) \
             else random_state
@@ -369,7 +372,7 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
             W, H = _nndsvd_lrc_device_jit(
                 k, p, float(eps), 2)(
                 jnp.asarray(X), key)
-            W, H = np.array(W), np.array(H)
+            W, H = _fetch_init(W), _fetch_init(H)
             if row_normalize:
                 H = np.asarray(normalize(H))
             return W, H
@@ -402,22 +405,27 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         key = jax.random.PRNGKey(_seed_int(random_state))
         W, H = _nndsvd_device_jit(n_components, float(eps))(
             jnp.asarray(X), key)
-        W, H = np.array(W), np.array(H)   # writable copies (nndsvda/ar)
+        # writable host copies (nndsvda/ar mutate); multi-controller
+        # gathers
+        W, H = _fetch_init(W), _fetch_init(H)
     else:
         U, S, Vt = _randomized_svd_sklearn(X, n_components, random_state)
         W, H = _nndsvd_from_svd(U, S, Vt, eps)
 
+    def _mean_x():
+        if isinstance(X, jax.Array) and not X.is_fully_addressable:
+            return _global_mean(X)
+        return np.asarray(X.toarray() if hasattr(X, 'toarray') else X).mean()
+
     if init == 'nndsvda':
-        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
-        avg = X_host.mean()
+        avg = _mean_x()
         W[W == 0] = avg
         H[H == 0] = avg
     elif init == 'nndsvdar':
-        X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
         rng = np.random.RandomState(random_state) \
             if not isinstance(random_state, np.random.RandomState) \
             else random_state
-        avg = X_host.mean()
+        avg = _mean_x()
         W[W == 0] = np.abs(avg * rng.randn(len(W[W == 0])) / 100)
         H[H == 0] = np.abs(avg * rng.randn(len(H[H == 0])) / 100)
 
@@ -425,6 +433,26 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         H = np.asarray(normalize(H))
 
     return W, H
+
+
+def _global_mean(X):
+    """Mean of a possibly process-spanning device array without any host
+    materialization (eager reductions on global arrays return a fully
+    replicated scalar under multi-controller SPMD)."""
+    import jax.numpy as _jnp
+    return float(_jnp.mean(X))
+
+
+def _fetch_init(a):
+    """Host copy of a device init factor; multi-controller arrays (global
+    X makes the jitted NNDSVD outputs process-spanning) gather via
+    ``process_allgather`` — every host receives the full factor, matching
+    the host backends' return contract."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        # np.array: writable copy (nndsvda/ar mutate the zeros in place)
+        return np.array(multihost_utils.process_allgather(a, tiled=True))
+    return np.array(a)
 
 
 def _seed_int(random_state):

@@ -383,10 +383,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         ``jax.Array`` X built with :func:`rri_nmf_tpu.parallel.
         distribute_dense` over :func:`~rri_nmf_tpu.parallel.
         make_global_mesh` — no host ever materializes X. That mode
-        requires the dense path, ``w_row=None``, and both ``W_in`` /
-        ``T_in`` warm starts (e.g. via :func:`~rri_nmf_tpu.parallel.
-        distribute_factors`); every process calls ``nmf()`` with the
-        same arguments and receives the same gathered host results
+        requires the dense path and ``w_row=None``; warm starts may be
+        process-spanning too (:func:`~rri_nmf_tpu.parallel.
+        distribute_factors`), and fresh initialization works for
+        ``random``/``smart_random`` (shape / replicated-mean only) and
+        the NNDSVD family (the device backend's jitted program runs
+        under GSPMD). Every process calls ``nmf()`` with the same
+        arguments and receives the same gathered host results
         (validated 2-process in tests/test_multiprocess.py).
     update_order : str, optional
         ``'interleaved'`` (default) follows the reference's per-topic
@@ -1406,16 +1409,27 @@ def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
     """
     W = T = None
     if np.prod(np.shape(W_in)) == 0 or np.prod(np.shape(T_in)) == 0:
-        if _is_global_array(X):
-            raise ValueError(
-                'multi-controller fits require both W_in and T_in warm '
-                'starts (X spans processes, so no host can run the '
-                'initializer on it — initialize from a host copy / row '
-                'block and hand the factors to parallel.'
-                'distribute_factors)')
         X_init = W_mat * X if W_mat is not None else X
-        W, T = initialize_nmf(X_init, k, init, random_state=random_state,
-                              row_normalize=False)
+        if _is_global_array(X_init):
+            # no host can materialize X: the random/smart_random draws
+            # need only shape / a replicated mean, and the SVD family
+            # runs the device backend's single jitted program under
+            # GSPMD (process-spanning in, gathered factors out)
+            _svd_family = init in (None, 'nndsvd', 'nndsvda', 'nndsvdar',
+                                   'nndsvd_lrc')
+            if init == 'coherence_pmi':
+                raise ValueError(
+                    "init='coherence_pmi' walks X on the host; with a "
+                    'process-spanning X initialize explicitly and pass '
+                    'W_in/T_in (parallel.distribute_factors)')
+            W, T = initialize_nmf(
+                X_init, k, init, random_state=random_state,
+                row_normalize=False,
+                **(dict(svd_backend='jax') if _svd_family else {}))
+        else:
+            W, T = initialize_nmf(X_init, k, init,
+                                  random_state=random_state,
+                                  row_normalize=False)
         W = np.asarray(W)
         T = np.asarray(T)
         if t_row_sum is not None:

@@ -110,7 +110,23 @@ def main():
     np.testing.assert_allclose(re2['W'], ra['W'], atol=1e-12)
     np.testing.assert_allclose(re2['T'], ra['T'], atol=1e-12)
 
-    for tag, res in (('A', ra), ('B', rb), ('D', rd)):
+    # config F: fresh init on the process-spanning X. random init draws
+    # the reference's host RNG stream (shape-only), so it must equal the
+    # single-controller fit exactly; the parent test pins that.
+    rf = nmf(Xg, k, mesh=mesh, max_iter=4, random_state=7, init='random',
+             compute_obj_each_iter=True, update_order='phase',
+             project_T_each_iter=True, t_row_sum=1.0)
+    # device NNDSVD on the global X ≡ the same jitted program on a
+    # local replica (reduction-order noise only)
+    from rri_nmf_tpu.initialization import initialize_nmf
+    Wi_g, Ti_g = initialize_nmf(Xg, k, 'nndsvd', random_state=5,
+                                svd_backend='jax')
+    Wi_l, Ti_l = initialize_nmf(np.asarray(X_full), k, 'nndsvd',
+                                random_state=5, svd_backend='jax')
+    np.testing.assert_allclose(Wi_g, Wi_l, atol=1e-10)
+    np.testing.assert_allclose(Ti_g, Ti_l, atol=1e-10)
+
+    for tag, res in (('A', ra), ('B', rb), ('D', rd), ('F', rf)):
         assert isinstance(res['W'], np.ndarray) and res['W'].shape == (n, k)
         assert np.isfinite(res['W']).all() and np.isfinite(res['T']).all()
         oh = res['obj_history']
@@ -119,7 +135,8 @@ def main():
     np.savez(os.path.join(outdir, 'result_%d.npz' % pid),
              WA=ra['W'], TA=ra['T'], ohA=np.asarray(ra['obj_history']),
              WB=rb['W'], TB=rb['T'], ohB=np.asarray(rb['obj_history']),
-             WD=rd['W'], TD=rd['T'], ohD=np.asarray(rd['obj_history']))
+             WD=rd['W'], TD=rd['T'], ohD=np.asarray(rd['obj_history']),
+             WF=rf['W'], TF=rf['T'], ohF=np.asarray(rf['obj_history']))
     with open(os.path.join(outdir, 'ok_%d.json' % pid), 'w') as f:
         json.dump({'rows': [int(lo), int(hi)]}, f)
     print('worker', pid, 'OK', flush=True)

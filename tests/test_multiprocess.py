@@ -72,7 +72,8 @@ def group_results(tmp_path_factory):
 
 def test_two_process_results_agree_bitwise(group_results):
     r0, r1 = group_results
-    for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB', 'WD', 'TD', 'ohD'):
+    for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB',
+                'WD', 'TD', 'ohD', 'WF', 'TF', 'ohF'):
         np.testing.assert_array_equal(np.asarray(r0[key]),
                                       np.asarray(r1[key]), err_msg=key)
 
@@ -106,3 +107,12 @@ def test_multiprocess_matches_single_controller(group_results):
     np.testing.assert_allclose(r0['WD'], rd['W'], atol=1e-10)
     np.testing.assert_allclose(r0['TD'], rd['T'], atol=1e-10)
     np.testing.assert_allclose(r0['ohD'], rd['obj_history'], rtol=1e-11)
+
+    # fresh random init on the process-spanning X draws the same host
+    # RNG stream as a single-controller fit
+    rf = nmf(X, k, max_iter=4, random_state=7, init='random',
+             compute_obj_each_iter=True, update_order='phase',
+             project_T_each_iter=True, t_row_sum=1.0)
+    np.testing.assert_allclose(r0['WF'], rf['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TF'], rf['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohF'], rf['obj_history'], rtol=1e-11)

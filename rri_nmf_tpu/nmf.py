@@ -120,29 +120,75 @@ class TrueObjComputer(object):
         self.wr = wr
         self.sparse = sparse
         self.obj = np.inf
-        n, d = X.csr.shape if hasattr(X, 'csr') else X.shape
-        if sparse and mesh is not None:
+        self._mesh = mesh
+        self._fn = self._make_fn(mesh)
+
+    def _make_fn(self, mesh=None):
+        n, d = self.X.csr.shape if hasattr(self.X, 'csr') else self.X.shape
+        if self.sparse and mesh is not None:
             from rri_nmf_tpu.parallel.sparse_mesh import \
                 make_sharded_sparse_objective
-            self._fn = make_sharded_sparse_objective(
-                mesh, reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
-                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
-        elif sparse:
+            return make_sharded_sparse_objective(
+                mesh, reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+        if self.sparse:
             from rri_nmf_tpu.ops.sweep_sparse import make_sparse_objective
-            self._fn = make_sparse_objective(
-                reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
-                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1)
-        else:
-            # blockwise residual accumulation when materializing W @ T
-            # would cost more than ~2 GB of temporaries
-            block_rows = 8192 if n * d * 4 > 2e9 and n > 8192 else None
-            self._fn = make_objective(
-                masked=Wm is not None, row_weighted=wr is not None,
-                reg_w_l2=reg_w_l2, reg_t_l2=reg_t_l2,
-                reg_w_l1=reg_w_l1, reg_t_l1=reg_t_l1,
-                block_rows=block_rows)
+            return make_sparse_objective(
+                reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+        # blockwise residual accumulation when materializing W @ T
+        # would cost more than ~2 GB of temporaries
+        block_rows = 8192 if n * d * 4 > 2e9 and n > 8192 else None
+        return make_objective(
+            masked=self.Wm is not None, row_weighted=self.wr is not None,
+            reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+            reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1,
+            block_rows=block_rows)
+
+    def __getstate__(self):
+        """Pickle support — the sklearn persistence contract: estimators
+        carry this object in their fitted state (``nmf_outputs``), so it
+        must survive ``pickle``/``joblib.dump``. The jitted kernel and
+        the mesh handle are dropped (rebuilt lazily, single-chip, on the
+        next :meth:`true_objective`); device members are host-gathered; a
+        single-device sparse BCOO X round-trips through a scipy COO."""
+        state = dict(self.__dict__)
+        state['_fn'] = None
+        state['_mesh'] = None
+        for key in ('W', 'T', 'Wm', 'wr'):
+            if isinstance(state.get(key), jax.Array):
+                state[key] = _to_host(state[key])
+        X = state.get('X')
+        if self.sparse:
+            from jax.experimental.sparse import BCOO
+            if isinstance(X, BCOO):
+                import scipy.sparse as _sp
+                idx = np.asarray(X.indices)
+                state['X'] = _sp.coo_matrix(
+                    (np.asarray(X.data), (idx[:, 0], idx[:, 1])),
+                    shape=X.shape)
+            elif not hasattr(X, 'tocsr'):
+                # mesh-partitioned COO structure: per-device handles
+                state['X'] = None
+        elif isinstance(X, jax.Array):
+            state['X'] = _to_host(X)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
 
     def true_objective(self):
+        if self._fn is None:   # restored from a pickle: rebuild lazily
+            if self.X is None:
+                raise ValueError(
+                    'this TrueObjComputer was pickled from a mesh-sharded '
+                    'sparse fit, whose per-device X cannot be serialized; '
+                    're-fit (or construct a new computer) to evaluate the '
+                    'objective')
+            if self.sparse and hasattr(self.X, 'tocsr'):
+                from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
+                self.X = to_bcoo(self.X)
+            self._fn = self._make_fn(self._mesh)
         if self.sparse:
             self.obj = float(self._fn(self.X, jnp.asarray(self.W),
                                       jnp.asarray(self.T)))

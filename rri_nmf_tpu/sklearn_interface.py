@@ -74,6 +74,18 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         self.T = T
         self.nmf_kwargs = nmf_kwargs
 
+    def __getstate__(self):
+        """Pickle/joblib support (the sklearn deployment contract): the
+        validation early-stop scorer :meth:`fit` creates is a local
+        closure over the held-out split and cannot pickle. It is an
+        ephemeral fit artifact — every ``fit`` call rebuilds it — so it
+        is dropped from the serialized state (``None`` after a load; the
+        fitted factors, scores, and ``nmf_outputs`` all persist)."""
+        state = dict(self.__dict__)
+        if callable(state.get('early_stop')):
+            state['early_stop'] = None
+        return state
+
     def sparsify(self):
         self.W = sp.csr_matrix(np.asarray(self.W)) if not sp.issparse(self.W) \
             else self.W.tocsr()

@@ -111,3 +111,57 @@ def test_nmf_kwargs_override_presets(recsys_train):
     # transform runs fix_T sweeps: accel is dropped, not an error
     W = E.transform(Xtr)
     assert np.isfinite(np.asarray(W)).all()
+
+
+def test_fitted_estimators_pickle_roundtrip(recsys_train):
+    """sklearn's persistence contract: fitted estimators must survive
+    pickle/joblib. The RS estimator's validation early-stop closure and
+    the obj_calculator's jitted kernel are both unpicklable fit
+    artifacts — __getstate__ drops/rebuilds them (the reference
+    estimator, which stores the same closure, cannot be pickled at
+    all)."""
+    import pickle
+
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 3, random_state=0, max_iter=4)
+    E.fit_from_Xtr(X)          # sets the RMSE_val closure + obj_calculator
+    E2 = pickle.loads(pickle.dumps(E))
+    np.testing.assert_array_equal(E2.W, E.W)
+    np.testing.assert_array_equal(E2.T, E.T)
+    assert E2.early_stop is None           # ephemeral; fit() rebuilds it
+    assert E2.nmf_outputs['obj_history'] == E.nmf_outputs['obj_history']
+    # the restored obj calculator rebuilds its jitted kernel lazily and
+    # reproduces the final tracked objective on the fitted factors
+    obj = E2.nmf_outputs['obj_calculator'].true_objective()
+    np.testing.assert_allclose(obj, E.nmf_outputs['obj_history'][-1],
+                               rtol=1e-10)
+    # predict/transform still work on the restored estimator
+    W = E2.transform(X)
+    assert np.isfinite(np.asarray(W)).all()
+    E2.fit_from_Xtr(X)   # refit rebuilds the early-stop closure
+    assert callable(E2.early_stop)
+
+    rng = np.random.RandomState(0)
+    Xd = np.abs(rng.rand(20, 3) @ rng.rand(3, 15))
+    M = NMF_TM_Estimator(20, 15, 3, random_state=0, max_iter=3).fit(Xd)
+    M2 = pickle.loads(pickle.dumps(M))
+    np.testing.assert_array_equal(M2.W, M.W)
+    np.testing.assert_array_equal(M2.T, M.T)
+
+
+def test_sparse_obj_calculator_pickles():
+    """TrueObjComputer from a sparse (BCOO) fit round-trips through a
+    scipy COO and reproduces the tracked objective after restore."""
+    import pickle
+
+    from rri_nmf_tpu.nmf import nmf
+
+    rng = np.random.RandomState(3)
+    Xs = sp.csr_matrix(np.abs(rng.rand(24, 18)) * (rng.rand(24, 18) < 0.4))
+    soln = nmf(Xs, 3, sparse=True, max_iter=3, random_state=0,
+               compute_obj_each_iter=True, update_order='phase',
+               reset_topic_method=None)
+    calc = pickle.loads(pickle.dumps(soln['obj_calculator']))
+    np.testing.assert_allclose(calc.true_objective(),
+                               soln['obj_history'][-1], rtol=1e-10)

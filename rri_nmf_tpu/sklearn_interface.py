@@ -180,27 +180,48 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         return soln['W']
 
     def make_Xpred(self):
+        """Materialize and cache the full clipped (n, d) prediction
+        matrix. Optional: :meth:`predict`/:meth:`score` gather per-pair
+        scores directly and only consult this cache when it exists —
+        call it explicitly when many full-matrix lookups are coming and
+        n*d comfortably fits in host memory."""
         if self.Xpred.size == 0:
             self.Xpred = np.clip(np.dot(self.W, self.T),
                                  a_min=self.min_rating,
                                  a_max=self.max_rating)
 
     def predict(self, X):
-        self.make_Xpred()
+        """Predicted ratings for (i, j) index pairs: ``clip((W·T)_ij)``.
+
+        Per-pair row/column gathers — O(q·k) for q pairs — instead of
+        the reference's full (n, d) ``Xpred`` materialization on every
+        call (reference ``sklearn_interface.py:158-170``; O(n·d·k)
+        flops and an n·d temporary, prohibitive at serving scale). A
+        cache built by :meth:`make_Xpred` is used when present.
+        """
         check_is_fitted(self, ['W', 'T'])
         X = check_array(X)
-        return self.Xpred[X[:, 0].astype(int), X[:, 1].astype(int)]
+        I = X[:, 0].astype(int)
+        J = X[:, 1].astype(int)
+        if self.Xpred.size > 0:
+            return self.Xpred[I, J]
+        Wq = self.W[I]
+        Tq = self.T[:, J]
+        Wq = Wq.toarray() if sp.issparse(Wq) else np.asarray(Wq)
+        Tq = Tq.toarray() if sp.issparse(Tq) else np.asarray(Tq)
+        return np.clip(np.einsum('qk,kq->q', Wq, Tq),
+                       self.min_rating, self.max_rating)
 
     def score(self, X, y=np.array([])):
         """RMSE of predictions (reference ``sklearn_interface.py:172-182``)."""
-        self.make_Xpred()
         if sp.issparse(X):
             X = X.toarray()
         if np.asarray(y).size > 0:
             yh = self.predict(X)
             return np.sqrt(np.mean((y - yh) ** 2))
         I, J = X.nonzero()
-        return np.sqrt(np.mean((X[I, J] - self.Xpred[I, J]) ** 2))
+        yh = self.predict(np.stack([I, J], axis=1))
+        return np.sqrt(np.mean((X[I, J] - yh) ** 2))
 
 
 class NMF_TM_Estimator(sklearn.base.BaseEstimator,

@@ -165,3 +165,29 @@ def test_sparse_obj_calculator_pickles():
     calc = pickle.loads(pickle.dumps(soln['obj_calculator']))
     np.testing.assert_allclose(calc.true_objective(),
                                soln['obj_history'][-1], rtol=1e-10)
+
+
+def test_predict_gather_matches_materialized(recsys_train):
+    """predict() gathers per-pair scores in O(q*k); it must agree with
+    the reference's full clip(W @ T) materialization — for dense AND
+    sparsified factors — and score() must be unchanged."""
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 3, random_state=0, max_iter=4)
+    E.fit_from_Xtr(X)
+    I, J = X.nonzero()
+    pairs = np.stack([I, J], axis=1)
+
+    gathered = E.predict(pairs)                      # Xpred cache empty
+    full = np.clip(np.dot(E.W, E.T), E.min_rating, E.max_rating)[I, J]
+    np.testing.assert_allclose(gathered, full, rtol=1e-12)
+    s1 = E.score(pairs, X[I, J])
+
+    E.sparsify()                                     # csr factors
+    np.testing.assert_allclose(E.predict(pairs), full, rtol=1e-12)
+    E.densify()
+
+    E.make_Xpred()                                   # cache fast path
+    assert E.Xpred.shape == (n, d)
+    np.testing.assert_allclose(E.predict(pairs), full, rtol=0)
+    np.testing.assert_allclose(E.score(pairs, X[I, J]), s1, rtol=1e-12)

@@ -40,8 +40,12 @@ soln = nmf(X, k, max_iter=30, random_state=0,
            compute_obj_each_iter=True)
 
 oh = soln['obj_history']
-print('objective %.4f -> %.4f over %d sweeps (monotone: %s)'
-      % (oh[0], oh[-1], len(oh), bool(np.all(np.diff(oh) <= 0))))
+# tolerance: on TPU a plain f32 dot is a single bf16 MXU pass, so late
+# near-converged sweeps can tick up by ~1e-6*obj0 (pass
+# matmul_precision='float32' for strictly monotone descent there)
+mono = bool(np.all(np.diff(oh) <= 1e-6 * abs(oh[0])))
+print('objective %.4f -> %.4f over %d sweeps (monotone to roundoff: %s)'
+      % (oh[0], oh[-1], len(oh), mono))
 W, T = soln['W'], soln['T']
 err = np.linalg.norm(X.toarray() - W @ T) / sp.linalg.norm(X)
 print('relative reconstruction error: %.4f' % err)

@@ -43,9 +43,12 @@ class NMFState:
     obj_tracked: bool = True
     # HER extrapolation state (nmf(accel='her')): dict with keys
     # Wy/Ty (extrapolated factors), beta (momentum), e (last accepted
-    # objective) — present iff the run that wrote the checkpoint was
-    # extrapolating, so a resumed HER run continues the momentum
-    # sequence exactly (resume ≡ straight run).
+    # objective), Wb/Tb/eb (best accepted iterate) — present iff the run
+    # that wrote the checkpoint was extrapolating, so a resumed HER run
+    # continues the momentum sequence AND the best-iterate selection
+    # exactly (resume ≡ straight run). Checkpoints written before
+    # best-iterate tracking lack Wb/Tb/eb; the driver seeds them from
+    # the checkpointed factors on restore.
     her: Optional[dict] = None
     # early-stopping comparison score (the driver's ``last_score``) as of
     # this checkpoint — restoring it keeps resumed ≡ straight for
@@ -74,7 +77,7 @@ class NMFState:
         if self.her is not None:
             # flattened so the sharded-restore abstract tree can give the
             # factor-shaped entries the run's W/T shardings
-            for k in ('Wy', 'Ty', 'beta', 'e'):
+            for k in sorted(self.her):
                 t['her_' + k] = self.her[k]
         if self.es_score is not None:
             t['es_score'] = np.asarray(self.es_score, np.float64)
@@ -86,9 +89,8 @@ class NMFState:
         key = jax.numpy.asarray(np.asarray(key, dtype=np.uint32))
         oh = np.asarray(tree['obj_history'])
         oh_len = int(tree.get('obj_history_len', oh.size))
-        her = None
-        if 'her_Wy' in tree:
-            her = {k: tree['her_' + k] for k in ('Wy', 'Ty', 'beta', 'e')}
+        her = {k[len('her_'):]: v for k, v in tree.items()
+               if k.startswith('her_')} or None
         return cls(
             W=tree['W'], T=tree['T'],
             iteration=int(tree['iteration']),

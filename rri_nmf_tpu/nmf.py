@@ -476,7 +476,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         objective check then runs as a GSPMD-distributed residual — each
         device holds only its tile).
         Per-iteration strict monotonicity of ``obj_history`` is
-        traded for rate (restart sweeps may tick up before recovering).
+        traded for rate (restart sweeps may tick up before recovering);
+        the RETURNED factors are the lowest-objective accepted iterate
+        (the paper's "output the solution with the lowest error"), so
+        the solution is never worse than the first — plain-BCD — sweep
+        even when an extrapolated sweep jumps to a worse basin of the
+        nonconvex landscape. ``obj_history`` stays the faithful
+        per-sweep record of the accepted sequence (its last entry may
+        exceed the returned solution's objective). Early-stop rollbacks
+        return their validation-selected iterate instead.
     accel_opts : dict, optional
         HER tuning knobs (Ang & Gillis 2019's per-problem parameters):
         ``gamma`` — momentum growth per accepted sweep (default 1.05);
@@ -1047,23 +1055,26 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         def _her_init(W, T):
             if not her_state:
                 her_state.update(
-                    Wy=W, Ty=T,
+                    Wy=W, Ty=T, Wb=W, Tb=T,
+                    eb=jnp.asarray(jnp.inf, _acc_dt),
                     beta=jnp.asarray(_opts['beta0'], jnp.float32),
                     e=jnp.asarray(jnp.inf, _acc_dt))
 
         def sweep_fn(X, W, T, key, resets_left, reset_key, *extras):
             _her_init(W, T)
-            W1, T1, Wy, Ty, b, e, key, resets_left = _her_step(
+            W1, T1, Wy, Ty, Wb, Tb, eb, b, e, key, resets_left = _her_step(
                 X, W, T, her_state['Wy'], her_state['Ty'],
+                her_state['Wb'], her_state['Tb'], her_state['eb'],
                 her_state['beta'], her_state['e'], key, resets_left,
                 reset_key, *extras)
-            her_state.update(Wy=Wy, Ty=Ty, beta=b, e=e)
+            her_state.update(Wy=Wy, Ty=Ty, Wb=Wb, Tb=Tb, eb=eb, beta=b, e=e)
             return W1, T1, key, resets_left
 
     def _her_ckpt_state():
         """Momentum state snapshot for checkpoints (None when accel off)."""
         if her_state:
-            return {k: her_state[k] for k in ('Wy', 'Ty', 'beta', 'e')}
+            return {k: her_state[k]
+                    for k in ('Wy', 'Ty', 'beta', 'e', 'Wb', 'Tb', 'eb')}
         return None
 
     key = jax.random.fold_in(jax.random.PRNGKey(random_state), 0)
@@ -1084,7 +1095,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _resumed = ckpt.restore(
             shardings={'W': W_dev.sharding, 'T': T_dev.sharding,
                        'her_Wy': W_dev.sharding,
-                       'her_Ty': T_dev.sharding})
+                       'her_Ty': T_dev.sharding,
+                       'her_Wb': W_dev.sharding,
+                       'her_Tb': T_dev.sharding})
         if _resumed is not None:
             logger.info('Resuming from checkpoint step %d',
                         _resumed.iteration)
@@ -1113,6 +1126,20 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                                          jnp.float32),
                         e=jnp.asarray(np.asarray(_resumed.her['e']),
                                       _acc_dt))
+                    if 'Wb' in _resumed.her:
+                        her_state.update(
+                            Wb=_as_run_layout(_resumed.her['Wb'], W_dev),
+                            Tb=_as_run_layout(_resumed.her['Tb'], T_dev),
+                            eb=jnp.asarray(np.asarray(_resumed.her['eb']),
+                                           _acc_dt))
+                    else:
+                        # checkpoint from before best-iterate tracking:
+                        # the checkpointed factors ARE the last accepted
+                        # iterate, whose objective is her['e']
+                        her_state.update(
+                            Wb=W_dev, Tb=T_dev,
+                            eb=jnp.asarray(np.asarray(_resumed.her['e']),
+                                           _acc_dt))
                 elif _resumed.iteration > 0:
                     logger.warning(
                         'Checkpoint at step %d carries no extrapolation '
@@ -1127,6 +1154,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # device->host snapshot per iteration — warn and deactivate
     _es_active = bool(early_stop) and (callable(early_stop)
                                        or compute_obj_each_iter)
+    _es_rolled_back = False
     if early_stop and not _es_active:
         logger.warning(
             'early_stop=%r scores from the tracked objective, but '
@@ -1215,11 +1243,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
                 def multi(X, W, T, key, resets_left, reset_key, *extras):
                     _her_init(W, T)
-                    W1, T1, Wy, Ty, b, e, key, resets_left = multi_h(
+                    (W1, T1, Wy, Ty, Wb, Tb, eb, b, e, key,
+                     resets_left) = multi_h(
                         X, W, T, her_state['Wy'], her_state['Ty'],
+                        her_state['Wb'], her_state['Tb'], her_state['eb'],
                         her_state['beta'], her_state['e'], key,
                         resets_left, reset_key, *extras)
-                    her_state.update(Wy=Wy, Ty=Ty, beta=b, e=e)
+                    her_state.update(Wy=Wy, Ty=Ty, Wb=Wb, Tb=Tb, eb=eb,
+                                     beta=b, e=e)
                     return W1, T1, key, resets_left
                 return multi
             if (mesh is not None and use_pallas) or sparse_mode:
@@ -1285,6 +1316,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             logger.info('Iter %d stopping score %.3f', iter_no, this_score)
             if this_score > last_score:  # STOP EARLY (nmf.py:391-403)
                 logger.info('Stopping early at iter %d', iter_no)
+                _es_rolled_back = True
                 W_dev = _from_host(W_prev, W_dev)
                 T_dev = _from_host(T_prev, T_dev)
                 obj_history = obj_history[:-1]
@@ -1378,6 +1410,20 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             break
 
     iter_cputime = [x - start_time for x in iter_cputime]
+
+    # ---- HER: return the lowest-objective accepted iterate ----------------
+    # (Ang & Gillis 2019's "output the solution with the lowest error":
+    # a sweep from an extrapolated point can jump to — and converge
+    # inside — a worse basin of the nonconvex landscape; seen on small
+    # simplex-projected problems, tests/test_fuzz.py.) obj_history stays
+    # the faithful per-sweep record of the accepted sequence; an
+    # early-stop rollback keeps its own validation-selected iterate.
+    if her_state and not _es_rolled_back:
+        if bool(her_state['eb'] < her_state['e']):
+            logger.info('HER: returning the best accepted iterate '
+                        '(objective %.6g < final %.6g)',
+                        float(her_state['eb']), float(her_state['e']))
+            W_dev, T_dev = her_state['Wb'], her_state['Tb']
 
     # ---- final W projection (reference nmf.py:519-529) --------------------
     if (not project_W_each_iter and w_row_sum is not None and not fix_W

@@ -23,6 +23,13 @@ The accepted iterates ``(W1, T1)`` are ordinary exact-BCD outputs (the
 extrapolated point only serves as the linearization point), so
 feasibility of the accepted sequence is preserved; monotonicity is
 enforced by the restart test itself, up to the one checked objective.
+The accepted sequence is still only monotone-ish: a sweep from an
+extrapolated point can land in (and then converge inside) a WORSE basin
+of the nonconvex landscape — observed on small simplex-projected
+problems (tests/test_fuzz.py). Following the paper's prescription to
+output the solution with the lowest error, the step also carries the
+best accepted iterate ``(Wb, Tb, eb)`` (two elementwise ``where``s per
+sweep, O(nk + kd)); the driver returns it when it beats the final one.
 
 The objective check uses an explicit blockwise residual, NOT the Gram
 identity ``||X||² - 2<WᵀX,T> + <G,G²>``: near the 1e-4 target the three
@@ -134,20 +141,27 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
 
 def _her_body(sweep_fn, obj_fn, gamma, beta_max):
     """One HER step: sweep from the extrapolated point, objective check,
-    extrapolate or restart. State: (W, T, Wy, Ty, beta, e_prev)."""
+    extrapolate or restart, track the best accepted iterate. State:
+    (W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev)."""
 
-    def step(X, W, T, Wy, Ty, beta, e_prev, key, resets_left, reset_key,
-             *extras):
+    def step(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets_left,
+             reset_key, *extras):
         W1, T1, key, resets_left = sweep_fn(
             X, Wy, Ty, key, resets_left, reset_key, *extras)
         e = obj_fn(X, W1, T1, *extras)
+        # lowest-objective accepted iterate (module docstring)
+        better = e < eb
+        Wb = jnp.where(better, W1, Wb)
+        Tb = jnp.where(better, T1, Tb)
+        eb = jnp.where(better, e, eb).astype(eb.dtype)
         ok = e <= e_prev
         b = jnp.where(ok, jnp.minimum(beta * gamma, beta_max),
                       beta * 0.5).astype(beta.dtype)
         bcast = b.astype(W1.dtype)
         Wy = jnp.where(ok, jnp.maximum(W1 + bcast * (W1 - W), 0), W1)
         Ty = jnp.where(ok, jnp.maximum(T1 + bcast * (T1 - T), 0), T1)
-        return W1, T1, Wy, Ty, b, e.astype(e_prev.dtype), key, resets_left
+        return (W1, T1, Wy, Ty, Wb, Tb, eb, b, e.astype(e_prev.dtype),
+                key, resets_left)
 
     return step
 
@@ -165,14 +179,14 @@ def make_her_multi(sweep_fn, obj_fn, nsweeps, gamma=1.05, beta_max=0.9999):
     the fori_loop."""
     step = _her_body(sweep_fn, obj_fn, gamma, beta_max)
 
-    def multi(X, W, T, Wy, Ty, beta, e_prev, key, resets_left, reset_key,
-              *extras):
+    def multi(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets_left,
+              reset_key, *extras):
         def body(i, c):
-            W, T, Wy, Ty, beta, e_prev, key, resets_left = c
-            return step(X, W, T, Wy, Ty, beta, e_prev, key, resets_left,
-                        reset_key, *extras)
+            W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets_left = c
+            return step(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key,
+                        resets_left, reset_key, *extras)
         return lax.fori_loop(
             0, nsweeps, body,
-            (W, T, Wy, Ty, beta, e_prev, key, resets_left))
+            (W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets_left))
 
     return jax.jit(multi)

@@ -190,3 +190,36 @@ def test_accel_opts_tuning_knobs():
         nmf(X, max_iter=2, accel='her', accel_opts=dict(nope=1.0), **KW)
     with pytest.raises(ValueError):
         nmf(X, max_iter=2, accel_opts=dict(gamma=1.1), **KW)
+
+
+def test_her_returns_best_accepted_iterate():
+    """An extrapolated sweep can jump to (and converge inside) a WORSE
+    basin on small simplex-projected problems — fuzz soak seeds 13/26:
+    the accepted sequence ends ~1% above its first sweep. Per Ang &
+    Gillis ("output the solution with the lowest error") the fit must
+    return the best accepted iterate, so the returned solution is never
+    worse than the first (plain-BCD) sweep."""
+    rng = np.random.RandomState(26)
+    n, d, k = int(rng.randint(20, 60)), int(rng.randint(15, 50)), 7
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(max_iter=6, random_state=26, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0,
+              reset_topic_method=None, project_T_each_iter=True,
+              t_row_sum=1.0, project_W_each_iter=True, w_row_sum=1.0,
+              reg_w_l2=0.01, reg_t_l2=0.01, init='smart_random',
+              accel='her')
+    soln = nmf(X, k, **kw)
+    oh = np.asarray(soln['obj_history'], float)
+    final = soln['obj_calculator'].true_objective()
+    tol = 1e-10 * max(1.0, abs(oh[0]))
+    assert final <= oh[0] + tol, (final, oh)
+    assert final <= oh.min() + tol, (final, oh)
+    # grouped dispatch tracks the same best iterate
+    kwg = dict(kw, compute_obj_each_iter=False, sweeps_per_dispatch=3)
+    kws = dict(kw, compute_obj_each_iter=False)
+    a = nmf(X, k, **kws)
+    b = nmf(X, k, **kwg)
+    assert np.allclose(a['W'], b['W'], atol=1e-12)
+    assert np.allclose(a['T'], b['T'], atol=1e-12)
+    # and the solutions agree with the tracked run's returned factors
+    assert np.allclose(a['W'], soln['W'], atol=1e-12)

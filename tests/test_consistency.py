@@ -160,66 +160,72 @@ def test_masked_sweep_matches_oracle_randomized():
     rank-2 residual bookkeeping, or reg x mask interactions — the class
     where both round-3 review bugs (phantom mass on padded/unobserved
     coordinates) lived."""
+    for seed in range(8):
+        masked_oracle_draw(seed)
+
+
+def masked_oracle_draw(seed):
+    """One masked differential draw (factored out so soak runs can sweep
+    arbitrary seed ranges — the in-suite test runs seeds 0..7)."""
     import jax
     import jax.numpy as jnp
 
     from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
 
-    for seed in range(8):
-        rng = np.random.RandomState(300 + seed)
-        n = int(rng.randint(20, 60))
-        d = int(rng.randint(15, 50))
-        k = int(rng.randint(2, 6))
-        X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
-        M = (rng.rand(n, d) < rng.choice([0.3, 0.6, 0.9])).astype(float)
-        W0 = np.abs(rng.rand(n, k))
-        T0 = np.abs(rng.rand(k, d))
+    rng = np.random.RandomState(300 + seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    k = int(rng.randint(2, 6))
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    M = (rng.rand(n, d) < rng.choice([0.3, 0.6, 0.9])).astype(float)
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
 
-        kw = {'t_row_sum': float(rng.choice([1.0, 2.0, 5.0]))
-              if rng.rand() < 0.8 else None}
-        if kw['t_row_sum'] and rng.rand() < 0.5:
-            kw['project_T_each_iter'] = True
+    kw = {'t_row_sum': float(rng.choice([1.0, 2.0, 5.0]))
+          if rng.rand() < 0.8 else None}
+    if kw['t_row_sum'] and rng.rand() < 0.5:
+        kw['project_T_each_iter'] = True
+    if rng.rand() < 0.4:
+        kw['w_row_sum'] = float(rng.choice([1.0, 3.0]))
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
         if rng.rand() < 0.4:
-            kw['w_row_sum'] = float(rng.choice([1.0, 3.0]))
-        for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
-            if rng.rand() < 0.4:
-                kw[r] = float(rng.choice([0.01, 0.1]))
-        # negative L1 promotes mass onto unobserved coordinates when the
-        # matching L2 keeps the denominator positive — the sign class the
-        # masked phantom-mass kernel bugs lived in
-        if rng.rand() < 0.3:
-            kw['reg_t_l1'] = -0.02
-            kw['reg_t_l2'] = max(kw.get('reg_t_l2', 0.0), 0.05)
+            kw[r] = float(rng.choice([0.01, 0.1]))
+    # negative L1 promotes mass onto unobserved coordinates when the
+    # matching L2 keeps the denominator positive — the sign class the
+    # masked phantom-mass kernel bugs lived in
+    if rng.rand() < 0.3:
+        kw['reg_t_l1'] = -0.02
+        kw['reg_t_l2'] = max(kw.get('reg_t_l2', 0.0), 0.05)
 
-        cfg = SweepConfig(
-            k=k, masked=True, reset_topic_method=None,
-            t_row_sum=kw.get('t_row_sum'),
-            w_row_sum=kw.get('w_row_sum'),
-            project_T_each_iter=kw.get('project_T_each_iter', False),
+    cfg = SweepConfig(
+        k=k, masked=True, reset_topic_method=None,
+        t_row_sum=kw.get('t_row_sum'),
+        w_row_sum=kw.get('w_row_sum'),
+        project_T_each_iter=kw.get('project_T_each_iter', False),
+        reg_w_l1=kw.get('reg_w_l1', 0.0),
+        reg_w_l2=kw.get('reg_w_l2', 0.0),
+        reg_t_l1=kw.get('reg_t_l1', 0.0),
+        reg_t_l2=kw.get('reg_t_l2', 0.0))
+    sweep = make_sweep(cfg)
+    key = jax.random.PRNGKey(0)
+    resets = jnp.asarray(0, jnp.int32)
+    Wj, Tj = jnp.asarray(W0), jnp.asarray(T0)
+    Wn, Tn = W0.copy(), T0.copy()
+    for it in range(3):
+        Wj, Tj, key, resets = sweep(jnp.asarray(X), Wj, Tj, key,
+                                    resets, key, jnp.asarray(M))
+        Wn, Tn = _numpy_masked_sweep(
+            X, M, Wn, Tn, kw.get('t_row_sum'),
+            reg_t_l1=kw.get('reg_t_l1', 0.0),
+            reg_t_l2=kw.get('reg_t_l2', 0.0),
             reg_w_l1=kw.get('reg_w_l1', 0.0),
             reg_w_l2=kw.get('reg_w_l2', 0.0),
-            reg_t_l1=kw.get('reg_t_l1', 0.0),
-            reg_t_l2=kw.get('reg_t_l2', 0.0))
-        sweep = make_sweep(cfg)
-        key = jax.random.PRNGKey(0)
-        resets = jnp.asarray(0, jnp.int32)
-        Wj, Tj = jnp.asarray(W0), jnp.asarray(T0)
-        Wn, Tn = W0.copy(), T0.copy()
-        for it in range(3):
-            Wj, Tj, key, resets = sweep(jnp.asarray(X), Wj, Tj, key,
-                                        resets, key, jnp.asarray(M))
-            Wn, Tn = _numpy_masked_sweep(
-                X, M, Wn, Tn, kw.get('t_row_sum'),
-                reg_t_l1=kw.get('reg_t_l1', 0.0),
-                reg_t_l2=kw.get('reg_t_l2', 0.0),
-                reg_w_l1=kw.get('reg_w_l1', 0.0),
-                reg_w_l2=kw.get('reg_w_l2', 0.0),
-                project_T_each_iter=kw.get('project_T_each_iter', False),
-                w_row_sum=kw.get('w_row_sum'))
-            assert np.allclose(np.array(Wj), Wn, atol=1e-10), \
-                (seed, kw, it)
-            assert np.allclose(np.array(Tj), Tn, atol=1e-10), \
-                (seed, kw, it)
+            project_T_each_iter=kw.get('project_T_each_iter', False),
+            w_row_sum=kw.get('w_row_sum'))
+        assert np.allclose(np.array(Wj), Wn, atol=1e-10), \
+            (seed, kw, it)
+        assert np.allclose(np.array(Tj), Tn, atol=1e-10), \
+            (seed, kw, it)
 
 
 def test_dp_noise_large_eps_close_to_clean():

@@ -94,18 +94,21 @@ def main():
         step = _her_body(sweep, obj_fn, 1.05, 0.9999)
 
         @jax.jit
-        def multi(X, W, T, Wy, Ty, beta, e, key, resets, rk, M):
+        def multi(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e, key, resets, rk, M):
             def body(i, c):
-                W, T, Wy, Ty, beta, e, key, resets = c
-                return step(X, W, T, Wy, Ty, beta, e, key, resets, rk, M)
-            return lax.fori_loop(0, G, body,
-                                 (W, T, Wy, Ty, beta, e, key, resets))
+                W, T, Wy, Ty, Wb, Tb, eb, beta, e, key, resets = c
+                return step(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e, key,
+                            resets, rk, M)
+            return lax.fori_loop(
+                0, G, body,
+                (W, T, Wy, Ty, Wb, Tb, eb, beta, e, key, resets))
         return multi
 
     beta = jnp.asarray(0.5, jnp.float32)
     e0 = jnp.asarray(jnp.inf, jnp.float32)
     res['her_ms'] = timed('her grouped', her_multi_of(obj),
-                          X, W0, T0, W0, T0, beta, e0, rk, resets, rk, M)
+                          X, W0, T0, W0, T0, W0, T0, e0, beta, e0, rk,
+                          resets, rk, M)
 
     # 3. objective alone, dispatched grouped (same pattern)
     @jax.jit
@@ -123,7 +126,7 @@ def main():
 
     res['her_stub_obj_ms'] = timed(
         'her, obj stubbed', her_multi_of(obj_stub),
-        X, W0, T0, W0, T0, beta, e0, rk, resets, rk, M)
+        X, W0, T0, W0, T0, W0, T0, e0, beta, e0, rk, resets, rk, M)
 
     res['note'] = ('overhead decomposition: her_ms - plain_ms should '
                    '~= obj_ms + (her_stub_obj_ms - plain_ms); grouped '

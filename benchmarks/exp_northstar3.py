@@ -70,13 +70,15 @@ def run(X, W0, T0, xnorm, her, label, inner_reps=4, max_sweeps=6000,
         multi = make_her_multi(sweep, obj_fn, CHECK)
     else:
         @jax.jit
-        def multi(X, W, T, Wy, Ty, beta, e_prev, key, resets, reset_key):
+        def multi(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets,
+                  reset_key):
             def body(i, c):
                 W, T, key, resets = c
                 return sweep(X, W, T, key, resets, reset_key)
             W, T, key, resets = jax.lax.fori_loop(
                 0, CHECK, body, (W, T, key, resets))
-            return W, T, W, T, beta, obj_fn(X, W, T), key, resets
+            e = obj_fn(X, W, T)
+            return W, T, W, T, W, T, e, beta, e, key, resets
 
     W = Wy = W0
     T = Ty = T0
@@ -84,8 +86,11 @@ def run(X, W0, T0, xnorm, her, label, inner_reps=4, max_sweeps=6000,
     e_prev = jnp.float32(np.inf)
     key = jax.random.PRNGKey(1)
     resets = jnp.asarray(0, jnp.int32)
-    out = multi(X, W, T, Wy, Ty, beta, e_prev, key, resets, rk)
-    float(out[5])
+    Wb, Tb = W, T
+    eb = jnp.float32(np.inf)
+    out = multi(X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key,
+                resets, rk)
+    float(out[8])
     print('[%s compiled]' % label, flush=True)
 
     t0 = time.perf_counter()
@@ -93,8 +98,8 @@ def run(X, W0, T0, xnorm, her, label, inner_reps=4, max_sweeps=6000,
     rel = np.inf
     hist = []
     while rel > tol and sweeps < max_sweeps:
-        W, T, Wy, Ty, beta, e_prev, key, resets = multi(
-            X, W, T, Wy, Ty, beta, e_prev, key, resets, rk)
+        W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets = multi(
+            X, W, T, Wy, Ty, Wb, Tb, eb, beta, e_prev, key, resets, rk)
         rel = float(np.sqrt(max(2.0 * float(e_prev), 0.0))) / xnorm
         sweeps += CHECK
         hist.append((sweeps, rel))

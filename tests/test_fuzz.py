@@ -110,3 +110,40 @@ def test_random_config_invariants(seed):
         assert np.allclose(T.sum(1), cfg['t_row_sum'], atol=1e-8), cfg
     if cfg.get('project_W_each_iter') and cfg.get('w_row_sum'):
         assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=1e-8), cfg
+
+
+def mesh_parity_draw(seed):
+    """One randomized mesh-parity draw: a driver-level fit with a random
+    supported config on a random mesh shape must match the single-device
+    fit (driver routing + shard_map kernels + padding/ghost-column
+    handling all under test). Callable standalone for soak runs."""
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(7000 + seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    cfg, masked = _sample_config(rng)
+    k = cfg.pop('k')
+    cfg.pop('sweeps_per_dispatch', None)   # covered by its own tests
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(max_iter=4, random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0)
+    if masked:
+        kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    kw.update(cfg)
+
+    mesh_shape = [(8, 1), (4, 2), (2, 4)][int(rng.randint(3))]
+    single = nmf(X, k, **kw)
+    sharded = nmf(X, k, mesh=make_mesh(8, mesh_shape=mesh_shape), **kw)
+    np.testing.assert_allclose(sharded['W'], single['W'], atol=1e-8,
+                               err_msg=str((cfg, mesh_shape)))
+    np.testing.assert_allclose(sharded['T'], single['T'], atol=1e-8,
+                               err_msg=str((cfg, mesh_shape)))
+    np.testing.assert_allclose(sharded['obj_history'],
+                               single['obj_history'], rtol=1e-8,
+                               err_msg=str((cfg, mesh_shape)))
+
+
+@pytest.mark.parametrize('seed', range(2))
+def test_random_config_mesh_parity(seed):
+    mesh_parity_draw(seed)

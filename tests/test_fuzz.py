@@ -147,3 +147,41 @@ def mesh_parity_draw(seed):
 @pytest.mark.parametrize('seed', range(2))
 def test_random_config_mesh_parity(seed):
     mesh_parity_draw(seed)
+
+
+def resume_parity_draw(seed, tmpdir):
+    """One randomized checkpoint draw: fit partway writing checkpoints,
+    resume from disk, and require the resumed run to reproduce the
+    straight run exactly — over the same config space as the invariant
+    fuzz (masked, projections, regs, resets, inner_reps, HER, inits).
+    Callable standalone for soak ranges."""
+    rng = np.random.RandomState(9000 + seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    cfg, masked = _sample_config(rng)
+    k = cfg.pop('k')
+    cfg.pop('sweeps_per_dispatch', None)   # grouped ckpt has its own tests
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0)
+    if masked:
+        kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    kw.update(cfg)
+
+    straight = nmf(X, k, max_iter=6, **kw)
+    ckdir = str(tmpdir) + '/ck%d' % seed
+    nmf(X, k, max_iter=4, checkpoint=ckdir, checkpoint_every=2, **kw)
+    resumed = nmf(X, k, max_iter=6, checkpoint=ckdir, checkpoint_every=2,
+                  **kw)
+    np.testing.assert_allclose(resumed['W'], straight['W'], atol=1e-12,
+                               err_msg=str(cfg))
+    np.testing.assert_allclose(resumed['T'], straight['T'], atol=1e-12,
+                               err_msg=str(cfg))
+    np.testing.assert_allclose(resumed['obj_history'][-2:],
+                               straight['obj_history'][-2:], rtol=1e-12,
+                               err_msg=str(cfg))
+
+
+@pytest.mark.parametrize('seed', range(2))
+def test_random_config_resume_parity(seed, tmp_path):
+    resume_parity_draw(seed, tmp_path)

@@ -87,38 +87,43 @@ def _qf_vector_np(numer, denom, s, ub):
 
 def _numpy_masked_sweep(X, M, W, T, t_row_sum=1.0, *, reg_t_l1=0.0,
                         reg_t_l2=0.0, reg_w_l1=0.0, reg_w_l2=0.0,
-                        project_T_each_iter=False, w_row_sum=None):
+                        project_T_each_iter=False, w_row_sum=None,
+                        fix_T=False, fix_W=False):
     """Definitional WRRI sweep: the per-topic residual is recomputed from
     scratch (reference nmf.py:687-714,735-746 semantics), NOT maintained
     incrementally. Oracle for the jitted kernel's rank-one bookkeeping,
     covering regularizers, the sum-to-s T-subproblem (rescale + drift
-    reprojection), and W upper bounds."""
+    reprojection), W upper bounds, and the fixed-factor inference paths
+    (``fix_T`` = the RS estimator's transform; the whole T branch incl.
+    scale transfer is skipped, reference nmf.py:417,460)."""
     k = W.shape[1]
     scale_transfer = (abs(reg_t_l1) + abs(reg_t_l2) + abs(reg_w_l1) +
                       abs(reg_w_l2)) == 0
     s_t = t_row_sum if project_T_each_iter else None
     for t in range(k):
-        w = W[:, t].copy()
-        Wz = W.copy()
-        Wz[:, t] = 0
-        Rt = M * (X - Wz @ T)
-        wR = w @ Rt
-        nw = (w * w) @ M
-        x, nt1 = _qf_vector_np(wR - reg_t_l1, nw + reg_t_l2,
-                               s_t, t_row_sum)
-        if scale_transfer:
-            W[:, t] *= nt1
-        T[t, :] = x
-        if t_row_sum and project_T_each_iter and \
-                abs(T[t].sum() - t_row_sum) > 1e-15:
-            T[t, :] = _proj_simplex_np(T[t], t_row_sum)
-        Wz = W.copy()
-        Wz[:, t] = 0
-        Rt = M * (X - Wz @ T)
-        Rw = Rt @ T[t]
-        nt = M @ (T[t] ** 2)
-        W[:, t], _ = _qf_vector_np(Rw - reg_w_l1, nt + reg_w_l2,
-                                   None, w_row_sum)
+        if not fix_T:
+            w = W[:, t].copy()
+            Wz = W.copy()
+            Wz[:, t] = 0
+            Rt = M * (X - Wz @ T)
+            wR = w @ Rt
+            nw = (w * w) @ M
+            x, nt1 = _qf_vector_np(wR - reg_t_l1, nw + reg_t_l2,
+                                   s_t, t_row_sum)
+            if scale_transfer:
+                W[:, t] *= nt1
+            T[t, :] = x
+            if t_row_sum and project_T_each_iter and \
+                    abs(T[t].sum() - t_row_sum) > 1e-15:
+                T[t, :] = _proj_simplex_np(T[t], t_row_sum)
+        if not fix_W:
+            Wz = W.copy()
+            Wz[:, t] = 0
+            Rt = M * (X - Wz @ T)
+            Rw = Rt @ T[t]
+            nt = M @ (T[t] ** 2)
+            W[:, t], _ = _qf_vector_np(Rw - reg_w_l1, nt + reg_w_l2,
+                                       None, w_row_sum)
     return W, T
 
 
@@ -196,12 +201,18 @@ def masked_oracle_draw(seed):
     if rng.rand() < 0.3:
         kw['reg_t_l1'] = -0.02
         kw['reg_t_l2'] = max(kw.get('reg_t_l2', 0.0), 0.05)
+    # fixed-factor inference paths (fix_T = the RS estimator's transform)
+    # — drawn LAST so earlier seeds' configs are unchanged
+    _r = rng.rand()
+    kw['fix_T'] = bool(_r < 0.25)
+    kw['fix_W'] = bool(0.25 <= _r < 0.4)
 
     cfg = SweepConfig(
         k=k, masked=True, reset_topic_method=None,
         t_row_sum=kw.get('t_row_sum'),
         w_row_sum=kw.get('w_row_sum'),
         project_T_each_iter=kw.get('project_T_each_iter', False),
+        fix_T=kw['fix_T'], fix_W=kw['fix_W'],
         reg_w_l1=kw.get('reg_w_l1', 0.0),
         reg_w_l2=kw.get('reg_w_l2', 0.0),
         reg_t_l1=kw.get('reg_t_l1', 0.0),
@@ -221,7 +232,8 @@ def masked_oracle_draw(seed):
             reg_w_l1=kw.get('reg_w_l1', 0.0),
             reg_w_l2=kw.get('reg_w_l2', 0.0),
             project_T_each_iter=kw.get('project_T_each_iter', False),
-            w_row_sum=kw.get('w_row_sum'))
+            w_row_sum=kw.get('w_row_sum'),
+            fix_T=kw['fix_T'], fix_W=kw['fix_W'])
         assert np.allclose(np.array(Wj), Wn, atol=1e-10), \
             (seed, kw, it)
         assert np.allclose(np.array(Tj), Tn, atol=1e-10), \

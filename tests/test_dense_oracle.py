@@ -48,36 +48,44 @@ def _qf_scalar(w, c, s, ub):
 def _numpy_dense_sweep(X, W, T, *, reg_w_l1=0.0, reg_w_l2=0.0,
                        reg_t_l1=0.0, reg_t_l2=0.0,
                        project_T_each_iter=False, t_row_sum=None,
-                       w_row_sum=None):
-    """Reference-semantics interleaved sweep with per-topic GEMVs."""
+                       w_row_sum=None, fix_T=False, fix_W=False):
+    """Reference-semantics interleaved sweep with per-topic GEMVs.
+    ``fix_T``/``fix_W`` skip that factor's whole branch (incl. the scale
+    transfer, which belongs to the T update) — the estimators' transform
+    paths (reference nmf.py:417,460)."""
     k = W.shape[1]
     scale_transfer = (abs(reg_w_l1) + abs(reg_w_l2) + abs(reg_t_l1) +
                       abs(reg_t_l2)) == 0
     s_t = t_row_sum if project_T_each_iter else None
     for t in range(k):
-        # T-phase: naive per-topic contraction (reference nmf.py:670-676)
-        w = W[:, t]
-        wX = w @ X
-        wW = w @ W
-        wW[t] = 0.0
-        wR = wX - wW @ T
-        nw = w @ w
-        x, nt1 = _qf_scalar(-(wR - reg_t_l1), nw + reg_t_l2, s_t, t_row_sum)
-        if scale_transfer:
-            W[:, t] = W[:, t] * nt1
-        T[t, :] = x
-        if t_row_sum and project_T_each_iter and \
-                abs(T[t].sum() - t_row_sum) > 1e-15:
-            T[t, :] = _proj_simplex(T[t], t_row_sum)
-        # W-phase (reference nmf.py:729-734)
-        trow = T[t]
-        Xt = X @ trow
-        Tt = T @ trow
-        Tt[t] = 0.0
-        Rt = Xt - W @ Tt
-        nt = trow @ trow
-        x, _ = _qf_scalar(-(Rt - reg_w_l1), nt + reg_w_l2, None, w_row_sum)
-        W[:, t] = x
+        if not fix_T:
+            # T-phase: naive per-topic contraction (reference
+            # nmf.py:670-676)
+            w = W[:, t]
+            wX = w @ X
+            wW = w @ W
+            wW[t] = 0.0
+            wR = wX - wW @ T
+            nw = w @ w
+            x, nt1 = _qf_scalar(-(wR - reg_t_l1), nw + reg_t_l2, s_t,
+                                t_row_sum)
+            if scale_transfer:
+                W[:, t] = W[:, t] * nt1
+            T[t, :] = x
+            if t_row_sum and project_T_each_iter and \
+                    abs(T[t].sum() - t_row_sum) > 1e-15:
+                T[t, :] = _proj_simplex(T[t], t_row_sum)
+        if not fix_W:
+            # W-phase (reference nmf.py:729-734)
+            trow = T[t]
+            Xt = X @ trow
+            Tt = T @ trow
+            Tt[t] = 0.0
+            Rt = Xt - W @ Tt
+            nt = trow @ trow
+            x, _ = _qf_scalar(-(Rt - reg_w_l1), nt + reg_w_l2, None,
+                              w_row_sum)
+            W[:, t] = x
     return W, T
 
 
@@ -160,12 +168,18 @@ def test_dense_sweep_matches_oracle_randomized(seed):
     # constrained; exercise the concave branch there
     if kw.get('t_row_sum') and rng.rand() < 0.3:
         kw['reg_t_l2'] = -0.05
+    # fixed-factor inference paths (fix_T = the TM estimator's transform)
+    # — drawn LAST so earlier seeds' configs are unchanged
+    _r = rng.rand()
+    kw['fix_T'] = bool(_r < 0.25)
+    kw['fix_W'] = bool(0.25 <= _r < 0.4)
 
     cfg = SweepConfig(k=k, reset_topic_method=None,
                       project_T_each_iter=kw.get('project_T_each_iter',
                                                  False),
                       t_row_sum=kw.get('t_row_sum'),
                       w_row_sum=kw.get('w_row_sum'),
+                      fix_T=kw['fix_T'], fix_W=kw['fix_W'],
                       reg_w_l1=kw.get('reg_w_l1', 0.0),
                       reg_w_l2=kw.get('reg_w_l2', 0.0),
                       reg_t_l1=kw.get('reg_t_l1', 0.0),

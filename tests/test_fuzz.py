@@ -51,21 +51,31 @@ def _sample_config(rng):
     # tick the objective up, so the monotone invariant is relaxed)
     if cfg.get('reset_topic_method') is None and rng.rand() < 0.4:
         cfg['accel'] = 'her'
+    # row weighting engages the sqrt(w_row) pre-scale + recursive fixed-T
+    # W re-fit (reference nmf.py:335-344,531-539); drawn LAST so earlier
+    # seeds' configs are unchanged. The appended re-fit history tracks a
+    # DIFFERENT objective (unscaled X), so monotone checks don't apply.
+    cfg['_draw_w_row'] = (not masked and rng.rand() < 0.15)
     return cfg, masked
 
 
-@pytest.mark.parametrize('seed', range(12))
-def test_random_config_invariants(seed):
+def invariant_draw(seed):
+    """One randomized invariant draw (finiteness, non-negativity,
+    monotone descent / boundedness, feasibility). Callable standalone
+    for soak ranges (benchmarks/soak_fuzz.py)."""
     rng = np.random.RandomState(seed)
     n = int(rng.randint(20, 60))
     d = int(rng.randint(15, 50))
     cfg, masked = _sample_config(rng)
     k = cfg.pop('k')
+    w_row_drawn = cfg.pop('_draw_w_row', False)
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(max_iter=6, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
     if masked:
         kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    if w_row_drawn:
+        kw['w_row'] = rng.rand(n) * 0.9 + 0.1
     kw.update(cfg)
 
     soln = nmf(X, k, **kw)
@@ -75,6 +85,11 @@ def test_random_config_invariants(seed):
     assert W.min() >= -1e-12 and T.min() >= -1e-12, cfg
     oh = np.asarray(soln['obj_history'], dtype=float)
     assert np.all(np.isfinite(oh)), cfg
+    if w_row_drawn:
+        # obj_history splices the recursive W re-fit's history, which
+        # tracks a DIFFERENT objective (unscaled X, reference
+        # nmf.py:531-539) — only finiteness/non-negativity apply
+        return
     tol = 1e-10 * max(1.0, abs(oh[0]))
     if cfg.get('accel') == 'her':
         # extrapolated sweeps may jump to a worse basin (the accepted
@@ -112,6 +127,11 @@ def test_random_config_invariants(seed):
         assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=1e-8), cfg
 
 
+@pytest.mark.parametrize('seed', range(12))
+def test_random_config_invariants(seed):
+    invariant_draw(seed)
+
+
 def mesh_parity_draw(seed):
     """One randomized mesh-parity draw: a driver-level fit with a random
     supported config on a random mesh shape must match the single-device
@@ -125,11 +145,14 @@ def mesh_parity_draw(seed):
     cfg, masked = _sample_config(rng)
     k = cfg.pop('k')
     cfg.pop('sweeps_per_dispatch', None)   # covered by its own tests
+    w_row_drawn = cfg.pop('_draw_w_row', False)
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(max_iter=4, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
     if masked:
         kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    if w_row_drawn:
+        kw['w_row'] = rng.rand(n) * 0.9 + 0.1
     kw.update(cfg)
 
     mesh_shape = [(8, 1), (4, 2), (2, 4)][int(rng.randint(3))]
@@ -161,11 +184,14 @@ def resume_parity_draw(seed, tmpdir):
     cfg, masked = _sample_config(rng)
     k = cfg.pop('k')
     cfg.pop('sweeps_per_dispatch', None)   # grouped ckpt has its own tests
+    w_row_drawn = cfg.pop('_draw_w_row', False)
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
     if masked:
         kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    if w_row_drawn:
+        kw['w_row'] = rng.rand(n) * 0.9 + 0.1
     kw.update(cfg)
 
     straight = nmf(X, k, max_iter=6, **kw)

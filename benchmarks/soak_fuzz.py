@@ -61,6 +61,7 @@ def _draws():
         'invariants': test_fuzz.invariant_draw,
         'mesh': test_fuzz.mesh_parity_draw,
         'resume': resume,
+        'sparse': test_fuzz.sparse_parity_draw,
         'masked_oracle': test_consistency.masked_oracle_draw,
         'dense_oracle': test_dense_oracle.test_dense_sweep_matches_oracle_randomized,
     }
@@ -69,8 +70,8 @@ def _draws():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--draw', required=True,
-                    choices=['invariants', 'mesh', 'resume', 'masked_oracle',
-                             'dense_oracle', 'all'])
+                    choices=['invariants', 'mesh', 'resume', 'sparse',
+                             'masked_oracle', 'dense_oracle', 'all'])
     ap.add_argument('--seeds', nargs=2, type=int, metavar=('START', 'END'),
                     help='half-open seed range [START, END)')
     ap.add_argument('--seed-list', nargs='+', type=int,

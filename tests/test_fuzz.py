@@ -172,6 +172,78 @@ def test_random_config_mesh_parity(seed):
     mesh_parity_draw(seed)
 
 
+def sparse_parity_draw(seed):
+    """One randomized sparse-vs-dense differential draw: a driver fit on
+    scipy-sparse X (BCOO sweep, or the tile-bucketed MXU chunk kernel,
+    optionally mesh-sharded) must match the dense fit on the same matrix —
+    same math, different X representation, so only contraction-order
+    roundoff may differ. Samples the sparse-viable config space (phase
+    order, no resets/mask/w_row — the driver enforces it) crossed with
+    projections, regularizers, inits, inner_reps, and grouped dispatch.
+    Callable standalone for soak ranges (benchmarks/soak_fuzz.py)."""
+    import scipy.sparse
+
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(11000 + seed)
+    n = int(rng.randint(40, 100))
+    d = int(rng.randint(30, 80))
+    k = int(rng.choice([2, 4, 7]))
+    density = 0.15 + 0.25 * rng.rand()
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d))
+    X[rng.rand(n, d) >= density] = 0.0
+
+    cfg = {}
+    if rng.rand() < 0.5:
+        cfg['project_T_each_iter'] = True
+        cfg['t_row_sum'] = 1.0
+    if rng.rand() < 0.5:
+        cfg['project_W_each_iter'] = True
+        cfg['w_row_sum'] = 1.0
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+        if rng.rand() < 0.3:
+            cfg[r] = float(rng.choice([0.01, 0.1]))
+    if rng.rand() < 0.4:
+        cfg['inner_reps'] = int(rng.choice([2, 3]))
+    if rng.rand() < 0.3:
+        cfg['sweeps_per_dispatch'] = 3
+    if rng.rand() < 0.4:
+        # nndsvd-family inits run sklearn's randomized_svd, which takes the
+        # sparse matrix directly — bit-different from the dense input only
+        # at matmul roundoff, absorbed by the 1e-8 parity tolerance
+        cfg['init'] = str(rng.choice(
+            ['random', 'smart_random', 'nndsvd', 'nndsvda']))
+    mode = ['auto', True, 'mxu'][int(rng.randint(3))]
+    mesh = None
+    if mode in (True, 'mxu') and rng.rand() < 0.35:
+        # tp > 1 composes with sparse mode only without the T-row simplex
+        # projection (the row must be device-local to sort)
+        shapes = [(8, 1)] if cfg.get('project_T_each_iter') \
+            else [(8, 1), (4, 2)]
+        mesh = make_mesh(8, mesh_shape=shapes[int(rng.randint(len(shapes)))])
+
+    kw = dict(max_iter=5, random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0,
+              reset_topic_method=None, update_order='phase')
+    kw.update(cfg)
+    dense = nmf(X, k, **kw)
+    sp = nmf(scipy.sparse.csr_matrix(X), k, sparse=mode,
+             mesh=mesh, **kw)
+    ctx = str((cfg, mode, mesh is not None and mesh.devices.shape))
+    np.testing.assert_allclose(sp['W'], dense['W'], atol=1e-8, err_msg=ctx)
+    np.testing.assert_allclose(sp['T'], dense['T'], atol=1e-8, err_msg=ctx)
+    np.testing.assert_allclose(sp['obj_history'], dense['obj_history'],
+                               rtol=1e-7, err_msg=ctx)
+    oh = np.asarray(sp['obj_history'], dtype=float)
+    assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))) \
+        or cfg.get('project_W_each_iter'), ctx
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_random_config_sparse_parity(seed):
+    sparse_parity_draw(seed)
+
+
 def resume_parity_draw(seed, tmpdir):
     """One randomized checkpoint draw: fit partway writing checkpoints,
     resume from disk, and require the resumed run to reproduce the

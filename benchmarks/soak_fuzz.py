@@ -62,6 +62,7 @@ def _draws():
         'mesh': test_fuzz.mesh_parity_draw,
         'resume': resume,
         'sparse': test_fuzz.sparse_parity_draw,
+        'stepped': test_fuzz.stepped_parity_draw,
         'masked_oracle': test_consistency.masked_oracle_draw,
         'dense_oracle': test_dense_oracle.test_dense_sweep_matches_oracle_randomized,
     }
@@ -71,7 +72,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--draw', required=True,
                     choices=['invariants', 'mesh', 'resume', 'sparse',
-                             'masked_oracle', 'dense_oracle', 'all'])
+                             'stepped', 'masked_oracle', 'dense_oracle',
+                             'all'])
     ap.add_argument('--seeds', nargs=2, type=int, metavar=('START', 'END'),
                     help='half-open seed range [START, END)')
     ap.add_argument('--seed-list', nargs='+', type=int,

@@ -283,3 +283,48 @@ def resume_parity_draw(seed, tmpdir):
 @pytest.mark.parametrize('seed', range(2))
 def test_random_config_resume_parity(seed, tmp_path):
     resume_parity_draw(seed, tmp_path)
+
+
+def stepped_parity_draw(seed):
+    """One randomized warm-start stepping draw: a fit split into random
+    chunks, each warm-started from the previous chunk's factors via
+    ``W_in``/``T_in``, must reproduce the straight run exactly — the
+    documented ``one_iter`` composition contract (reference
+    ``sklearn_interface.py:284-314``), here over the fuzz config space.
+    This exercises the warm-start validation/projection path, which the
+    resume fuzz never touches (checkpoint restore places device state
+    directly). Stateful features whose state does NOT thread through a
+    bare warm start are excluded: topic resets (budget + reset RNG
+    restart per call), HER (momentum restarts), w_row (each chunk would
+    splice its own recursive re-fit). Callable standalone for soak
+    ranges (benchmarks/soak_fuzz.py)."""
+    rng = np.random.RandomState(13000 + seed)
+    n = int(rng.randint(20, 60))
+    d = int(rng.randint(15, 50))
+    cfg, masked = _sample_config(rng)
+    k = cfg.pop('k')
+    cfg.pop('_draw_w_row', None)
+    cfg['reset_topic_method'] = None
+    cfg.pop('fix_reset_seed', None)
+    cfg.pop('accel', None)
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0)
+    if masked:
+        kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
+    kw.update(cfg)
+
+    straight = nmf(X, k, max_iter=6, **kw)
+    chunks = [[2, 4], [3, 3], [1, 2, 3], [2, 2, 2]][int(rng.randint(4))]
+    W_in, T_in = [], []
+    for c in chunks:
+        soln = nmf(X, k, max_iter=c, W_in=W_in, T_in=T_in, **kw)
+        W_in, T_in = soln['W'], soln['T']
+    ctx = str((cfg, chunks))
+    np.testing.assert_allclose(W_in, straight['W'], atol=1e-12, err_msg=ctx)
+    np.testing.assert_allclose(T_in, straight['T'], atol=1e-12, err_msg=ctx)
+
+
+@pytest.mark.parametrize('seed', range(2))
+def test_random_config_stepped_parity(seed):
+    stepped_parity_draw(seed)

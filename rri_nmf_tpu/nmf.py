@@ -1225,6 +1225,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 'tracking (grouped dispatch); obj_history restarts empty, '
                 'so the universal stopping condition behaves as from a '
                 'fresh start.', _resumed.iteration)
+        if compute_obj_each_iter and universal_stopping_condition(
+                obj_history, eps_stop=eps_stop):
+            # A straight run evaluates the stopping predicate at the END
+            # of each iteration and breaks there; the restored history may
+            # already satisfy it (the writing run kept checkpointing up to
+            # its max_iter). Without this check a resumed run would sweep
+            # once more before noticing — and at an exactly-flat fixed
+            # point one extra sweep can hop between tied solutions
+            # (duplicate topics), breaking resumed ≡ straight (found by
+            # the resume-parity fuzz, seed 76).
+            logger.info('STOPPING on restore: the restored obj_history '
+                        'already meets the stopping condition')
+            start_iter = max_iter
 
     # ---- grouped fast path: many sweeps per dispatch ----------------------
     group = int(sweeps_per_dispatch)

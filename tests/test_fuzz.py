@@ -221,6 +221,10 @@ def sparse_parity_draw(seed):
         shapes = [(8, 1)] if cfg.get('project_T_each_iter') \
             else [(8, 1), (4, 2)]
         mesh = make_mesh(8, mesh_shape=shapes[int(rng.randint(len(shapes)))])
+    # the manual-DMA chunk kernel (single-device only) — drawn LAST so
+    # earlier seeds' configs are unchanged
+    if mode == 'mxu' and mesh is None and rng.rand() < 0.25:
+        mode = 'dma'
 
     kw = dict(max_iter=5, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0,
@@ -283,6 +287,17 @@ def resume_parity_draw(seed, tmpdir):
 @pytest.mark.parametrize('seed', range(2))
 def test_random_config_resume_parity(seed, tmp_path):
     resume_parity_draw(seed, tmp_path)
+
+
+def test_resume_stops_where_straight_stopped(tmp_path):
+    """Soak find (resume seed 76): the fit reaches an EXACTLY flat
+    objective, so the straight run breaks on the universal stopping
+    condition at the end of iteration 4 — and the resumed run must not
+    sweep once more before noticing (at the tie-degenerate fixed point,
+    duplicate uniform topics, one extra sweep hops to an equal-objective
+    solution with a different active topic). Pins the on-restore
+    stopping-condition check in the driver."""
+    resume_parity_draw(76, tmp_path)
 
 
 def stepped_parity_draw(seed):

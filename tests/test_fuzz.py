@@ -330,6 +330,16 @@ def stepped_parity_draw(seed):
     kw.update(cfg)
 
     straight = nmf(X, k, max_iter=6, **kw)
+    if len(straight['obj_history']) < 6:
+        # the straight run stopped on the universal condition (with
+        # eps_stop=0 that means an EXACTLY flat objective). Chunked
+        # warm-start fits restart obj_history per call — same as the
+        # reference's one_iter — so they legitimately keep sweeping past
+        # the flat point, and at a tie-degenerate fixed point one more
+        # sweep can hop between equal-objective solutions (see
+        # test_resume_stops_where_straight_stopped). No parity contract
+        # to assert on this draw.
+        return
     chunks = [[2, 4], [3, 3], [1, 2, 3], [2, 2, 2]][int(rng.randint(4))]
     W_in, T_in = [], []
     for c in chunks:

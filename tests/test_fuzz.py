@@ -279,6 +279,9 @@ def resume_parity_draw(seed, tmpdir):
                                err_msg=str(cfg))
     np.testing.assert_allclose(resumed['T'], straight['T'], atol=1e-12,
                                err_msg=str(cfg))
+    # equal lengths: the resumed run must also STOP where the straight run
+    # stopped (the seed-76 overshoot fix), not just land on matching factors
+    assert len(resumed['obj_history']) == len(straight['obj_history']), cfg
     np.testing.assert_allclose(resumed['obj_history'][-2:],
                                straight['obj_history'][-2:], rtol=1e-12,
                                err_msg=str(cfg))

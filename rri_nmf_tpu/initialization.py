@@ -343,9 +343,11 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
     if init == 'smart_random':
         if isinstance(X, jax.Array) and not X.is_fully_addressable:
             avg = np.sqrt(_global_mean(X) / n_components)
+        elif hasattr(X, 'mean') and hasattr(X, 'tocoo'):
+            # scipy-sparse: native all-entries mean, no densify
+            avg = np.sqrt(float(X.mean()) / n_components)
         else:
-            X_host = np.asarray(X.toarray() if hasattr(X, 'toarray') else X)
-            avg = np.sqrt(X_host.mean() / n_components)
+            avg = np.sqrt(np.asarray(X).mean() / n_components)
         rng = np.random.RandomState(random_state) \
             if not isinstance(random_state, np.random.RandomState) \
             else random_state
@@ -415,7 +417,9 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
     def _mean_x():
         if isinstance(X, jax.Array) and not X.is_fully_addressable:
             return _global_mean(X)
-        return np.asarray(X.toarray() if hasattr(X, 'toarray') else X).mean()
+        if hasattr(X, 'mean') and hasattr(X, 'tocoo'):
+            return float(X.mean())  # scipy-sparse: no densify
+        return np.asarray(X).mean()
 
     if init == 'nndsvda':
         avg = _mean_x()

@@ -108,7 +108,7 @@ class TrueObjComputer(object):
     """
 
     def __init__(self, X, W, T, reg_w_l2, reg_t_l2, reg_w_l1, reg_t_l1,
-                 Wm, wr, sparse=False, mesh=None):
+                 Wm, wr, sparse=False, masked_sparse=False, mesh=None):
         self.X = X
         self.W = W
         self.T = T
@@ -119,11 +119,26 @@ class TrueObjComputer(object):
         self.Wm = Wm
         self.wr = wr
         self.sparse = sparse
+        # X is a MaskedCOOPlan: the masked objective touches only the
+        # observed entries (ops/sweep_masked_sparse.py)
+        self.masked_sparse = masked_sparse
         self.obj = np.inf
         self._mesh = mesh
         self._fn = self._make_fn(mesh)
 
     def _make_fn(self, mesh=None):
+        if getattr(self, 'masked_sparse', False):
+            if mesh is not None:
+                from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+                    make_sharded_masked_sparse_objective
+                return make_sharded_masked_sparse_objective(
+                    mesh, reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                    reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+            from rri_nmf_tpu.ops.sweep_masked_sparse import \
+                make_masked_sparse_objective
+            return make_masked_sparse_objective(
+                reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
         n, d = self.X.csr.shape if hasattr(self.X, 'csr') else self.X.shape
         if self.sparse and mesh is not None:
             from rri_nmf_tpu.parallel.sparse_mesh import \
@@ -159,7 +174,19 @@ class TrueObjComputer(object):
             if isinstance(state.get(key), jax.Array):
                 state[key] = _to_host(state[key])
         X = state.get('X')
-        if self.sparse:
+        if getattr(self, 'masked_sparse', False):
+            from rri_nmf_tpu.ops.sweep_masked_sparse import MaskedCOOPlan
+            if isinstance(X, MaskedCOOPlan):
+                # host tuple form; rebuilt lazily on the next evaluation
+                state['X'] = ('masked_coo',
+                              np.asarray(X.rows), np.asarray(X.cols),
+                              np.asarray(X.x_vals), np.asarray(X.m_vals),
+                              X.shape, X.nnz)
+            else:
+                # mesh-partitioned observation blocks: not serialized
+                # (same contract as the mesh sparse case below)
+                state['X'] = None
+        elif self.sparse:
             from jax.experimental.sparse import BCOO
             if isinstance(X, BCOO):
                 import scipy.sparse as _sp
@@ -185,11 +212,21 @@ class TrueObjComputer(object):
                     'sparse fit, whose per-device X cannot be serialized; '
                     're-fit (or construct a new computer) to evaluate the '
                     'objective')
+            if getattr(self, 'masked_sparse', False) \
+                    and isinstance(self.X, tuple) \
+                    and self.X and self.X[0] == 'masked_coo':
+                from rri_nmf_tpu.ops.sweep_masked_sparse import \
+                    MaskedCOOPlan
+                _, r, c, x, m, shape, nnz = self.X
+                self.X = MaskedCOOPlan(
+                    rows=jnp.asarray(r), cols=jnp.asarray(c),
+                    x_vals=jnp.asarray(x), m_vals=jnp.asarray(m),
+                    shape=shape, nnz=nnz)
             if self.sparse and hasattr(self.X, 'tocsr'):
                 from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
                 self.X = to_bcoo(self.X)
             self._fn = self._make_fn(self._mesh)
-        if self.sparse:
+        if self.sparse or getattr(self, 'masked_sparse', False):
             self.obj = float(self._fn(self.X, jnp.asarray(self.W),
                                       jnp.asarray(self.T)))
             return self.obj
@@ -247,11 +284,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         and afterwards W is re-fit against the unscaled X with T fixed
         (10 extra fixed-T iterations, reference ``nmf.py:531-539``).
         None (default) weights all rows equally.
-    W_mat : array_like or None, optional
+    W_mat : array_like, scipy sparse matrix, or None, optional
         (n, d) entrywise weight/mask matrix (WRRI, Ho's Alg. 10) —
         typically the binary observed-entry mask of a recommender
         problem. Engages the masked sweep with per-coordinate vector
-        denominators. None (default) = unweighted.
+        denominators. A **scipy-sparse** ``W_mat`` engages the
+        observed-entries sweep (:mod:`rri_nmf_tpu.ops.sweep_masked_sparse`):
+        the mask, X's observed values, and the carried residual live as
+        O(nnz) COO vectors — the beyond-HBM recommender path (the dense
+        n×d arrays never exist; O(nnz·k) per sweep). Restrictions there:
+        no ``w_row``, no ``store_gradients``, resets limited to
+        ``'random'``/None (``'max_resid_document'`` scans the full
+        unmasked residual and is auto-disabled with a log), and
+        ``accel='her'`` is unsupported. None (default) = unweighted.
     fix_W, fix_T : bool, optional
         Freeze that factor; only the other is updated (used by
         ``transform``: a few fixed-T sweeps solve for W on new data).
@@ -555,6 +600,47 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         update_order = 'phase'
 
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
+
+    # ---- sparse-mask WRRI mode (ops/sweep_masked_sparse.py): a
+    # scipy-sparse W_mat keeps the observed set as COO end to end —
+    # O(nnz) memory and O(nnz·k) work per sweep, vs the dense masked
+    # path's O(nd) arrays (and the reference's O(ndk²) sweep,
+    # nmf.py:687-746). The recommender pillar's beyond-HBM path.
+    masked_sparse = (W_mat is not None and hasattr(W_mat, 'tocoo')
+                     and hasattr(W_mat, 'toarray'))
+    if masked_sparse:
+        if w_row is not None:
+            raise NotImplementedError(
+                'w_row with a scipy-sparse W_mat is not supported: the '
+                'row weighting pre-scales X on the host and re-fits W '
+                'against the unscaled dense X; scale the observed values '
+                'by sqrt(w_row) yourself or pass a dense W_mat')
+        if store_gradients:
+            raise ValueError(
+                'store_gradients needs the dense masked sweep (the '
+                'stored numerators are dense d-vectors built from the '
+                'dense residual); pass a dense W_mat')
+        if reset_topic_method == 'max_resid_document':
+            logger.info("sparse-mask mode: reset_topic_method="
+                        "'max_resid_document' scans the full unmasked "
+                        "residual, which has no O(nnz) form; disabling "
+                        "resets (pass 'random' to keep budgeted resets)")
+            reset_topic_method = None
+        if mesh is not None and mesh.devices.shape[1] != 1:
+            raise ValueError(
+                'sparse-mask mode shards observations by row blocks; use '
+                'an (n_devices, 1) mesh (the T-phase d-vectors are '
+                'replicated)')
+        if mesh is not None and reset_topic_method == 'random':
+            raise ValueError(
+                "sparse-mask mesh sweeps support reset_topic_method=None "
+                "only (a 'random' reset draws a global (n,) column "
+                'stream); run single-device for the transform preset')
+        if mesh is not None and w_row_sum is not None \
+                and not np.isscalar(w_row_sum):
+            raise ValueError('sparse-mask mesh sweeps do not support a '
+                             'per-row w_row_sum vector')
+
     sparse_mode = False
     _viable = (W_mat is None and w_row is None and not store_gradients
                and not (eps_gauss_t and delta_gauss_t))
@@ -630,9 +716,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 'and run the W re-fit explicitly')
         if not np.issubdtype(np.dtype(X.dtype), np.floating):
             raise ValueError('process-spanning X must be floating point')
-    if _is_sp and not sparse_mode:
+    if _is_sp and not sparse_mode and not masked_sparse:
         X = X.toarray()
-    if not sparse_mode and not _X_global:
+    if masked_sparse and _is_sp:
+        # X stays scipy-sparse: only its values at observed coordinates
+        # ever reach the device (plan_masked_coo)
+        if not np.issubdtype(X.dtype, np.floating):
+            X = X.astype(np.float64)
+    elif not sparse_mode and not _X_global:
         X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
             np.asarray(X).dtype, np.floating) else None)
         X = np.asarray(X)
@@ -771,7 +862,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # still distributed along every divisible axis. Sparse mesh plans pad
     # internally, so they are always "aligned" here.
     _mesh_aligned = True
-    if mesh is not None and not sparse_mode:
+    if mesh is not None and not sparse_mode and not masked_sparse:
         _dp_sz, _tp_sz = mesh.devices.shape
         _mesh_aligned = (n % _dp_sz == 0) and (d % _tp_sz == 0)
         if not _mesh_aligned:
@@ -794,7 +885,21 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             s_W = NamedSharding(mesh, _P(_row_ax, None))
             s_T = NamedSharding(mesh, _P(None, _col_ax))
         _put = _place  # multi-controller-safe device_put
-        if sparse_mode:
+        if masked_sparse:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+                partition_masked_coo
+            # observations row-partitioned per device; W rides the row
+            # axis when it divides (the sweep pads/reshards internally
+            # otherwise); T replicated (tp == 1 enforced above)
+            X_dev = partition_masked_coo(X, W_mat, mesh, np.dtype(dtype))
+            _dp_ax = mesh.axis_names[0]
+            s_W = NamedSharding(
+                mesh, PartitionSpec(
+                    _dp_ax if n % mesh.devices.shape[0] == 0 else None,
+                    None))
+            s_T = NamedSharding(mesh, PartitionSpec())
+        elif sparse_mode:
             # beyond-HBM scale path: per-device COO blocks, factors in the
             # canonical mesh layouts (parallel/sparse_mesh.py). n/d need
             # not divide the mesh: the sweep zero-pads and constrains the
@@ -819,6 +924,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         elif sparse_mode and mxu_mode:
             from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
             X_dev = plan_sparse_matrix(X, np.dtype(dtype))
+        elif masked_sparse:
+            from rri_nmf_tpu.ops.sweep_masked_sparse import plan_masked_coo
+            # the observed set crosses the (slow) host->device link as
+            # O(nnz) coordinate/value vectors; dense X/W_mat never exist
+            X_dev = plan_masked_coo(X, W_mat, np.dtype(dtype))
         elif sparse_mode:
             from rri_nmf_tpu.ops.sweep_sparse import to_bcoo
             # On-device densify policy (sparse='auto' only — sparse=True
@@ -868,7 +978,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         T_dev = jnp.asarray(T, dtype=dtype)
     extras = []
     Wm_dev = wr_obj_dev = None
-    if masked:
+    if masked and not masked_sparse:
         Wm_dev = W_mat if _is_global_array(W_mat) \
             else jnp.asarray(W_mat, dtype=dtype)
         if Wm_dev.dtype != dtype:
@@ -907,6 +1017,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     cfg = SweepConfig(
         k=k, fix_W=fix_W, fix_T=fix_T, masked=masked,
+        masked_sparse=masked_sparse,
         project_T_each_iter=project_T_each_iter,
         project_W_each_iter=project_W_each_iter,
         t_row_sum=float(t_row_sum) if t_row_sum is not None else None,
@@ -979,6 +1090,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.parallel.sparse_mesh import \
             make_sharded_sparse_sweep
         sweep_fn = make_sharded_sparse_sweep(cfg, mesh)
+        use_pallas = False
+    elif masked_sparse and mesh is not None:
+        from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+            make_sharded_masked_sparse_sweep
+        sweep_fn = make_sharded_masked_sparse_sweep(cfg, mesh)
+        use_pallas = False
+    elif masked_sparse:
+        from rri_nmf_tpu.ops.sweep_masked_sparse import \
+            make_masked_sparse_sweep
+        sweep_fn = make_masked_sparse_sweep(cfg)
         use_pallas = False
     elif sparse_mode:
         from rri_nmf_tpu.ops.sweep_sparse import make_sparse_sweep
@@ -1194,7 +1315,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                               W_dev, T_dev, reg_w_l1=reg_w_l1,
                               reg_t_l2=reg_t_l2, reg_w_l2=reg_w_l2,
                               reg_t_l1=reg_t_l1, Wm=Wm_dev, wr=wr_obj_dev,
-                              sparse=sparse_mode, mesh=mesh)
+                              sparse=sparse_mode,
+                              masked_sparse=masked_sparse, mesh=mesh)
 
     # callbacks see the host X (the scipy matrix itself when the input was
     # sparse — including the on-device-densified path, where the host
@@ -1266,9 +1388,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                                      beta=b, e=e)
                     return W1, T1, key, resets_left
                 return multi
-            if (mesh is not None and use_pallas) or sparse_mode:
-                # the sharded shard_map and sparse sweeps aren't covered by
-                # make_multi_sweep's registry; wrap them per fit
+            if (mesh is not None and use_pallas) or sparse_mode \
+                    or masked_sparse:
+                # the sharded shard_map, sparse, and sparse-mask sweeps
+                # aren't covered by make_multi_sweep's registry; wrap
+                # them per fit
                 if g not in _mesh_pallas_multis:
                     def multi(X, W, T, key, resets_left, reset_key,
                               *extras, _g=g):
@@ -1514,7 +1638,23 @@ def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
     """
     W = T = None
     if np.prod(np.shape(W_in)) == 0 or np.prod(np.shape(T_in)) == 0:
-        X_init = W_mat * X if W_mat is not None else X
+        if W_mat is None:
+            X_init = X
+        elif hasattr(W_mat, 'tocoo'):
+            # scipy-sparse mask: `W_mat * X` would be a matrix PRODUCT;
+            # init on the elementwise-masked matrix. Kept sparse only
+            # when the dense form is genuinely large (the NNDSVD
+            # family's randomized_svd takes sparse natively): below ~2 GB
+            # it is densified so the init is BITWISE the dense masked
+            # path's — NNDSVD's positive/negative section picks are
+            # discrete and can flip on near-ties between the sparse and
+            # dense BLAS paths, which would make small sparse-mask fits
+            # differ from dense-mask fits for no user-visible reason.
+            X_init = W_mat.multiply(X).tocsr()
+            if X_init.shape[0] * X_init.shape[1] * 8 <= 2e9:
+                X_init = np.asarray(X_init.toarray())
+        else:
+            X_init = W_mat * X
         if _is_global_array(X_init):
             # no host can materialize X: the random/smart_random draws
             # need only shape / a replicated mean, and the SVD family

@@ -59,6 +59,7 @@ def supports_her(cfg) -> bool:
     both masked sweeps rebuild their residual carry from (X, W, T) at
     sweep start, so sweeping from the extrapolated point is exact."""
     return (cfg.reset_topic_method is None
+            and not cfg.masked_sparse  # residual obj streams dense X
             and not cfg.store_gradients
             and cfg.dp_sigma is None)
 

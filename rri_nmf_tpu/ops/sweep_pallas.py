@@ -266,6 +266,7 @@ def supports_pallas(cfg) -> bool:
     ``reset_topic_method='random'`` (a reset rebuilds the residual —
     rare, and exactly the XLA sweep's semantics)."""
     return (cfg.masked
+            and not cfg.masked_sparse  # dense-mask streaming kernel only
             and (cfg.reset_topic_method is None or cfg.fix_T)
             and not cfg.store_gradients
             and cfg.dp_sigma is None

@@ -81,6 +81,10 @@ class SweepConfig:
     fix_W: bool = False
     fix_T: bool = False
     masked: bool = False
+    # the mask/observed set is a COO plan (O(nnz) memory) instead of a
+    # dense n×d array — the sweep runs ops/sweep_masked_sparse.py and X
+    # is a MaskedCOOPlan, not an array (implies masked=True)
+    masked_sparse: bool = False
     project_T_each_iter: bool = False
     project_W_each_iter: bool = False
     t_row_sum: Optional[float] = None

@@ -58,7 +58,7 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
 
     def __init__(self, n, d, k, wr1=0, tr1=0, random_state=0,
                  W=np.array([]), T=np.array([]), max_iter=30, nmf_kwargs={},
-                 use_validation_early_stopping=True):
+                 use_validation_early_stopping=True, sparse_obs='auto'):
         self.n = n
         self.d = d
         self.k = k
@@ -73,6 +73,11 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         self.W = W
         self.T = T
         self.nmf_kwargs = nmf_kwargs
+        # 'auto' keeps the observed set as scipy-sparse COO (O(nnz)
+        # memory end to end — the sparse-mask WRRI sweep) when the dense
+        # (n, d) form would be large; True/False force. The reference
+        # ALWAYS densifies (sklearn_interface.py:78-102).
+        self.sparse_obs = sparse_obs
 
     def __getstate__(self):
         """Pickle/joblib support (the sklearn deployment contract): the
@@ -98,43 +103,85 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
         if sp.issparse(self.T):
             self.T = self.T.toarray()
 
+    def _use_sparse_obs(self):
+        """Resolve the ``sparse_obs`` mode: explicit bool, or 'auto' =
+        sparse once the dense (n, d) float64 form passes ~2 GB (below
+        that the dense masked sweep's MXU GEMMs win; above it the
+        O(nnz) path is the only one that scales)."""
+        if isinstance(self.sparse_obs, (bool, np.bool_)):
+            return bool(self.sparse_obs)
+        return self.n * self.d * 8 > 2e9
+
+    def _coo_matrices(self, I, J, R):
+        """(ratings, binary mask) as CSR from observation triples —
+        the O(nnz) stand-in for the reference's dense scatter
+        (``sklearn_interface.py:78-102``). Duplicate pairs sum ratings
+        (scipy COO semantics, same as the dense scatter); the mask
+        stays binary."""
+        ratings = sp.coo_matrix((R.astype(np.float64), (I, J)),
+                                shape=(self.n, self.d)).tocsr()
+        mask = sp.coo_matrix((np.ones(len(I)), (I, J)),
+                             shape=(self.n, self.d)).tocsr()
+        mask.data[:] = 1.0
+        return ratings, mask
+
     def fit(self, X, y=None):
         """Fit from ``X`` = (n_obs, 2) index pairs, ``y`` = ratings
-        (reference ``sklearn_interface.py:59-128``)."""
+        (reference ``sklearn_interface.py:59-128``).
+
+        With ``sparse_obs`` resolved True the observed set stays scipy
+        COO end to end and the driver runs the O(nnz) sparse-mask WRRI
+        sweep — dense (n, d) arrays never exist on host or device."""
         X, y = check_X_y(X, y)
 
         self.min_rating = np.min(y)
         self.max_rating = np.max(y)
 
-        from rri_nmf_tpu import native
-
+        use_sparse = self._use_sparse_obs()
         if self.use_validation_early_stopping:
             UItr, UIval, Rtr, Rval = train_test_split(
                 X, y, test_size=0.05, random_state=0, stratify=None)
-            # one-pass parallel scatter (C++/OpenMP when built; the
-            # reference materializes scipy COO matrices here,
-            # sklearn_interface.py:78-83)
-            Xtr, W_mat_tr = native.coo_to_dense_mask(
-                UItr[:, 0], UItr[:, 1], Rtr, self.n, self.d)
-            Xtr = Xtr.astype(np.float64)
-            Xv, _ = native.coo_to_dense_mask(
-                UIval[:, 0], UIval[:, 1], Rval, self.n, self.d)
-            Xv = Xv.astype(np.float64)
+            if use_sparse:
+                Xtr, W_mat_tr = self._coo_matrices(
+                    UItr[:, 0], UItr[:, 1], Rtr)
+            else:
+                from rri_nmf_tpu import native
+                # one-pass parallel scatter (C++/OpenMP when built; the
+                # reference materializes scipy COO matrices here,
+                # sklearn_interface.py:78-83)
+                Xtr, W_mat_tr = native.coo_to_dense_mask(
+                    UItr[:, 0], UItr[:, 1], Rtr, self.n, self.d)
+                Xtr = Xtr.astype(np.float64)
+                W_mat_tr = np.asarray(W_mat_tr, dtype=np.float64)
+
+            # gather-based validation RMSE: O(q·k) per early-stop check
+            # instead of the reference's full clipped W·T (O(ndk) and an
+            # n×d temporary per iteration, sklearn_interface.py:85-93).
+            # Zero ratings are dropped to match the reference's
+            # ``Xv.nonzero()`` exactly.
+            _vnz = np.asarray(Rval) != 0
+            Iv = UIval[_vnz, 0].astype(int)
+            Jv = UIval[_vnz, 1].astype(int)
+            Rv = np.asarray(Rval, dtype=np.float64)[_vnz]
 
             def RMSE_val(X_ignored, W, T):
-                I, J = Xv.nonzero()
-                Xpred = np.clip(np.dot(W, T), self.min_rating,
-                                self.max_rating)
-                return np.sqrt(np.mean((Xpred[I, J] - Xv[I, J]) ** 2))
+                W = np.asarray(W)
+                T = np.asarray(T)
+                pred = np.clip(np.einsum('qk,kq->q', W[Iv], T[:, Jv]),
+                               self.min_rating, self.max_rating)
+                return np.sqrt(np.mean((pred - Rv) ** 2))
 
             self.early_stop = RMSE_val
         else:
             self.early_stop = False
-            Xtr, W_mat_tr = native.coo_to_dense_mask(
-                X[:, 0], X[:, 1], y, self.n, self.d)
-            Xtr = Xtr.astype(np.float64)
-
-        W_mat_tr = np.asarray(W_mat_tr, dtype=np.float64)
+            if use_sparse:
+                Xtr, W_mat_tr = self._coo_matrices(X[:, 0], X[:, 1], y)
+            else:
+                from rri_nmf_tpu import native
+                Xtr, W_mat_tr = native.coo_to_dense_mask(
+                    X[:, 0], X[:, 1], y, self.n, self.d)
+                Xtr = Xtr.astype(np.float64)
+                W_mat_tr = np.asarray(W_mat_tr, dtype=np.float64)
 
         W_in = self.W if np.asarray(self.W).size > 0 else []
         T_in = self.T if np.asarray(self.T).size > 0 else []
@@ -164,10 +211,17 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
 
     def transform(self, Xnew):
         """Express ``Xnew`` in terms of the learned topics: a few fixed-T
-        masked sweeps (reference ``sklearn_interface.py:144-156``)."""
-        W_mat_tr = np.zeros(Xnew.shape)
-        Itr, Jtr = Xnew.nonzero()
-        W_mat_tr[Itr, Jtr] = 1
+        masked sweeps (reference ``sklearn_interface.py:144-156``).
+        SciPy-sparse ``Xnew`` stays sparse: the mask is built as COO and
+        the driver runs the O(nnz) sparse-mask sweep."""
+        if sp.issparse(Xnew):
+            W_mat_tr = Xnew.tocsr().copy()
+            W_mat_tr.eliminate_zeros()   # match dense nonzero() semantics
+            W_mat_tr.data = np.ones_like(W_mat_tr.data)
+        else:
+            W_mat_tr = np.zeros(Xnew.shape)
+            Itr, Jtr = Xnew.nonzero()
+            W_mat_tr[Itr, Jtr] = 1
 
         soln = nmf(Xnew, self.k, **_merged(
             dict(max_iter=4, max_time=7200,

@@ -53,21 +53,35 @@ def umass_coherence(X_counts, T, top_n=10, eps=1.0):
     log((D(w_i, w_j) + eps) / D(w_j))`` where D counts documents containing
     the word(s). Standard topic-quality metric (Mimno et al. 2011); the
     BASELINE 20-Newsgroups config reports it alongside reconstruction.
+
+    SciPy-sparse count matrices stay sparse: only the k·top_n occurrence
+    COLUMNS the pair counts touch are materialized (length-n bool
+    vectors), never the n×d matrix — corpus-scale coherence costs
+    O(k·top_n·n), not O(nd).
     """
-    X = _dense(X_counts) > 0                # (docs, words) occurrence
     T = np.asarray(T)
     k = T.shape[0]
+    _sparse = hasattr(X_counts, 'tocsc')
+    Xc = X_counts.tocsc() if _sparse else (_dense(X_counts) > 0)
+    col_cache = {}
+
+    def occ_col(j):
+        if j not in col_cache:
+            col_cache[j] = (np.asarray(
+                Xc[:, j].todense()).ravel() > 0) if _sparse else Xc[:, j]
+        return col_cache[j]
+
     scores = []
     for t in range(k):
         top = np.argsort(-T[t])[:top_n]
         pair_scores = []
         for a in range(1, len(top)):
             for b in range(a):
-                wi, wj = top[a], top[b]
-                d_j = X[:, wj].sum()
+                wi, wj = occ_col(top[a]), occ_col(top[b])
+                d_j = wj.sum()
                 if d_j == 0:
                     continue
-                d_ij = np.logical_and(X[:, wi], X[:, wj]).sum()
+                d_ij = np.logical_and(wi, wj).sum()
                 pair_scores.append(np.log((d_ij + eps) / d_j))
         if pair_scores:
             scores.append(np.mean(pair_scores))

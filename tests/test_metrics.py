@@ -74,3 +74,19 @@ def test_metrics_accept_scipy_sparse():
     cs = umass_coherence(Xs, T, top_n=4)
     cd = umass_coherence(Xd, T, top_n=4)
     assert np.isclose(cs, cd)
+
+
+def test_score_all_sparse_matches_dense(text_train):
+    """score_all on scipy-sparse X (no densify, VERDICT r3 weak #4)
+    matches the dense evaluation."""
+    import scipy.sparse as sp
+    from rri_nmf_tpu.sklearn_interface import NMF_TM_Estimator
+    X = text_train
+    n, d = X.shape
+    M = NMF_TM_Estimator(n, d, 4, random_state=0, max_iter=5).fit(X)
+    counts = (X > 0).astype(float)
+    dense = M.score_all(X, X_counts=counts)
+    sparse = M.score_all(sp.csr_matrix(X),
+                         X_counts=sp.csr_matrix(counts))
+    for key in dense:
+        assert np.isclose(sparse[key], dense[key], rtol=1e-8), key

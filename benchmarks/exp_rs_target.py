@@ -1,0 +1,108 @@
+"""Round 4: BASELINE #3 at its TARGET shape (VERDICT r3 item 3).
+
+MovieLens-1M-class: 6040 users × 3952 items, 1M observed ratings, k=40.
+End-to-end ``NMF_RS_Estimator`` fits with the current fast paths (fused
+masked Pallas sweep, device-side early stopping, gather predict), the
+HER-accelerated variant, the fused fix_T transform, and the reference
+NumPy loop's per-sweep wall-clock on the SAME data.
+
+Writes benchmarks/results_round4_baseline_rs.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from rri_nmf_tpu.sklearn_interface import NMF_RS_Estimator
+    from run_baselines import _numpy_masked_sweep, _synth_ratings
+
+    n, d, k, n_obs = 6040, 3952, 40, 1_000_000
+    X = _synth_ratings(n, d, n_obs, 8)
+    I, J = X.nonzero()
+    R = X[I, J]
+    pairs = np.stack([I, J], axis=1)
+    # 90/10 train/test split over observations
+    rng = np.random.RandomState(1)
+    test = rng.rand(len(R)) < 0.1
+    tr, te = ~test, test
+
+    results = {'config': 'baseline3_movielens_class_%dx%d_%dobs_k%d'
+                         % (n, d, n_obs, k),
+               'note': 'synthetic MovieLens-1M stand-in at the TARGET '
+                       'shape (BASELINE.md #3); real dataset unavailable '
+                       '(zero egress)',
+               'device': str(jax.devices()[0]),
+               'n_train_obs': int(tr.sum()), 'n_test_obs': int(te.sum())}
+
+    # ---- end-to-end estimator fit (early stopping on) -------------------
+    est = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30)
+    t0 = time.perf_counter()
+    est.fit(pairs[tr], R[tr])
+    fit_s = time.perf_counter() - t0
+    iters = len(est.nmf_outputs['obj_history'])
+    train_rmse = est.score(pairs[tr], R[tr])
+    test_rmse = est.score(pairs[te], R[te])
+    results['fit'] = {'seconds': fit_s, 'iterations': iters,
+                      'train_rmse': float(train_rmse),
+                      'test_rmse': float(test_rmse)}
+    print('fit: %.1fs / %d iters, train %.4f test %.4f'
+          % (fit_s, iters, train_rmse, test_rmse), flush=True)
+
+    # ---- HER-accelerated fit --------------------------------------------
+    est_h = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30,
+                             nmf_kwargs=dict(accel='her'))
+    t0 = time.perf_counter()
+    est_h.fit(pairs[tr], R[tr])
+    fit_h = time.perf_counter() - t0
+    results['fit_her'] = {
+        'seconds': fit_h,
+        'iterations': len(est_h.nmf_outputs['obj_history']),
+        'train_rmse': float(est_h.score(pairs[tr], R[tr])),
+        'test_rmse': float(est_h.score(pairs[te], R[te]))}
+    print('HER fit: %.1fs, test %.4f'
+          % (fit_h, results['fit_her']['test_rmse']), flush=True)
+
+    # ---- transform (fused fix_T masked inference) on the test slice -----
+    Xte = np.zeros((n, d))
+    Xte[I[te], J[te]] = R[te]
+    est.transform(Xte[:512])                       # warm the 512-row jit
+    t0 = time.perf_counter()
+    W_new = est.transform(Xte[:512])
+    tr_s = time.perf_counter() - t0
+    results['transform_512_rows_seconds'] = tr_s
+    assert np.isfinite(W_new).all()
+    print('transform(512 rows): %.2fs' % tr_s, flush=True)
+
+    # ---- reference NumPy loop on the same data ---------------------------
+    Xtr = np.zeros((n, d))
+    Xtr[I[tr], J[tr]] = R[tr]
+    M = (Xtr > 0).astype(float)
+    W0 = np.abs(np.random.RandomState(0).rand(n, k))
+    T0 = np.abs(np.random.RandomState(1).rand(k, d))
+    t0 = time.perf_counter()
+    _numpy_masked_sweep(Xtr, M, W0.copy(), T0.copy(), t_row_sum=5.0)
+    ref_sweep_s = time.perf_counter() - t0
+    results['reference_numpy_per_sweep_seconds'] = ref_sweep_s
+    results['reference_numpy_estimated_fit_seconds'] = ref_sweep_s * iters
+    results['speedup_fit_wall'] = ref_sweep_s * iters / fit_s
+    print('reference: %.1fs/sweep -> est. %.0fs for %d iters (%.0fx)'
+          % (ref_sweep_s, ref_sweep_s * iters, iters,
+             results['speedup_fit_wall']), flush=True)
+
+    path = os.path.join(os.path.dirname(__file__),
+                        'results_round4_baseline_rs.json')
+    with open(path, 'w') as f:
+        json.dump(results, f, indent=1)
+    print('wrote', path, flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -62,30 +62,23 @@ def main():
 
     # objective-tracked fit (per-sweep O(nnz k) objective included)
     t0 = time.perf_counter()
-    soln = nmf(X, k, max_iter=15, compute_obj_each_iter=True, **common)
+    soln = nmf(X, k, max_iter=10, compute_obj_each_iter=True, **common)
     fit_s = time.perf_counter() - t0
     oh = soln['obj_history']
     W, T = soln['W'], soln['T']
     print('fit: %.1fs, obj %.4g -> %.4g' % (fit_s, oh[0], oh[-1]),
           flush=True)
 
-    # per-sweep rate without objective work: grouped-dispatch differencing
-    common2 = dict(common)
-    common2.update(W_in=W, T_in=T)
-    n_short, n_long = 2, 8
-    t0 = time.perf_counter()
-    nmf(X, k, max_iter=n_short, sweeps_per_dispatch=n_short, **common2)
-    cold_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    nmf(X, k, max_iter=n_short, sweeps_per_dispatch=n_short, **common2)
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    soln2 = nmf(X, k, max_iter=n_long, sweeps_per_dispatch=n_short,
-                **common2)
-    t_long = time.perf_counter() - t0
-    per_sweep = (t_long - t_short) / (n_long - n_short)
-    print('per-sweep %.3fs (short %.1fs long %.1fs cold %.1fs)'
-          % (per_sweep, t_short, t_long, cold_s), flush=True)
+    # per-sweep rate without objective work: per-iteration dispatch
+    # stamps from a warm-started short fit (ONE extra program — the
+    # earlier grouped-dispatch differencing compiled three, which
+    # tripped a TPU-worker crash at this scale)
+    soln2 = nmf(X, k, max_iter=6, W_in=W, T_in=T, **common)
+    stamps = soln2['iter_cputime']
+    per_sweep = (stamps[-1] - stamps[0]) / (len(stamps) - 1)
+    cold_s = float(stamps[0])
+    print('per-sweep %.3fs (first-dispatch %.1fs)'
+          % (per_sweep, cold_s), flush=True)
 
     # observed-entry RMSE, gathered host-side in chunks (never n×d)
     W2 = np.asarray(soln2['W'])
@@ -109,7 +102,7 @@ def main():
         'nnz': int(M.nnz),
         'plan_bytes_approx': int(M.nnz * 16),
         'gen_seconds': gen_s,
-        'fit_15_sweeps_with_objective_seconds': fit_s,
+        'fit_10_sweeps_with_objective_seconds': fit_s,
         'obj_history': [float(v) for v in oh],
         'monotone': bool(np.all(np.diff(oh) <= 0)),
         'per_sweep_seconds': per_sweep,

@@ -134,11 +134,27 @@ class TrueObjComputer(object):
                 return make_sharded_masked_sparse_objective(
                     mesh, reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
                     reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+            from rri_nmf_tpu.ops.sweep_masked_gram import MaskedGramPlan
+            if isinstance(self.X, MaskedGramPlan) \
+                    and self.X.backend == 'mxu':
+                # one C + one Θ chunk contraction — O(chunks·k²) MXU
+                # flops instead of the O(nnz·k) gather stream
+                from rri_nmf_tpu.ops.sweep_masked_gram import \
+                    make_masked_gram_objective
+                return make_masked_gram_objective(
+                    backend='mxu',
+                    reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                    reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
             from rri_nmf_tpu.ops.sweep_masked_sparse import \
                 make_masked_sparse_objective
-            return make_masked_sparse_objective(
+            fn = make_masked_sparse_objective(
                 reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
                 reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+            if isinstance(self.X, MaskedGramPlan):
+                # segsum-backed Gram plan: the gather objective over the
+                # embedded COO is the cheaper evaluation (O(nnz·k))
+                return lambda plan, W, T: fn(plan.coo, W, T)
+            return fn
         n, d = self.X.csr.shape if hasattr(self.X, 'csr') else self.X.shape
         if self.sparse and mesh is not None:
             from rri_nmf_tpu.parallel.sparse_mesh import \
@@ -182,7 +198,14 @@ class TrueObjComputer(object):
                 state[key] = _to_host(state[key])
         X = state.get('X')
         if getattr(self, 'masked_sparse', False):
+            from rri_nmf_tpu.ops.sweep_masked_gram import MaskedGramPlan
             from rri_nmf_tpu.ops.sweep_masked_sparse import MaskedCOOPlan
+            if isinstance(X, MaskedGramPlan):
+                # the COO core round-trips; the chunked contraction plans
+                # are rebuilt lazily as a plain gather objective on
+                # restore (single-chip contract, same as mesh cases)
+                X = X.coo
+                state['X'] = X
             if isinstance(X, MaskedCOOPlan):
                 # host tuple form; rebuilt lazily on the next evaluation
                 state['X'] = ('masked_coo',
@@ -655,6 +678,28 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             raise ValueError('sparse-mask mesh sweeps do not support a '
                              'per-row w_row_sum vector')
 
+    # Gram-phase masked sweep (ops/sweep_masked_gram.py): with
+    # update_order='phase' the per-topic masked quantities factor through
+    # two weighted Gram tensors computed once per phase on the MXU chunk
+    # kernel — replacing the interleaved sweep's O(nnz)-per-topic
+    # gather/segment-sum streams (measured ~0.4 GB/s effective on TPU,
+    # results_round4_masked_sparse_parts.json). Requires no resets (a
+    # mid-phase reset would rewrite the frozen factor Γ/Θ were built
+    # from) and runs single-device (the mesh masked path is interleaved).
+    # Γ (k², d) + Θ (k², n) gate the economical k: past ~4 GB of Gram
+    # tensors the interleaved O(nnz) sweep is the safer default.
+    _gram_fits = (masked_sparse and
+                  k * k * float(sum(np.shape(X))) * 4 <= 4e9)
+    masked_gram = (masked_sparse and update_order == 'phase'
+                   and reset_topic_method is None and mesh is None
+                   and _gram_fits)
+    if masked_sparse and update_order == 'phase' and not masked_gram:
+        logger.info("masked phase order requires reset_topic_method=None, "
+                    'no mesh, and k²(n+d) Gram tensors under ~4 GB '
+                    '(Gram-phase sweep); running the interleaved '
+                    '(reference) order')
+        update_order = 'interleaved'
+
     sparse_mode = False
     _viable = (W_mat is None and w_row is None and not store_gradients
                and not (eps_gauss_t and delta_gauss_t))
@@ -664,7 +709,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                    or not (project_T_each_iter and t_row_sum))
     mxu_mode = sparse in ('mxu', 'dma')
     dma_mode = sparse == 'dma'
-    if mxu_mode:
+    # with a scipy-sparse W_mat the sparse kwarg is the Gram-backend hint
+    # instead: 'mxu' forces the chunk-plan contractions (default on TPU),
+    # anything else leaves the auto choice (segment-sums off-TPU)
+    gram_backend = None
+    if masked_sparse:
+        if dma_mode:
+            raise ValueError("sparse='dma' has no masked form; use "
+                             "sparse='mxu' (or the default)")
+        if mxu_mode:
+            gram_backend = 'mxu'
+        mxu_mode = dma_mode = False
+    elif mxu_mode:
         # tile-bucketed MXU chunk contractions: the beyond-HBM fast path —
         # all flops on the MXU, no gather/scatter. 'mxu' = the pipelined
         # one-hot kernel (ops/sparse_mxu.py); 'dma' = the manual-DMA
@@ -798,12 +854,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 'obj_history': [-np.inf], 'iter_cputime': [0],
                 **_sentinel_extra}
 
-    # The masked sweep has no phase-order variant (its Gauss-Seidel residual
-    # bookkeeping is interleaved by construction); normalize the effective
-    # order so SweepConfig properties (scale_transfer) see what actually
-    # runs (reference semantics: interleaved with scale transfer,
-    # nmf.py:450-452).
-    if W_mat is not None and update_order == 'phase':
+    # The DENSE masked sweep has no phase-order variant (its Gauss-Seidel
+    # residual bookkeeping is interleaved by construction); normalize the
+    # effective order so SweepConfig properties (scale_transfer) see what
+    # actually runs (reference semantics: interleaved with scale transfer,
+    # nmf.py:450-452). The sparse-mask Gram-phase sweep (masked_gram,
+    # decided above) is the one masked path that keeps the phase order.
+    if W_mat is not None and update_order == 'phase' and not masked_gram:
         logger.info('masked path ignores the phase update order; running '
                     'the interleaved (reference) order')
         update_order = 'interleaved'
@@ -938,6 +995,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         elif sparse_mode and mxu_mode:
             from rri_nmf_tpu.ops.sparse_mxu import plan_sparse_matrix
             X_dev = plan_sparse_matrix(X, np.dtype(dtype))
+        elif masked_gram:
+            from rri_nmf_tpu.ops.sweep_masked_gram import plan_masked_gram
+            X_dev = plan_masked_gram(X, W_mat, np.dtype(dtype),
+                                     backend=gram_backend)
         elif masked_sparse:
             from rri_nmf_tpu.ops.sweep_masked_sparse import plan_masked_coo
             # the observed set crosses the (slow) host->device link as
@@ -1019,15 +1080,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     inner_reps = int(inner_reps)
     if inner_reps < 1:
         raise ValueError('inner_reps must be >= 1')
-    if inner_reps > 1 and (update_order != 'phase' or masked
+    if inner_reps > 1 and (update_order != 'phase'
+                           or (masked and not masked_gram)
                            or reset_topic_method is not None
                            or store_gradients
                            or (eps_gauss_t and delta_gauss_t)):
         raise ValueError(
-            "inner_reps > 1 requires update_order='phase', no W_mat, "
-            "reset_topic_method=None, no store_gradients, no DP noise "
-            '(the extra Gauss-Seidel passes reuse the per-phase '
-            'numerators, which those features invalidate)')
+            "inner_reps > 1 requires update_order='phase' (no dense "
+            'W_mat — a scipy-sparse W_mat rides the Gram-phase sweep, '
+            'which reuses A/Γ exactly), reset_topic_method=None, no '
+            'store_gradients, no DP noise (the extra Gauss-Seidel passes '
+            'reuse the per-phase numerators, which those features '
+            'invalidate)')
 
     cfg = SweepConfig(
         k=k, fix_W=fix_W, fix_T=fix_T, masked=masked,
@@ -1109,6 +1173,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         from rri_nmf_tpu.parallel.masked_sparse_mesh import \
             make_sharded_masked_sparse_sweep
         sweep_fn = make_sharded_masked_sparse_sweep(cfg, mesh)
+        use_pallas = False
+    elif masked_gram:
+        from rri_nmf_tpu.ops.sweep_masked_gram import make_masked_gram_sweep
+        sweep_fn = make_masked_gram_sweep(cfg, backend=X_dev.backend)
         use_pallas = False
     elif masked_sparse:
         from rri_nmf_tpu.ops.sweep_masked_sparse import \

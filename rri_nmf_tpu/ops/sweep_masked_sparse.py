@@ -109,15 +109,13 @@ class MaskedCOOPlan:
         return M, X
 
 
-def plan_masked_coo(X, W_mat, dtype):
-    """Build a :class:`MaskedCOOPlan` from a scipy-sparse mask/weight
-    matrix ``W_mat`` and a dense-or-sparse ``X``.
-
-    Only X's values AT observed (mask-nonzero) coordinates are kept —
-    the dense X never has to exist (pass X scipy-sparse with values on
-    a superset of the mask's pattern). Explicit zeros in the mask are
-    dropped (a zero weight is "unobserved" in every contraction).
-    """
+def masked_coo_host_arrays(X, W_mat, dtype):
+    """Host-side (numpy) sorted-COO observed set: ``(rows, cols, x, m,
+    shape, nnz)``, padded to :data:`_PAD_TO` with zero-weight entries.
+    Shared by :func:`plan_masked_coo` and the Gram planner
+    (``ops/sweep_masked_gram.plan_masked_gram``), which must slice the
+    arrays on the HOST — fetching them back off the device would cost
+    ~seconds per 100 MB on the tunnel-hosted TPU."""
     Mc = W_mat.tocsr()
     Mc.eliminate_zeros()
     Mc.sum_duplicates()
@@ -147,10 +145,23 @@ def plan_masked_coo(X, W_mat, dtype):
         cols = np.pad(cols, (0, pad))
         x = np.pad(x, (0, pad))
         m = np.pad(m, (0, pad))
+    return rows, cols, x, m, (int(X.shape[0]), int(X.shape[1])), int(nnz)
+
+
+def plan_masked_coo(X, W_mat, dtype):
+    """Build a :class:`MaskedCOOPlan` from a scipy-sparse mask/weight
+    matrix ``W_mat`` and a dense-or-sparse ``X``.
+
+    Only X's values AT observed (mask-nonzero) coordinates are kept —
+    the dense X never has to exist (pass X scipy-sparse with values on
+    a superset of the mask's pattern). Explicit zeros in the mask are
+    dropped (a zero weight is "unobserved" in every contraction).
+    """
+    rows, cols, x, m, shape, nnz = masked_coo_host_arrays(X, W_mat, dtype)
     return MaskedCOOPlan(
         rows=jnp.asarray(rows), cols=jnp.asarray(cols),
         x_vals=jnp.asarray(x), m_vals=jnp.asarray(m),
-        shape=(int(X.shape[0]), int(X.shape[1])), nnz=int(nnz))
+        shape=shape, nnz=nnz)
 
 
 def supports_masked_sparse(cfg: SweepConfig) -> bool:

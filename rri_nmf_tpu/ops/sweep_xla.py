@@ -146,12 +146,15 @@ class SweepConfig:
         T-updates. Without it every phase-order update is an exact
         coordinate minimization, so descent is guaranteed.
 
-        The phase order only takes effect on the unweighted path (the
-        masked sweep is interleaved by construction), so the transfer is
-        gated on the EFFECTIVE order: a masked config always keeps the
-        reference's interleaved transfer semantics.
+        Phase order reaches the unweighted path and the sparse-mask
+        Gram-phase sweep (``ops/sweep_masked_gram.py``, which relies on W
+        being frozen through the T-phase — the transfer would invalidate
+        its Γ tensor); the DENSE masked sweep is interleaved by
+        construction (the driver coerces the order), so a dense-masked
+        config always keeps the reference's interleaved transfer
+        semantics.
         """
-        if self.update_order == 'phase' and not self.masked:
+        if self.update_order == 'phase':
             return False
         return (abs(self.reg_w_l1) + abs(self.reg_w_l2) +
                 abs(self.reg_t_l1) + abs(self.reg_t_l2)) == 0

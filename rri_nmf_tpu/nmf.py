@@ -526,8 +526,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         minimization (same monotone descent, same stationarity conditions;
         the cyclic order sklearn's CD solver uses), and the W-phase
         contractions batch into one ``X @ Tᵀ`` GEMM, cutting the dense
-        sweep's HBM traffic from k+1 X-reads to 2. Ignored on the masked
-        path.
+        sweep's HBM traffic from k+1 X-reads to 2. On the DENSE masked
+        path the order is coerced to interleaved (its Gauss-Seidel
+        residual bookkeeping is interleaved by construction); with a
+        scipy-sparse ``W_mat`` (and no resets, no mesh, k²(n+d) Gram
+        tensors under ~4 GB) ``'phase'`` instead routes to the MXU
+        Gram-phase masked sweep (``ops/sweep_masked_gram.py``): all
+        O(nnz) work collapses into four chunked MXU contractions per
+        sweep — the fast recommender fit on TPU.
     inner_reps : int, optional
         Extra Gauss-Seidel passes per phase (phase order only; default 1
         = reference semantics). Within a phase the frozen factor's Gram
@@ -537,8 +543,9 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         sweep (monotone descent preserved; the accelerated-HALS inner
         iteration of Gillis & Glineur 2012). 2-4 typically reaches a given
         objective in substantially less wall-clock when k ≪ min(n, d).
-        Requires ``update_order='phase'``, no mask, no resets, no gradient
-        stores, no DP noise.
+        Requires ``update_order='phase'``, no dense mask (a scipy-sparse
+        ``W_mat`` rides the Gram-phase sweep, which reuses A/Γ exactly),
+        no resets, no gradient stores, no DP noise.
     matmul_precision : str, optional
         Precision for the sweep's matmuls (``jax.default_matmul_precision``
         names). On TPU the default f32 dot runs as a single bf16 MXU pass

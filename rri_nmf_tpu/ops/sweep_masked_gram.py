@@ -83,6 +83,19 @@ from rri_nmf_tpu.ops.sweep_xla import SweepConfig, resolve_mixed_dtypes
 
 TILE = 128
 
+# The chunk kernel scalar-prefetches its per-chunk ftile array (int32)
+# into SMEM (~1 MB/core on v5e). A scattered observed set touches almost
+# every (128, 128) tile pair — ~306k populated pairs at 100k×50k with
+# 25M observations — and the one-piece plan overflowed SMEM on the real
+# chip ("Allocation (size=1228800) would exceed memory (size=1048576)
+# ... space=smem ... 'prefetched SMEM operand 0'"). Plans larger than
+# this are split at group boundaries into several pallas_calls whose
+# mask-selected partial outputs sum exactly (each call's c == 0 grid
+# step re-initializes its first output tile, so a split mid-run is
+# safe): 98304 chunks = 384 KB of ftile, leaving headroom for otile and
+# Mosaic's own SMEM state.
+MAX_PREFETCH_CHUNKS = 98304
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -91,19 +104,20 @@ class MaskedGramPlan:
 
     ``coo`` always holds the sorted COO observation arrays (the segsum
     backend's inputs, the pickle/round-trip source, and the gather
-    objective's fallback). With ``backend='mxu'`` the four chunked
-    contraction plans ride along: ``m_t``/``m_w`` are
-    :class:`~rri_nmf_tpu.ops.sparse_mxu.ContractPlan`s over the MASK
-    values (Γ/Θ), and ``mx_t_vals``/``mx_w_vals`` are alternate value
-    vectors (mask ⊙ X) in the same chunk-slot layout (A/C) — the index
-    arrays are shared, only values differ. ``sum_mx2`` is the static
-    ``Σ m x²`` objective constant.
+    objective's fallback). With ``backend='mxu'`` the chunked
+    contraction plans ride along: ``m_t``/``m_w`` are tuples of
+    :class:`~rri_nmf_tpu.ops.sparse_mxu.ContractPlan` SMEM-sized
+    segments over the MASK values (Γ/Θ — see
+    :data:`MAX_PREFETCH_CHUNKS`), and ``mx_t_vals``/``mx_w_vals`` are
+    matching tuples of alternate value vectors (mask ⊙ X) in the same
+    chunk-slot layout (A/C) — the index arrays are shared, only values
+    differ. ``sum_mx2`` is the static ``Σ m x²`` objective constant.
     """
     coo: MaskedCOOPlan
-    m_t: Optional[Any]             # ContractPlan, t-direction, vals = m
-    m_w: Optional[Any]             # ContractPlan, w-direction, vals = m
-    mx_t_vals: Optional[jnp.ndarray]
-    mx_w_vals: Optional[jnp.ndarray]
+    m_t: Optional[Any]             # tuple of ContractPlan segments (t-dir)
+    m_w: Optional[Any]             # tuple of ContractPlan segments (w-dir)
+    mx_t_vals: Optional[Any]       # tuple of value arrays, same layout
+    mx_w_vals: Optional[Any]
     sum_mx2: jnp.ndarray           # () device scalar: Σ m x²
     shape: Tuple[int, int]
     nnz: int
@@ -169,26 +183,64 @@ def plan_masked_gram(X, W_mat, dtype, backend=None, group=8):
     n_rt = -(-n // TILE)
     n_ct = -(-d // TILE)
 
-    def _dir(g, s, v, ngt, nst):
-        vals, glo, slo, ftile, otile, mask = _plan_direction_np(
-            g, s, v, ngt, nst, TILE, group, np.dtype(dtype))
-        return ContractPlan(jnp.asarray(vals), _widen_i32(jnp.asarray(glo)),
-                            _widen_i32(jnp.asarray(slo)),
-                            jnp.asarray(ftile), jnp.asarray(otile),
-                            jnp.asarray(mask))
+    def _segments(arrays):
+        """Split host plan arrays into SMEM-sized chunk ranges at group
+        boundaries; each segment carries its OWN touched-tile mask (the
+        kernel leaves untouched output tiles undefined and selects
+        against the mask, so partial outputs sum exactly)."""
+        vals, glo, slo, ftile, otile, mask = arrays
+        nchunks = ftile.shape[0]
+        if nchunks <= MAX_PREFETCH_CHUNKS:
+            return [arrays]
+        C = TILE
+        max_g = MAX_PREFETCH_CHUNKS // group
+        ngroups = otile.shape[0]
+        spad = mask.shape[1]
+        segs = []
+        for g0 in range(0, ngroups, max_g):
+            g1 = min(g0 + max_g, ngroups)
+            ot = otile[g0:g1]
+            mseg = np.zeros((spad // TILE, 1), mask.dtype)
+            mseg[np.unique(ot)] = 1.0
+            mseg = np.ascontiguousarray(
+                np.broadcast_to(mseg, (spad // TILE, TILE)).reshape(1, -1))
+            segs.append((vals[:, g0 * group * C:g1 * group * C],
+                         glo[:, g0 * group * C:g1 * group * C],
+                         slo[:, g0 * group * C:g1 * group * C],
+                         ftile[g0 * group:g1 * group], ot, mseg))
+        return segs
 
-    # the counting/sort bucketing is deterministic in (g, s), so the two
-    # value sets land in identical slot layouts; indices built once
+    def _dir(g, s, v, ngt, nst):
+        segs = _segments(_plan_direction_np(
+            g, s, v, ngt, nst, TILE, group, np.dtype(dtype)))
+        return tuple(
+            ContractPlan(jnp.asarray(vals), _widen_i32(jnp.asarray(glo)),
+                         _widen_i32(jnp.asarray(slo)),
+                         jnp.asarray(ftile), jnp.asarray(otile),
+                         jnp.asarray(mask))
+            for vals, glo, slo, ftile, otile, mask in segs)
+
+    def _vals_like(plans, g, s, v, ngt, nst):
+        # the counting/sort bucketing is deterministic in (g, s), so a
+        # second value set lands in the identical slot layout; only the
+        # vals arrays differ between the mask and mask*X plans
+        vals = _plan_direction_np(g, s, v, ngt, nst, TILE, group,
+                                  np.dtype(dtype))[0]
+        out, off = [], 0
+        for p in plans:
+            w = p.vals.shape[1]
+            out.append(jnp.asarray(vals[:, off:off + w]))
+            off += w
+        assert off == vals.shape[1]
+        return tuple(out)
+
     m_t = _dir(rows, cols, m, n_rt, n_ct)
-    mx_t = _plan_direction_np(rows, cols, mx, n_rt, n_ct, TILE, group,
-                              np.dtype(dtype))[0]
+    mx_t = _vals_like(m_t, rows, cols, mx, n_rt, n_ct)
     m_w = _dir(cols, rows, m, n_ct, n_rt)
-    mx_w = _plan_direction_np(cols, rows, mx, n_ct, n_rt, TILE, group,
-                              np.dtype(dtype))[0]
-    assert mx_t.shape == m_t.vals.shape and mx_w.shape == m_w.vals.shape
+    mx_w = _vals_like(m_w, cols, rows, mx, n_ct, n_rt)
     return MaskedGramPlan(
-        coo=coo, m_t=m_t, m_w=m_w, mx_t_vals=jnp.asarray(mx_t),
-        mx_w_vals=jnp.asarray(mx_w), sum_mx2=sum_mx2, shape=(n, d),
+        coo=coo, m_t=m_t, m_w=m_w, mx_t_vals=mx_t,
+        mx_w_vals=mx_w, sum_mx2=sum_mx2, shape=(n, d),
         nnz=nz, group=group, backend='mxu')
 
 
@@ -212,41 +264,52 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
+def _contract_segs(plans, F, vals_override, acc, interpret, group):
+    """Sum the chunked contraction over the plan's SMEM-sized segments
+    (one pallas_call each; see :data:`MAX_PREFETCH_CHUNKS`)."""
+    from rri_nmf_tpu.ops.sparse_mxu import mxu_contract
+    out = None
+    for i, p in enumerate(plans):
+        if vals_override is not None:
+            p = p._replace(vals=vals_override[i])
+        part = mxu_contract(p, F, acc_dt=acc, interpret=interpret,
+                            group=group)
+        out = part if out is None else out + part
+    return out
+
+
 def _mxu_gram_t(plan, W, acc, interpret):
     """(A, Γ) from the frozen W: A = Wᵀ(M⊙X) (k, d), Γ = (W ⊛ W)ᵀ M
-    (k, k, d). One k-row and one k²-row chunk contraction."""
-    from rri_nmf_tpu.ops.sparse_mxu import mxu_contract
+    (k, k, d). One k-row and one k²-row chunk contraction (per SMEM
+    segment)."""
     n, d = plan.shape
     k = W.shape[1]
     npad = -(-n // TILE) * TILE
     Wa = W.astype(acc)
     Wt = jnp.zeros((_round8(k), npad), acc).at[:k, :n].set(Wa.T)
-    A = mxu_contract(plan.m_t._replace(vals=plan.mx_t_vals), Wt,
-                     acc_dt=acc, interpret=interpret,
-                     group=plan.group)[:k, :d]
+    A = _contract_segs(plan.m_t, Wt, plan.mx_t_vals, acc, interpret,
+                       plan.group)[:k, :d]
     WW = (Wa[:, :, None] * Wa[:, None, :]).reshape(n, k * k)
     F = jnp.zeros((_round8(k * k), npad), acc).at[:k * k, :n].set(WW.T)
-    G = mxu_contract(plan.m_t, F, acc_dt=acc, interpret=interpret,
-                     group=plan.group)[:k * k, :d].reshape(k, k, d)
+    G = _contract_segs(plan.m_t, F, None, acc, interpret,
+                       plan.group)[:k * k, :d].reshape(k, k, d)
     return A, G
 
 
 def _mxu_gram_w(plan, T, acc, interpret):
     """(C, Θ) from the frozen T: C = (M⊙X)Tᵀ (k, n), Θ = M (T ⊛ T)ᵀ
     (k, k, n)."""
-    from rri_nmf_tpu.ops.sparse_mxu import mxu_contract
     n, d = plan.shape
     k = T.shape[0]
     dpad = -(-d // TILE) * TILE
     Ta = T.astype(acc)
     Tp = jnp.zeros((_round8(k), dpad), acc).at[:k, :d].set(Ta)
-    C = mxu_contract(plan.m_w._replace(vals=plan.mx_w_vals), Tp,
-                     acc_dt=acc, interpret=interpret,
-                     group=plan.group)[:k, :n]
+    C = _contract_segs(plan.m_w, Tp, plan.mx_w_vals, acc, interpret,
+                       plan.group)[:k, :n]
     TT = (Ta[:, None, :] * Ta[None, :, :]).reshape(k * k, d)
     F = jnp.zeros((_round8(k * k), dpad), acc).at[:k * k, :d].set(TT)
-    H = mxu_contract(plan.m_w, F, acc_dt=acc, interpret=interpret,
-                     group=plan.group)[:k * k, :n].reshape(k, k, n)
+    H = _contract_segs(plan.m_w, F, None, acc, interpret,
+                       plan.group)[:k * k, :n].reshape(k, k, n)
     return C, H
 
 

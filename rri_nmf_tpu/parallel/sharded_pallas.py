@@ -42,11 +42,14 @@ from rri_nmf_tpu.ops.sweep_pallas import BN, BD, _phase_a, _phase_b, \
 def supports_sharded_pallas(cfg) -> bool:
     """Config coverage of the shard_map'd fused sweep. Beyond the
     single-device kernel's restrictions it excludes per-row W bounds (the
-    bound vector would need dp-aligned padding) and the T-row drift
+    bound vector would need dp-aligned padding), the T-row drift
     re-projection (a cross-shard sort; the XLA mesh path handles that
-    config instead)."""
+    config instead), and topic resets under ``fix_T`` (the single-device
+    W-only variant supports the transform preset's 'random' resets, but a
+    mesh reset draws a global (n,) column stream — the XLA mesh sweep
+    keeps that config)."""
     return (supports_pallas(cfg) and not cfg.w_row_sum_is_vector
-            and not cfg.fix_T  # single-device kernel's W-only variant
+            and (not cfg.fix_T or cfg.reset_topic_method is None)
             and not (cfg.project_T_each_iter and cfg.t_row_sum))
 
 
@@ -105,6 +108,38 @@ def make_sharded_masked_sweep_pallas(cfg, mesh, interpret=False):
 
         pend_dw = jnp.zeros((n_loc,), dtype)
         pend_t = jnp.zeros((d_loc,), dtype)
+
+        if cfg.fix_T:
+            # masked-inference fast path (W-phase only; the sharded form
+            # of ops/sweep_pallas.py's fix_T variant — reference
+            # sklearn_interface.py:144-156): per topic ONE fused local
+            # pass (w_eff = 0 disables kernel B's T-side update) and two
+            # (n_loc,) psums over tp.
+            zeros_n = jnp.zeros((n_loc,), dtype)
+
+            def topic_body_fix_t(t, carry):
+                W, T, R, pend_dw, pend_t = carry
+                w = W[:, t]
+                t_t = T[t]
+                R, Rt0, mt2 = _phase_b(R, W_mat, pend_dw, zeros_n,
+                                       pend_t, t_t, interpret)
+                Rt0 = lax.psum(Rt0.reshape(-1), tp)
+                mt2 = lax.psum(mt2.reshape(-1), tp)
+                Rt = Rt0 + w.astype(Rt0.dtype) * mt2
+
+                numer_w = jnp.where(row_ok, Rt - cfg.reg_w_l1, -1.0)
+                denom_w = jnp.where(row_ok, mt2 + cfg.reg_w_l2, 1.0)
+                w_new, _ = _qf_min_vector_psum(
+                    -numer_w, denom_w, s=None, ub=cfg.w_row_sum, axis=dp)
+                W = W.at[:, t].set(w_new.astype(dtype))
+                return (W, T, R, w - w_new.astype(dtype), t_t)
+
+            W, T, R, pend_dw, pend_t = lax.fori_loop(
+                0, k, topic_body_fix_t, (W, T, R, pend_dw, pend_t))
+            if cfg.project_W_each_iter and cfg.w_row_sum is not None:
+                s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=dtype)
+                W = jax.vmap(_proj_simplex_core)(W, s_vec)
+            return W, T
 
         def topic_body(t, carry):
             W, T, R, pend_dw, pend_t = carry

@@ -54,6 +54,17 @@ class NMF_RS_Estimator(sklearn.base.BaseEstimator):
     """Recommender-system NMF estimator (masked WRRI).
 
     Reference: ``sklearn_interface.py:14-182``.
+
+    Performance note — the Gram-phase recipe. With ``sparse_obs`` fits
+    the default preset keeps the reference's interleaved topic order
+    (O(nnz) gather/segment-sum streams per topic — on TPU those run far
+    below HBM speed). When dead-topic recovery isn't needed, pass
+    ``nmf_kwargs=dict(update_order='phase')`` to route the fit through
+    the MXU Gram-phase masked sweep (``ops/sweep_masked_gram.py``): all
+    O(nnz) work collapses into four chunked MXU contractions per sweep
+    (optionally add ``inner_reps=3`` — the Gram reuse is exact). Same
+    subproblems and descent guarantees; only the cyclic update order
+    differs. See README and ``benchmarks/results_round4_masked_gram``.
     """
 
     def __init__(self, n, d, k, wr1=0, tr1=0, random_state=0,

@@ -203,6 +203,39 @@ def test_vector_w_row_sum_matches_oracle():
     np.testing.assert_allclose(np.array(T), Tn, atol=1e-10, rtol=0)
 
 
+def test_mxu_segmented_plan_matches_segsum(monkeypatch):
+    """Plans beyond the SMEM prefetch ceiling split into several
+    pallas_calls whose mask-selected partials sum exactly; force tiny
+    segments and check parity (and that splitting actually happened)."""
+    import rri_nmf_tpu.ops.sweep_masked_gram as smg
+    monkeypatch.setattr(smg, 'MAX_PREFETCH_CHUNKS', 2 * 8)  # 2 groups
+    # 3x2 tile grid, ~2 chunks per tile pair -> several groups per
+    # direction, far above the forced 2-group ceiling
+    X, M, W0, T0 = _problem(12, n=300, d=200, k=4, density=0.5)
+    plan = smg.plan_masked_gram(X, sp.csr_matrix(M), np.float64,
+                                backend='mxu')
+    assert len(plan.m_t) > 1 and len(plan.m_w) > 1
+    assert len(plan.mx_t_vals) == len(plan.m_t)
+    t1 = _run_gram(X, M, W0, T0, 1, backend='segsum')
+    import jax
+    import jax.numpy as jnp
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+    cfg = SweepConfig(k=4, masked=True, masked_sparse=True,
+                      update_order='phase', reset_topic_method=None)
+    sweep = smg.make_masked_gram_sweep.__wrapped__(cfg, backend='mxu')
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    W, T = jnp.asarray(W0), jnp.asarray(T0)
+    for (W1, T1) in t1:
+        W, T, key, r = sweep(plan, W, T, key, r, key)
+        np.testing.assert_allclose(np.array(W), W1, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(np.array(T), T1, atol=1e-9, rtol=0)
+    # the Gram objective sums the same segments
+    fn = smg.make_masked_gram_objective(backend='mxu')
+    direct = 0.5 * np.sum(M * (X - np.array(W) @ np.array(T)) ** 2)
+    np.testing.assert_allclose(float(fn(plan, W, T)), direct, rtol=1e-9)
+
+
 def test_mxu_backend_matches_segsum():
     """The chunked MXU contraction plans (interpret mode off-TPU) and the
     segment-sum backend agree — same Γ/Θ/A/C bilinear forms."""
@@ -355,6 +388,29 @@ def test_checkpoint_resume_gram(tmp_path):
     assert len(r2['obj_history']) == len(r1['obj_history'])
 
 
+def test_rs_estimator_gram_recipe():
+    """NMF_RS_Estimator(sparse_obs=True, nmf_kwargs=dict(
+    update_order='phase')) rides the Gram-phase sweep end to end —
+    including validation early stopping — and scores comparably to the
+    default interleaved fit."""
+    from rri_nmf_tpu.sklearn_interface import NMF_RS_Estimator
+    rng = np.random.RandomState(0)
+    n, d, k = 60, 45, 4
+    Mask = rng.rand(n, d) < 0.3
+    Xr = (rng.rand(n, k) @ rng.rand(k, d)) * Mask * 5
+    I, J = Mask.nonzero()
+    X = np.stack([I, J], 1)
+    R = Xr[I, J]
+    e1 = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=10,
+                          sparse_obs=True).fit(X, R)
+    e2 = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=10,
+                          sparse_obs=True,
+                          nmf_kwargs=dict(update_order='phase')).fit(X, R)
+    s1, s2 = e1.score(X, R), e2.score(X, R)
+    assert s2 < max(1.0, 1.5 * s1), (s1, s2)
+    assert len(e2.nmf_outputs['obj_history']) >= 2
+
+
 def test_plan_masked_gram_layouts():
     """The mask and mask⊙X value vectors share one chunk-slot layout, and
     sum_mx2 is the exact observed second moment."""
@@ -363,8 +419,12 @@ def test_plan_masked_gram_layouts():
     plan = plan_masked_gram(X, sp.csr_matrix(M), np.float64,
                             backend='mxu')
     assert plan.backend == 'mxu'
-    assert plan.mx_t_vals.shape == plan.m_t.vals.shape
-    assert plan.mx_w_vals.shape == plan.m_w.vals.shape
+    assert len(plan.mx_t_vals) == len(plan.m_t)
+    assert len(plan.mx_w_vals) == len(plan.m_w)
+    for v, p in zip(plan.mx_t_vals, plan.m_t):
+        assert v.shape == p.vals.shape
+    for v, p in zip(plan.mx_w_vals, plan.m_w):
+        assert v.shape == p.vals.shape
     np.testing.assert_allclose(float(plan.sum_mx2),
                                np.sum(M * X ** 2), rtol=1e-12)
     Ms2, Xs2 = plan.to_scipy()

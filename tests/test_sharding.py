@@ -121,6 +121,64 @@ def test_sharded_pallas_masked_sweep():
 
 
 @requires_8_devices
+def test_sharded_pallas_fix_t_masked_inference():
+    """The W-phase-only (fix_T) sharded variant — the RS transform preset
+    minus its resets — matches the single-device XLA sweep (VERDICT r3
+    stretch item 8; reference sklearn_interface.py:144-156)."""
+    from rri_nmf_tpu.parallel.sharded_pallas import (
+        make_sharded_masked_sweep_pallas, supports_sharded_pallas)
+    n, d, k = 90, 70, 4
+    rng = np.random.RandomState(3)
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d) + 0.01 * rng.rand(n, d))
+    M = (rng.rand(n, d) < 0.5).astype(float)
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    T0 /= T0.sum(axis=1, keepdims=True)
+    cfg = SweepConfig(k=k, masked=True, fix_T=True,
+                      reset_topic_method=None, t_row_sum=1.0,
+                      w_row_sum=2.0)
+    assert supports_sharded_pallas(cfg)
+    mesh = make_mesh(8)
+    sharded = make_sharded_masked_sweep_pallas(cfg, mesh, interpret=True)
+    single = make_sweep(cfg)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    Ws = Wd = jnp.asarray(W0)
+    Ts = Td = jnp.asarray(T0)
+    for _ in range(3):
+        Ws, Ts, _, _ = sharded(jnp.asarray(X), Ws, Ts, key, r, key,
+                               jnp.asarray(M))
+        Wd, Td, _, _ = single(jnp.asarray(X), Wd, Td, key, r, key,
+                              jnp.asarray(M))
+    np.testing.assert_allclose(np.array(Ts), np.array(Td), atol=1e-12)
+    np.testing.assert_allclose(np.array(Ws), np.array(Wd), atol=1e-9)
+    # resets stay excluded on the mesh (global column draw)
+    assert not supports_sharded_pallas(
+        SweepConfig(k=k, masked=True, fix_T=True,
+                    reset_topic_method='random', t_row_sum=1.0))
+
+
+@requires_8_devices
+def test_nmf_driver_mesh_fix_t_transform():
+    """Driver-level: the masked fix_T transform on a mesh rides the
+    W-only sharded kernel and matches the single-device result."""
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import make_mesh
+    rng = np.random.RandomState(4)
+    X = np.abs(rng.rand(80, 3) @ rng.rand(3, 60) + 0.01 * rng.rand(80, 60))
+    M = (rng.rand(80, 60) < 0.5).astype(float)
+    T_in = np.abs(rng.rand(3, 60))
+    T_in /= T_in.sum(axis=1, keepdims=True)
+    kw = dict(k=3, W_mat=M, T_in=T_in, fix_T=True, max_iter=4,
+              random_state=0, early_stop=False, reset_topic_method=None,
+              t_row_sum=1.0)
+    a = nmf(X, **kw)
+    b = nmf(X, mesh=make_mesh(8), use_pallas='interpret', **kw)
+    assert np.allclose(a['W'], b['W'], atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a['T']), np.asarray(b['T']))
+
+
+@requires_8_devices
 def test_nmf_driver_mesh_pallas_masked():
     """nmf(mesh=..., use_pallas=...) routes masked fits through the
     shard_map'd fused kernels and matches the XLA path."""

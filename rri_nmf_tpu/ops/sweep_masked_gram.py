@@ -264,6 +264,24 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
+@lru_cache(maxsize=32)
+def _sym_pairs(k):
+    """Static index maps for the symmetric Gram trick: Γ[t, s] = Γ[s, t]
+    (and Θ likewise), so only the k(k+1)/2 unique (t ≤ s) Khatri-Rao
+    rows are contracted — halving the dominant MXU cost — and the full
+    (k, k, ·) tensor is reconstructed by a gather. Returns
+    ``(idx_t, idx_s, unpack)`` with ``unpack[t·k+s]`` = the pair row of
+    ``(min(t,s), max(t,s))``. NumPy constants (NOT jnp): the first call
+    can happen inside a jit trace, and a cached device array created
+    there would leak a tracer into every later trace."""
+    idx_t, idx_s = np.triu_indices(k)
+    pair_of = np.zeros((k, k), np.int32)
+    pair_of[idx_t, idx_s] = np.arange(idx_t.size, dtype=np.int32)
+    pair_of[idx_s, idx_t] = pair_of[idx_t, idx_s]
+    return (idx_t.astype(np.int32), idx_s.astype(np.int32),
+            pair_of.reshape(-1))
+
+
 def _contract_segs(plans, F, vals_override, acc, interpret, group):
     """Sum the chunked contraction over the plan's SMEM-sized segments
     (one pallas_call each; see :data:`MAX_PREFETCH_CHUNKS`)."""
@@ -280,8 +298,8 @@ def _contract_segs(plans, F, vals_override, acc, interpret, group):
 
 def _mxu_gram_t(plan, W, acc, interpret):
     """(A, Γ) from the frozen W: A = Wᵀ(M⊙X) (k, d), Γ = (W ⊛ W)ᵀ M
-    (k, k, d). One k-row and one k²-row chunk contraction (per SMEM
-    segment)."""
+    (k, k, d). One k-row and one k(k+1)/2-row chunk contraction per SMEM
+    segment (Γ is symmetric in (t, s): only unique pairs hit the MXU)."""
     n, d = plan.shape
     k = W.shape[1]
     npad = -(-n // TILE) * TILE
@@ -289,16 +307,19 @@ def _mxu_gram_t(plan, W, acc, interpret):
     Wt = jnp.zeros((_round8(k), npad), acc).at[:k, :n].set(Wa.T)
     A = _contract_segs(plan.m_t, Wt, plan.mx_t_vals, acc, interpret,
                        plan.group)[:k, :d]
-    WW = (Wa[:, :, None] * Wa[:, None, :]).reshape(n, k * k)
-    F = jnp.zeros((_round8(k * k), npad), acc).at[:k * k, :n].set(WW.T)
-    G = _contract_segs(plan.m_t, F, None, acc, interpret,
-                       plan.group)[:k * k, :d].reshape(k, k, d)
+    it, is_, unpack = _sym_pairs(k)
+    kp = it.shape[0]
+    WW = Wa[:, it] * Wa[:, is_]                      # (n, k(k+1)/2)
+    F = jnp.zeros((_round8(kp), npad), acc).at[:kp, :n].set(WW.T)
+    Gp = _contract_segs(plan.m_t, F, None, acc, interpret,
+                        plan.group)[:kp, :d]
+    G = Gp[unpack].reshape(k, k, d)
     return A, G
 
 
 def _mxu_gram_w(plan, T, acc, interpret):
     """(C, Θ) from the frozen T: C = (M⊙X)Tᵀ (k, n), Θ = M (T ⊛ T)ᵀ
-    (k, k, n)."""
+    (k, k, n) — Θ via the symmetric-pair contraction like Γ."""
     n, d = plan.shape
     k = T.shape[0]
     dpad = -(-d // TILE) * TILE
@@ -306,10 +327,13 @@ def _mxu_gram_w(plan, T, acc, interpret):
     Tp = jnp.zeros((_round8(k), dpad), acc).at[:k, :d].set(Ta)
     C = _contract_segs(plan.m_w, Tp, plan.mx_w_vals, acc, interpret,
                        plan.group)[:k, :n]
-    TT = (Ta[:, None, :] * Ta[None, :, :]).reshape(k * k, d)
-    F = jnp.zeros((_round8(k * k), dpad), acc).at[:k * k, :d].set(TT)
-    H = _contract_segs(plan.m_w, F, None, acc, interpret,
-                       plan.group)[:k * k, :n].reshape(k, k, n)
+    it, is_, unpack = _sym_pairs(k)
+    kp = it.shape[0]
+    TT = Ta[it] * Ta[is_]                            # (k(k+1)/2, d)
+    F = jnp.zeros((_round8(kp), dpad), acc).at[:kp, :d].set(TT)
+    Hp = _contract_segs(plan.m_w, F, None, acc, interpret,
+                        plan.group)[:kp, :n]
+    H = Hp[unpack].reshape(k, k, n)
     return C, H
 
 

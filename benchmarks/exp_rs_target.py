@@ -56,19 +56,39 @@ def main():
     print('fit: %.1fs / %d iters, train %.4f test %.4f'
           % (fit_s, iters, train_rmse, test_rmse), flush=True)
 
-    # ---- HER-accelerated fit --------------------------------------------
-    est_h = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30,
-                             nmf_kwargs=dict(accel='her'))
-    t0 = time.perf_counter()
-    est_h.fit(pairs[tr], R[tr])
-    fit_h = time.perf_counter() - t0
-    results['fit_her'] = {
-        'seconds': fit_h,
-        'iterations': len(est_h.nmf_outputs['obj_history']),
-        'train_rmse': float(est_h.score(pairs[tr], R[tr])),
-        'test_rmse': float(est_h.score(pairs[te], R[te]))}
-    print('HER fit: %.1fs, test %.4f'
-          % (fit_h, results['fit_her']['test_rmse']), flush=True)
+    # The validation early stopping above is reference semantics (stop at
+    # the FIRST validation uptick, nmf.py:381-403) and fires within a
+    # couple of sweeps on this synthetic class — faithful, but it leaves
+    # the sweep machinery unmeasured. The fixed-sweep fits below carry
+    # the wall-clock story.
+
+    def timed_fit(label, **est_kw):
+        e = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30,
+                             use_validation_early_stopping=False,
+                             **est_kw)
+        t0 = time.perf_counter()
+        e.fit(pairs[tr], R[tr])
+        wall = time.perf_counter() - t0
+        stamps = e.nmf_outputs['iter_cputime']
+        per_sweep = (stamps[-1] - stamps[0]) / max(len(stamps) - 1, 1)
+        out = {'seconds': wall,
+               'iterations': len(stamps) - 1,
+               'per_sweep_seconds': per_sweep,
+               'train_rmse': float(e.score(pairs[tr], R[tr])),
+               'test_rmse': float(e.score(pairs[te], R[te]))}
+        print('%s: %.1fs (%.0f ms/sweep), train %.4f test %.4f'
+              % (label, wall, 1e3 * per_sweep, out['train_rmse'],
+                 out['test_rmse']), flush=True)
+        return out
+
+    results['fit_30_sweeps'] = timed_fit('fit_30')
+    results['fit_30_her'] = timed_fit('fit_30_her',
+                                      nmf_kwargs=dict(accel='her'))
+    # the Gram-phase recipe (sparse_obs routes the observed set through
+    # the MXU Gram sweep; phase order, exact same subproblems)
+    results['fit_30_gram_phase'] = timed_fit(
+        'fit_30_gram', sparse_obs=True,
+        nmf_kwargs=dict(update_order='phase'))
 
     # ---- transform (fused fix_T masked inference) on the test slice -----
     Xte = np.zeros((n, d))

@@ -91,32 +91,69 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
         acc = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16) \
             else X.dtype
 
-        def _sq(Xb, Wb, Mb):
+        def _sq(Xb, Wb, Mb, rw=None):
             Rb = Xb.astype(acc) - jnp.dot(Wb, T,
                                           preferred_element_type=acc)
             Rb = Rb * Rb
             if Mb is not None:
                 Rb = Mb.astype(acc) * Rb
-            return jnp.sum(jnp.sum(Rb, axis=1))
+            rows = jnp.sum(Rb, axis=1)
+            if rw is not None:
+                rows = rows * rw
+            return jnp.sum(rows)
 
         if distributed:
             s = _sq(X, W, M)
+        elif cfg.update_order == 'phase' and not cfg.masked:
+            # COLUMN blocks for the unmasked phase-order composition:
+            # the hybrid dense phase sweep this objective shares a jitted
+            # program with (HER multi) holds X in the column-major
+            # ({0,1}) layout its two GEMMs prefer, and a ROW-blockwise
+            # scan next to it made XLA materialize a second, transposed
+            # full copy of X (measured: +9.3 GB HLO temp at 100k×50k
+            # bf16 — an instant OOM at exactly the beyond-HBM scale the
+            # blockwise form exists for). Column slices are contiguous
+            # in that layout; the (n, B) f32 block is sized to ~512 MB.
+            B = int(min(d, max(128, (1 << 27) // max(n, 1) // 128 * 128)))
+            nb = -(-d // B)
+            Wa = W.astype(acc)
+
+            def cblk(j, s):
+                off = jnp.minimum(j * B, d - B)
+                Xb = lax.dynamic_slice(X, (0, off), (n, B))
+                Tb = lax.dynamic_slice(T, (0, off), (k, B))
+                Rb = Xb.astype(acc) - jnp.dot(Wa, Tb,
+                                              preferred_element_type=acc)
+                cols = jnp.sum(Rb * Rb, axis=0)
+                if d % B:
+                    cols = cols * ((off + jnp.arange(B)) >= j * B
+                                   ).astype(acc)
+                return s + jnp.sum(cols)
+
+            s = lax.fori_loop(0, nb, cblk, jnp.zeros((), acc))
         else:
             B = min(block_rows, n)
-            nb = n // B
+            # ceil-div blocks with a CLAMPED final offset + row-validity
+            # mask instead of a static remainder slice: XLA lowers a
+            # static tail slice `X[nb*B:]` of a loop-consumed X by
+            # materializing a transposed full copy of X (same hazard as
+            # the column case above).
+            nb = -(-n // B)
 
             def blk(i, s):
-                Xb = lax.dynamic_slice(X, (i * B, 0), (B, d))
-                Wb = lax.dynamic_slice(W, (i * B, 0), (B, k))
-                Mb = lax.dynamic_slice(M, (i * B, 0), (B, d)) \
+                off = jnp.minimum(i * B, n - B)
+                Xb = lax.dynamic_slice(X, (off, 0), (B, d))
+                Wb = lax.dynamic_slice(W, (off, 0), (B, k))
+                Mb = lax.dynamic_slice(M, (off, 0), (B, d)) \
                     if M is not None else None
-                return s + _sq(Xb, Wb, Mb)
+                # rows already covered by the previous block (the final
+                # block overlaps when B does not divide n) get weight 0
+                rw = None
+                if n % B:
+                    rw = ((off + jnp.arange(B)) >= i * B).astype(acc)
+                return s + _sq(Xb, Wb, Mb, rw)
 
             s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
-            rem = n - nb * B
-            if rem:
-                s = s + _sq(X[nb * B:], W[nb * B:],
-                            M[nb * B:] if M is not None else None)
         o = 0.5 * s
         Wa = W.astype(acc)
         Ta = T.astype(acc)

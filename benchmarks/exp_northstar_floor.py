@@ -150,6 +150,7 @@ def run(X, W0, T0, xnorm, k, her, label, inner_reps=4, max_sweeps=8000,
 
 
 def main():
+    parts = sys.argv[1] if len(sys.argv) > 1 else 'ab'
     p = Path(__file__).parent / 'results_round4_northstar_full.json'
     out = {
         'note': ('TRUE BASELINE #4 shape driven to its floor on one '
@@ -165,28 +166,35 @@ def main():
             'reachable relative Frobenius error near 2e-3 — confirmed '
             'by the half-scale control below.'),
         'runs': []}
+    if p.exists():
+        out['runs'] = json.loads(p.read_text()).get('runs', [])
+    k = 256
 
     # (a) TRUE shape, bf16 X: plain then HER
-    n, d, k = 100_000, 50_000, 256
-    X, W0, T0, xnorm = make_problem(n, d, k, jnp.bfloat16)
-    for her in (False, True):
-        r = run(X, W0, T0, xnorm, k, her=her,
-                label='true_bf16_%s' % ('her' if her else 'plain'))
-        r['config'] = 'north_star_full_%dx%d_k%d_bf16' % (n, d, k)
-        out['runs'].append(r)
-        p.write_text(json.dumps(out, indent=1))
-    del X, W0, T0
+    if 'a' in parts:
+        n, d = 100_000, 50_000
+        out['runs'] = [r for r in out['runs'] if 'true' not in r['label']]
+        X, W0, T0, xnorm = make_problem(n, d, k, jnp.bfloat16)
+        for her in (False, True):
+            r = run(X, W0, T0, xnorm, k, her=her,
+                    label='true_bf16_%s' % ('her' if her else 'plain'))
+            r['config'] = 'north_star_full_%dx%d_k%d_bf16' % (n, d, k)
+            out['runs'].append(r)
+            p.write_text(json.dumps(out, indent=1))
+        del X, W0, T0
 
     # (b) half-scale control: f32 X vs bf16 X, identical recipe
-    n2, d2 = 50_000, 25_000
-    for xdt, tag in ((jnp.float32, 'f32'), (jnp.bfloat16, 'bf16')):
-        X, W0, T0, xnorm = make_problem(n2, d2, k, xdt, seed=7)
-        r = run(X, W0, T0, xnorm, k, her=False,
-                label='half_%s_plain' % tag, max_sweeps=6000)
-        r['config'] = 'north_star_half_%dx%d_k%d_%s' % (n2, d2, k, tag)
-        out['runs'].append(r)
-        p.write_text(json.dumps(out, indent=1))
-        del X, W0, T0
+    if 'b' in parts:
+        n2, d2 = 50_000, 25_000
+        out['runs'] = [r for r in out['runs'] if 'half' not in r['label']]
+        for xdt, tag in ((jnp.float32, 'f32'), (jnp.bfloat16, 'bf16')):
+            X, W0, T0, xnorm = make_problem(n2, d2, k, xdt, seed=7)
+            r = run(X, W0, T0, xnorm, k, her=False,
+                    label='half_%s_plain' % tag, max_sweeps=6000)
+            r['config'] = 'north_star_half_%dx%d_k%d_%s' % (n2, d2, k, tag)
+            out['runs'].append(r)
+            p.write_text(json.dumps(out, indent=1))
+            del X, W0, T0
 
     print('wrote', p, flush=True)
 

@@ -43,18 +43,26 @@ def main():
                'n_train_obs': int(tr.sum()), 'n_test_obs': int(te.sum())}
 
     # ---- end-to-end estimator fit (early stopping on) -------------------
-    est = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30)
-    t0 = time.perf_counter()
-    est.fit(pairs[tr], R[tr])
-    fit_s = time.perf_counter() - t0
+    # Run twice: the first fit pays every jit compile over the (slow) axon
+    # tunnel; the second reuses the in-process jit cache and reflects the
+    # steady-state cost a user's repeated fits see.
+    fit_s = {}
+    for tag in ('cold', 'warm'):
+        est = NMF_RS_Estimator(n, d, k, random_state=0, max_iter=30)
+        t0 = time.perf_counter()
+        est.fit(pairs[tr], R[tr])
+        fit_s[tag] = time.perf_counter() - t0
     iters = len(est.nmf_outputs['obj_history'])
     train_rmse = est.score(pairs[tr], R[tr])
     test_rmse = est.score(pairs[te], R[te])
-    results['fit'] = {'seconds': fit_s, 'iterations': iters,
+    results['fit'] = {'seconds': fit_s['warm'],
+                      'seconds_cold_compile': fit_s['cold'],
+                      'iterations': iters,
                       'train_rmse': float(train_rmse),
                       'test_rmse': float(test_rmse)}
-    print('fit: %.1fs / %d iters, train %.4f test %.4f'
-          % (fit_s, iters, train_rmse, test_rmse), flush=True)
+    print('fit: %.1fs warm (%.1fs cold) / %d iters, train %.4f test %.4f'
+          % (fit_s['warm'], fit_s['cold'], iters, train_rmse, test_rmse),
+          flush=True)
 
     # The validation early stopping above is reference semantics (stop at
     # the FIRST validation uptick, nmf.py:381-403) and fires within a
@@ -112,10 +120,14 @@ def main():
     ref_sweep_s = time.perf_counter() - t0
     results['reference_numpy_per_sweep_seconds'] = ref_sweep_s
     results['reference_numpy_estimated_fit_seconds'] = ref_sweep_s * iters
-    results['speedup_fit_wall'] = ref_sweep_s * iters / fit_s
-    print('reference: %.1fs/sweep -> est. %.0fs for %d iters (%.0fx)'
+    results['speedup_fit_wall'] = ref_sweep_s * iters / fit_s['warm']
+    results['speedup_per_sweep_fixed_30'] = (
+        ref_sweep_s / results['fit_30_sweeps']['per_sweep_seconds'])
+    print('reference: %.1fs/sweep -> est. %.0fs for %d iters '
+          '(%.0fx fit wall, %.0fx per sweep)'
           % (ref_sweep_s, ref_sweep_s * iters, iters,
-             results['speedup_fit_wall']), flush=True)
+             results['speedup_fit_wall'],
+             results['speedup_per_sweep_fixed_30']), flush=True)
 
     path = os.path.join(os.path.dirname(__file__),
                         'results_round4_baseline_rs.json')

@@ -92,15 +92,55 @@ def randomized_svd_jax(X, k, key, n_oversamples=10, n_iter=4):
     slow paths on TPU), so the whole init runs at MXU speed and shards
     under GSPMD — the big GEMMs against X carry the sharding, the small
     panel factorizations replicate.
+
+    A 16-bit X (``x_dtype='bfloat16'`` storage at beyond-HBM scale) keeps
+    its STORAGE dtype but the computation runs in float32: sketches,
+    Grams, and the small panels all carry tail-spectrum ratios
+    ``(σ_i/σ_1)² ~ 1e-5`` that are pure noise at bf16 precision
+    (``finfo(bf16).eps = 7.8e-3``) — an all-bf16 chain returns garbage
+    tail components, whose degenerate topics then stall the whole fit
+    ~36x above the bf16 quantization floor
+    (``benchmarks/results_round4_init_bf16.json``). The mixed
+    ``f32 x bf16`` dots below fuse the upcast into the GEMM operand
+    stream (no f32 copy of X materializes — the same pattern as the
+    mixed-storage sweeps, ``ops/dense_pallas.py``).
     """
-    X = jnp.asarray(X)
+    from rri_nmf_tpu.ops.quantized import QuantizedX, qx_lmul_t, qx_rmul
+    qx = X if isinstance(X, QuantizedX) else None
+    if qx is None:
+        X = jnp.asarray(X)
     n, d = X.shape
     p = min(k + n_oversamples, min(n, d))
-    Omega = jax.random.normal(key, (d, p), dtype=X.dtype)
-    Q = _ortho_eigh(X @ Omega)
-    for _ in range(n_iter):
-        Q = _ortho_eigh(X @ _ortho_eigh(X.T @ Q))
-    B = Q.T @ X                      # (p, d)
+    comp = (jnp.dtype(jnp.float32)
+            if X.dtype in (jnp.bfloat16, jnp.float16) else jnp.dtype(X.dtype))
+    if qx is not None:
+        # int16 column-scaled storage: scale folds outside each GEMM
+        Omega = jax.random.normal(key, (d, p), dtype=comp)
+        Q = _ortho_eigh(qx_rmul(qx, Omega, comp))
+        for _ in range(n_iter):
+            Q = _ortho_eigh(qx_rmul(qx, _ortho_eigh(
+                qx_lmul_t(qx, Q, comp)), comp))
+        B = qx_lmul_t(qx, Q, comp).T                     # (p, d)
+    elif comp != X.dtype:
+        hi = jax.lax.Precision.HIGHEST
+
+        def _mm(A, C, dims):
+            return jax.lax.dot_general(A, C, (dims, ((), ())),
+                                       preferred_element_type=comp,
+                                       precision=hi)
+
+        Omega = jax.random.normal(key, (d, p), dtype=comp)
+        Q = _ortho_eigh(_mm(X, Omega, ((1,), (0,))))     # (n, p) f32
+        for _ in range(n_iter):
+            Yd = _ortho_eigh(_mm(X, Q, ((0,), (0,))))    # (d, p)
+            Q = _ortho_eigh(_mm(X, Yd, ((1,), (0,))))
+        B = _mm(X, Q, ((0,), (0,))).T                    # (p, d)
+    else:
+        Omega = jax.random.normal(key, (d, p), dtype=X.dtype)
+        Q = _ortho_eigh(X @ Omega)
+        for _ in range(n_iter):
+            Q = _ortho_eigh(X @ _ortho_eigh(X.T @ Q))
+        B = Q.T @ X                  # (p, d)
     # SVD of the small panel via its (p, p) Gram: B = U_b S Vt with
     # U_b, S² from eigh(B Bᵀ) and Vt = S⁻¹ U_bᵀ B
     lam, Ub = jnp.linalg.eigh(B @ B.T)
@@ -283,7 +323,9 @@ def _nndsvd_lrc_device_jit(k, p, eps, lrc_iters):
     def f(X, key):
         U, S, Vt = randomized_svd_jax(X, p, key)
         W, H = _nndsvd_lrc_split(U, S, Vt, k, jnp)
-        acc = X.dtype
+        # accumulator follows the SVD's computation dtype, not a 16-bit
+        # X storage dtype (randomized_svd_jax widens those — U carries it)
+        acc = U.dtype
         Us = U * S
         for _ in range(lrc_iters):
             N = (W.T @ Us) @ Vt
@@ -341,7 +383,10 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         return W, T
 
     if init == 'smart_random':
-        if isinstance(X, jax.Array) and not X.is_fully_addressable:
+        from rri_nmf_tpu.ops.quantized import QuantizedX, qx_mean
+        if isinstance(X, QuantizedX):
+            avg = np.sqrt(float(qx_mean(X)) / n_components)
+        elif isinstance(X, jax.Array) and not X.is_fully_addressable:
             avg = np.sqrt(_global_mean(X) / n_components)
         elif hasattr(X, 'mean') and hasattr(X, 'tocoo'):
             # scipy-sparse: native all-entries mean, no densify
@@ -370,10 +415,11 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         if _degenerate:
             init = 'nndsvd'      # k near full rank: construction degenerate
         elif svd_backend == 'jax':
+            from rri_nmf_tpu.ops.quantized import QuantizedX
             key = jax.random.PRNGKey(_seed_int(random_state))
             W, H = _nndsvd_lrc_device_jit(
                 k, p, float(eps), 2)(
-                jnp.asarray(X), key)
+                X if isinstance(X, QuantizedX) else jnp.asarray(X), key)
             W, H = _fetch_init(W), _fetch_init(H)
             if row_normalize:
                 H = np.asarray(normalize(H))
@@ -404,9 +450,10 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         # tunnel-hosted backend an eager op-by-op SVD queues dozens of
         # dispatches with trailing fetches, which stalls for minutes
         # (CLAUDE.md); the fused form runs at GEMM speed.
+        from rri_nmf_tpu.ops.quantized import QuantizedX
         key = jax.random.PRNGKey(_seed_int(random_state))
         W, H = _nndsvd_device_jit(n_components, float(eps))(
-            jnp.asarray(X), key)
+            X if isinstance(X, QuantizedX) else jnp.asarray(X), key)
         # writable host copies (nndsvda/ar mutate); multi-controller
         # gathers
         W, H = _fetch_init(W), _fetch_init(H)
@@ -415,6 +462,9 @@ def initialize_nmf(X, n_components, init=None, eps=1e-6, random_state=None,
         W, H = _nndsvd_from_svd(U, S, Vt, eps)
 
     def _mean_x():
+        from rri_nmf_tpu.ops.quantized import QuantizedX, qx_mean
+        if isinstance(X, QuantizedX):
+            return float(qx_mean(X))
         if isinstance(X, jax.Array) and not X.is_fully_addressable:
             return _global_mean(X)
         if hasattr(X, 'mean') and hasattr(X, 'tocoo'):

@@ -229,10 +229,20 @@ class TrueObjComputer(object):
                 state['X'] = None
         elif isinstance(X, jax.Array):
             state['X'] = _to_host(X)
+        else:
+            from rri_nmf_tpu.ops.quantized import QuantizedX
+            if isinstance(X, QuantizedX):
+                # host tuple form; re-wrapped on restore (__setstate__)
+                state['X'] = ('quantized_x', np.asarray(X.q),
+                              np.asarray(X.s))
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        X = state.get('X')
+        if isinstance(X, tuple) and X and X[0] == 'quantized_x':
+            from rri_nmf_tpu.ops.quantized import QuantizedX
+            self.X = QuantizedX(jnp.asarray(X[1]), jnp.asarray(X[2]))
 
     def true_objective(self):
         if self._fn is None:   # restored from a pickle: rebuild lazily
@@ -265,9 +275,29 @@ class TrueObjComputer(object):
             extras.append(self.Wm)
         if self.wr is not None:
             extras.append(self.wr)
-        self.obj = float(self._fn(jnp.asarray(self.X), jnp.asarray(self.W),
+        from rri_nmf_tpu.ops.quantized import QuantizedX
+        X = self.X if isinstance(self.X, QuantizedX) \
+            else jnp.asarray(self.X)
+        self.obj = float(self._fn(X, jnp.asarray(self.W),
                                   jnp.asarray(self.T), *extras))
         return self.obj
+
+
+def _quantize_host(X, dtype):
+    """Host-side per-column int16 quantization (``x_dtype='int16'``):
+    mirrors ``ops.quantized._quantize`` but encodes on the host so the
+    int16 code crosses the host->device link — half the bytes of a
+    bf16 transfer, a quarter of f32 (the tunnel runs ~45 MB/s)."""
+    from rri_nmf_tpu.ops.quantized import QuantizedX
+    dt = np.dtype(str(jnp.dtype(dtype)))
+    Xw = np.asarray(X, dtype=dt)
+    if Xw.size and float(Xw.min()) < 0:
+        raise ValueError("x_dtype='int16' encodes nonnegative X only "
+                         '(NMF input contract); found negative entries')
+    s = Xw.max(axis=0) / dt.type(32767)
+    s = np.where(s > 0, s, dt.type(1)).astype(dt)
+    q = np.clip(np.round(Xw / s), 0, 32767).astype(np.int16)
+    return QuantizedX(jnp.asarray(q), jnp.asarray(s))
 
 
 def _default_float():
@@ -464,6 +494,23 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         densifies instead of auto-engaging sparse mode. Ignored on the
         masked path, where the streamed residual, not X, carries the HBM
         traffic.
+
+        ``x_dtype='int16'`` stores X as a per-column linear int16 code
+        (``ops/quantized.py``): the same 2 bytes/entry as bf16 at ~70x
+        less quantization noise (~2e-5 RMS relative for concentrated
+        nonnegative data vs bf16's ~1.1e-3) — and exact RRI converges to
+        ~the storage noise floor (``results_round4_quant_floor.json``),
+        so the quantization mode sets the reachable error at beyond-HBM
+        scale. The per-column scale folds OUTSIDE the two X GEMMs
+        (O(kd) pre/postscale), so a sweep costs the same X passes as an
+        f32-precision mixed-bf16 sweep. Requires f32/f64 factors and a
+        config covered by the fused dense phase kernels
+        (``update_order='phase'``, no resets/DP/gradient stores;
+        single-chip or an aligned mesh). X may also be passed directly
+        as an :class:`~rri_nmf_tpu.ops.quantized.QuantizedX` built with
+        :func:`~rri_nmf_tpu.ops.quantized.quantize_x` on device (the
+        driver then never touches a dense X; NNDSVD/random inits run on
+        the quantized form via scale-folded GEMMs).
     sparse : optional
         Sparse-X handling (the reference densifies unconditionally,
         ``sklearn_interface.py:78-83``). ``'auto'`` (default): a
@@ -793,6 +840,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 'and run the W re-fit explicitly')
         if not np.issubdtype(np.dtype(X.dtype), np.floating):
             raise ValueError('process-spanning X must be floating point')
+    from rri_nmf_tpu.ops.quantized import QuantizedX
+    _x_is_quant_in = isinstance(X, QuantizedX)
     if _is_sp and not sparse_mode and not masked_sparse:
         X = X.toarray()
     if masked_sparse and _is_sp:
@@ -800,7 +849,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # ever reach the device (plan_masked_coo)
         if not np.issubdtype(X.dtype, np.floating):
             X = X.astype(np.float64)
-    elif not sparse_mode and not _X_global:
+    elif not sparse_mode and not _X_global and not _x_is_quant_in:
         X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
             np.asarray(X).dtype, np.floating) else None)
         X = np.asarray(X)
@@ -812,11 +861,28 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             dtype = _default_float()
     dtype = jnp.dtype(dtype)
     x_dtype = jnp.dtype(x_dtype) if x_dtype is not None else dtype
-    if x_dtype != dtype and sparse_mode:
+    # ---- quantized X storage (x_dtype='int16': per-column linear code,
+    # 2 bytes/entry at ~70x less noise than bf16 — ops/quantized.py) ------
+    x_quant = _x_is_quant_in or x_dtype == jnp.int16
+    if x_quant:
+        x_dtype = dtype            # the dequantized dtype consumers see
+        if dtype not in (jnp.float32, jnp.float64):
+            raise ValueError("x_dtype='int16' requires float32/float64 "
+                             'factors (the dequantized compute dtype)')
+        if sparse_mode or masked_sparse or W_mat is not None:
+            raise ValueError(
+                "x_dtype='int16' (quantized X storage) covers the dense "
+                'unmasked paths only; sparse/masked workloads already '
+                'store O(nnz)')
+        if w_row is not None and _x_is_quant_in:
+            raise ValueError(
+                'w_row pre-scales X on the host; apply sqrt(w_row) row '
+                'scaling before quantize_x, or pass the dense X')
+    elif x_dtype != dtype and sparse_mode:
         raise ValueError('x_dtype (mixed X storage) is not supported with '
                          'sparse modes: sparse X is stored as nonzeros and '
                          'the contractions key off that dtype directly')
-    if x_dtype != dtype and W_mat is not None:
+    elif x_dtype != dtype and W_mat is not None:
         # the masked sweeps stream a materialized residual R (built from X
         # once per sweep), so narrowing X alone saves no HBM traffic there
         logger.info('x_dtype ignored on the masked path (the streamed '
@@ -990,6 +1056,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             else:
                 X_dev = partition_coo(X, mesh, dtype)
             s_W = s_T = NamedSharding(mesh, PartitionSpec())
+        elif x_quant:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P0
+            qx0 = X if _x_is_quant_in else _quantize_host(X, dtype)
+            X_dev = QuantizedX(
+                _put(qx0.q, s_X),
+                _put(qx0.s, NamedSharding(mesh, _P0())))
         else:
             X_dev = _put(jnp.asarray(X, dtype=x_dtype), s_X)
         W_dev = _put(jnp.asarray(W, dtype=dtype), s_W)
@@ -1054,6 +1127,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 mxu_mode = True
             else:
                 X_dev = to_bcoo(X, dtype)
+        elif x_quant:
+            X_dev = X if _x_is_quant_in else _quantize_host(X, dtype)
         else:
             X_dev = jnp.asarray(X, dtype=x_dtype)
         W_dev = jnp.asarray(W, dtype=dtype)
@@ -1165,6 +1240,21 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         logger.warning('use_pallas requested but config unsupported by the '
                        'fused kernels; falling back to the XLA sweep.')
         use_pallas = False
+    if x_quant:
+        # quantized X storage is consumed by the dense phase sweep's
+        # scale-folded GEMMs only (ops/quantized.py); the XLA fallback
+        # sweeps read X directly
+        if not dense_pallas_ok:
+            raise ValueError(
+                "x_dtype='int16' runs on the fused dense phase kernels: "
+                "it requires update_order='phase', "
+                'reset_topic_method=None, no store_gradients, no DP '
+                'noise (and mesh-aligned shapes when sharded); got '
+                'update_order=%r, reset_topic_method=%r'
+                % (update_order, reset_topic_method))
+        if not use_pallas:
+            use_pallas = ('interpret'
+                          if jax.default_backend() == 'cpu' else True)
     if sparse_mode and mesh is not None and mxu_mode:
         from rri_nmf_tpu.parallel.sparse_mesh import make_sharded_mxu_sweep
         sweep_fn = make_sharded_mxu_sweep(
@@ -1422,8 +1512,15 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     def X_host():
         if _X_host[0] is None:
-            _X_host[0] = X if (sparse_mode or hasattr(X, 'toarray')) \
-                else _to_host(X)
+            if _x_is_quant_in:
+                # gather the int16 code and dequantize ON THE HOST (no
+                # device-side n×d materialization, int16 link bytes)
+                _X_host[0] = (np.asarray(_to_host(X.q), np.float64)
+                              * np.asarray(_to_host(X.s),
+                                           np.float64)[None, :])
+            else:
+                _X_host[0] = X if (sparse_mode or hasattr(X, 'toarray')) \
+                    else _to_host(X)
         return _X_host[0]
 
     if len(diagnostics) > 0:
@@ -1758,18 +1855,20 @@ def _initialize_and_validate(W_in, T_in, W_mat, X, k, init, random_state,
                 X_init = np.asarray(X_init.toarray())
         else:
             X_init = W_mat * X
-        if _is_global_array(X_init):
-            # no host can materialize X: the random/smart_random draws
-            # need only shape / a replicated mean, and the SVD family
-            # runs the device backend's single jitted program under
-            # GSPMD (process-spanning in, gathered factors out)
+        from rri_nmf_tpu.ops.quantized import QuantizedX
+        if _is_global_array(X_init) or isinstance(X_init, QuantizedX):
+            # no host can materialize X (process-spanning or quantized
+            # beyond-HBM storage): the random/smart_random draws need
+            # only shape / a mean, and the SVD family runs the device
+            # backend's single jitted program (process-spanning /
+            # scale-folded quantized GEMMs in, gathered factors out)
             _svd_family = init in (None, 'nndsvd', 'nndsvda', 'nndsvdar',
                                    'nndsvd_lrc')
             if init == 'coherence_pmi':
                 raise ValueError(
                     "init='coherence_pmi' walks X on the host; with a "
-                    'process-spanning X initialize explicitly and pass '
-                    'W_in/T_in (parallel.distribute_factors)')
+                    'process-spanning or quantized X initialize '
+                    'explicitly and pass W_in/T_in')
             W, T = initialize_nmf(
                 X_init, k, init, random_state=random_state,
                 row_normalize=False,

@@ -83,6 +83,9 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
         distributed = cfg.mesh is not None
 
     def obj(X, W, T, *extras):
+        from rri_nmf_tpu.ops.quantized import (
+            QuantizedX, qx_col_block, qx_row_block)
+        qx = X if isinstance(X, QuantizedX) else None
         # masked (WRRI) form: 0.5 Σ M ⊙ (X - WT)² — the mask/weight
         # matrix rides as the first extra, exactly as the sweep takes it
         M = extras[0] if cfg.masked else None
@@ -103,6 +106,9 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
             return jnp.sum(rows)
 
         if distributed:
+            if qx is not None:
+                from rri_nmf_tpu.ops.quantized import dequantize_x
+                X = dequantize_x(qx)  # per-device tiles under GSPMD
             s = _sq(X, W, M)
         elif cfg.update_order == 'phase' and not cfg.masked:
             # COLUMN blocks for the unmasked phase-order composition:
@@ -120,7 +126,10 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
 
             def cblk(j, s):
                 off = jnp.minimum(j * B, d - B)
-                Xb = lax.dynamic_slice(X, (0, off), (n, B))
+                if qx is not None:
+                    Xb = qx_col_block(qx, off, B, acc)
+                else:
+                    Xb = lax.dynamic_slice(X, (0, off), (n, B))
                 Tb = lax.dynamic_slice(T, (0, off), (k, B))
                 Rb = Xb.astype(acc) - jnp.dot(Wa, Tb,
                                               preferred_element_type=acc)
@@ -142,7 +151,10 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
 
             def blk(i, s):
                 off = jnp.minimum(i * B, n - B)
-                Xb = lax.dynamic_slice(X, (off, 0), (B, d))
+                if qx is not None:
+                    Xb = qx_row_block(qx, off, B, acc)
+                else:
+                    Xb = lax.dynamic_slice(X, (off, 0), (B, d))
                 Wb = lax.dynamic_slice(W, (off, 0), (B, k))
                 Mb = lax.dynamic_slice(M, (off, 0), (B, d)) \
                     if M is not None else None

@@ -385,6 +385,9 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
     k = cfg.k
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
+        from rri_nmf_tpu.ops.quantized import (
+            QuantizedX, qx_t_numerator, qx_w_numerator)
+        qx = X if isinstance(X, QuantizedX) else None
         w_row_sum_vec = (extras[0].reshape(-1)
                          if cfg.w_row_sum_is_vector else None)
         n, d = X.shape
@@ -415,9 +418,12 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
             # cast the small factor operand down to X's storage dtype so a
             # narrow X runs one native bf16 MXU pass (f32 default precision
             # rounds the operands to bf16 on the MXU anyway)
-            Wx = W.astype(X.dtype) if x_narrow else W
-            WX = lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=acc_dt)  # (k, d)
+            if qx is not None:
+                WX = qx_t_numerator(W, qx, acc_dt)           # (k, d)
+            else:
+                Wx = W.astype(X.dtype) if x_narrow else W
+                WX = lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=acc_dt)
             if dpad != d:
                 WX = jnp.zeros((k, dpad), acc_dt).at[:, :d].set(WX)
                 Tk = jnp.zeros((k, dpad), dtype).at[:, :d].set(T)
@@ -444,9 +450,12 @@ def make_dense_phase_sweep_pallas(cfg, interpret=False):
             G2 = jnp.dot(T, T.T, preferred_element_type=acc_dt)
             diag2 = jnp.diagonal(G2).reshape(k, 1)
             # (k, n) directly — no transpose of the GEMM output needed
-            Tx = T.astype(X.dtype) if x_narrow else T
-            XTt = lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=acc_dt)
+            if qx is not None:
+                XTt = qx_w_numerator(T, qx, acc_dt)
+            else:
+                Tx = T.astype(X.dtype) if x_narrow else T
+                XTt = lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=acc_dt)
             Wt = W.T
             if npad != n:
                 XTt = jnp.zeros((k, npad), acc_dt).at[:, :n].set(XTt)

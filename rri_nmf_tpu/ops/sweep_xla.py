@@ -248,10 +248,14 @@ def make_objective(masked: bool, row_weighted: bool,
         return jnp.sum(R)
 
     def objective(X, W, T, *extras):
+        from rri_nmf_tpu.ops.quantized import (
+            QuantizedX, dequantize_x, qx_row_block)
+        qx = X if isinstance(X, QuantizedX) else None
         _, acc_dt, _ = resolve_mixed_dtypes(X.dtype, W.dtype)
 
         if block_rows is None:
-            base = _res_sq(acc_dt, X, W, T, *extras)
+            base = _res_sq(acc_dt, dequantize_x(qx) if qx is not None
+                           else X, W, T, *extras)
         else:
             n, d = X.shape
             B = min(n, int(block_rows))
@@ -259,7 +263,10 @@ def make_objective(masked: bool, row_weighted: bool,
 
             def _blk(i, acc):
                 start = jnp.minimum(i * B, n - B)
-                Xb = lax.dynamic_slice(X, (start, 0), (B, d))
+                if qx is not None:
+                    Xb = qx_row_block(qx, start, B, acc_dt)
+                else:
+                    Xb = lax.dynamic_slice(X, (start, 0), (B, d))
                 Wb = lax.dynamic_slice(W, (start, 0), (B, W.shape[1]))
                 eb = [lax.dynamic_slice(e, (start, 0), (B, e.shape[1]))
                       if e.ndim == 2 and e.shape[0] == n else e

@@ -105,6 +105,9 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         def local_sweep(X, W, T, ub_vec):
             # per-device code on local tiles: X (n_loc, d_loc), W
             # (n_loc, k), T (k, d_loc); ub_vec (n_loc,) or None
+            from rri_nmf_tpu.ops.quantized import (
+                QuantizedX, qx_t_numerator, qx_w_numerator)
+            qx = X if isinstance(X, QuantizedX) else None
             n_loc, d_loc = X.shape
             # factor dtype follows W (mixed storage: x_dtype='bfloat16'
             # keeps X narrow while the factor tiles stay f32; see
@@ -118,10 +121,15 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                 G = lax.psum(
                     jnp.dot(W.T, W, preferred_element_type=acc_dt), dp)
                 diag = jnp.diagonal(G).reshape(k, 1)
-                Wx = W.astype(X.dtype) if x_narrow else W
-                WX = lax.psum(
-                    lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=acc_dt), dp)
+                if qx is not None:
+                    # scale folding commutes with the dp psum (the
+                    # column scale is dp-invariant)
+                    WX = lax.psum(qx_t_numerator(W, qx, acc_dt), dp)
+                else:
+                    Wx = W.astype(X.dtype) if x_narrow else W
+                    WX = lax.psum(
+                        lax.dot_general(Wx, X, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=acc_dt), dp)
                 if _tm_proj_active(cfg):
                     # the per-topic simplex threshold couples ALL d
                     # columns of a row, so the projected kernel needs
@@ -163,10 +171,13 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
                 G2 = lax.psum(
                     jnp.dot(T, T.T, preferred_element_type=acc_dt), tp)
                 diag2 = jnp.diagonal(G2).reshape(k, 1)
-                Tx = T.astype(X.dtype) if x_narrow else T
-                XTt = lax.psum(
-                    lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=acc_dt), tp)
+                if qx is not None:
+                    XTt = lax.psum(qx_w_numerator(T, qx, acc_dt), tp)
+                else:
+                    Tx = T.astype(X.dtype) if x_narrow else T
+                    XTt = lax.psum(
+                        lax.dot_general(Tx, X, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=acc_dt), tp)
                 ub = None
                 if cfg.w_row_sum_is_vector:
                     ub = ub_vec.astype(acc_dt).reshape(1, n_loc)
@@ -194,15 +205,19 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
     ub_spec = P(dp) if cfg.w_row_sum_is_vector else P()
 
     def sweep(X, W, T, key, resets_left, reset_key, *extras):
+        from rri_nmf_tpu.ops.quantized import QuantizedX
+        qx = X if isinstance(X, QuantizedX) else None
         n, d = X.shape
         dtype = W.dtype   # factor dtype (mixed storage: X may be narrower)
         npad = _round_up(n, BN * dp_size)
         dpad = _round_up(d, BD * tp_size)
+        x_spec = QuantizedX(P(dp, tp), P(tp)) if qx is not None \
+            else P(dp, tp)
         # shapes are static under jit: the shard_map body is rebuilt per
         # (n, d) trace, carrying the true d into the projected kernel
         sharded = shard_map(
             make_local_sweep(d), mesh=mesh,
-            in_specs=(P(dp, tp), P(dp, None), P(None, tp), ub_spec),
+            in_specs=(x_spec, P(dp, None), P(None, tp), ub_spec),
             out_specs=(P(dp, None), P(None, tp)),
             check_vma=False)  # pallas outputs carry no varying-axis info
 
@@ -212,8 +227,15 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         # sweep is pure; X cannot be cached across calls) — roughly one
         # extra X read+write, comparable to a GEMM pass of HBM traffic.
         # Pre-pad the input to (BN·dp, BD·tp) multiples to avoid it.
-        Xp = X if (npad == n and dpad == d) else \
-            jnp.zeros((npad, dpad), X.dtype).at[:n, :d].set(X)
+        if qx is not None:
+            # pad the code with zeros and the scale with ones (pad
+            # columns dequantize to exact zeros either way)
+            Xp = qx if (npad == n and dpad == d) else QuantizedX(
+                jnp.zeros((npad, dpad), qx.q.dtype).at[:n, :d].set(qx.q),
+                jnp.ones((dpad,), qx.s.dtype).at[:d].set(qx.s))
+        else:
+            Xp = X if (npad == n and dpad == d) else \
+                jnp.zeros((npad, dpad), X.dtype).at[:n, :d].set(X)
         Wp = W if npad == n else \
             jnp.zeros((npad, k), dtype).at[:n].set(W)
         Tp = T if dpad == d else \
@@ -224,8 +246,15 @@ def make_sharded_dense_sweep_pallas(cfg, mesh, interpret=False):
         else:
             ub = jnp.zeros((), dtype)
 
-        Xp = lax.with_sharding_constraint(
-            Xp, NamedSharding(mesh, P(dp, tp)))
+        if qx is not None:
+            Xp = QuantizedX(
+                lax.with_sharding_constraint(
+                    Xp.q, NamedSharding(mesh, P(dp, tp))),
+                lax.with_sharding_constraint(
+                    Xp.s, NamedSharding(mesh, P(tp))))
+        else:
+            Xp = lax.with_sharding_constraint(
+                Xp, NamedSharding(mesh, P(dp, tp)))
         Wp = lax.with_sharding_constraint(
             Wp, NamedSharding(mesh, P(dp, None)))
         Tp = lax.with_sharding_constraint(

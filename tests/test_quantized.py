@@ -1,0 +1,323 @@
+"""int16 column-scaled X storage (``x_dtype='int16'`` / ``QuantizedX``).
+
+Round-4 beyond-HBM storage mode (``ops/quantized.py``): same 2
+bytes/entry as bf16 at ~70x less quantization noise. These tests pin:
+
+- the code round-trip (encode error bound, exact zeros, scale folding);
+- sweep/objective parity: a fit on ``QuantizedX`` must EXACTLY match a
+  fit on the dequantized dense matrix (the scale-folded GEMMs are a
+  reformulation, not an approximation — f64 on CPU);
+- the driver surface (``x_dtype='int16'`` and direct ``QuantizedX``
+  input, monotone descent, obj-calculator pickle round-trip, gating
+  errors);
+- NNDSVD/smart_random init on the quantized form vs the dequantized
+  dense form;
+- the 16-bit init regression: ``randomized_svd_jax`` on a bf16-stored X
+  must match the f32 computation (the all-bf16 chain dead-topiced 40/256
+  at the north-star half shape — ``results_round4_init_bf16.json``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rri_nmf_tpu.nmf import nmf
+from rri_nmf_tpu.ops.quantized import (QuantizedX, dequantize_x, qx_mean,
+                                       quantize_x)
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+
+
+def _problem(n=96, d=80, k=6, seed=0, scale=7.0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, d) * scale
+
+
+class TestCode:
+    def test_roundtrip_error_bound(self):
+        X = _problem()
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = np.asarray(dequantize_x(qx))
+        # per-entry absolute error <= s_j / 2 (round-to-nearest)
+        s = np.asarray(qx.s)
+        assert np.all(np.abs(Xdq - X) <= 0.5 * s[None, :] + 1e-12)
+        rel = np.linalg.norm(Xdq - X) / np.linalg.norm(X)
+        assert rel < 5e-5
+
+    def test_zeros_and_colmax_exact(self):
+        X = _problem()
+        X[:, 3] = 0.0            # all-zero column: scale guard
+        X[0, 5] = 0.0
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = np.asarray(dequantize_x(qx))
+        assert np.all(Xdq[:, 3] == 0)
+        assert Xdq[0, 5] == 0
+        # column maxima encode to exactly 32767 -> exact round-trip
+        np.testing.assert_allclose(Xdq.max(axis=0), X.max(axis=0),
+                                   rtol=1e-12)
+
+    def test_mean_and_shape_protocol(self):
+        X = _problem()
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = np.asarray(dequantize_x(qx))
+        assert np.shape(qx) == X.shape           # np.shape via .shape
+        assert abs(float(qx_mean(qx)) - Xdq.mean()) < 1e-10
+
+
+class TestSweepParity:
+    """QuantizedX through every consumer == dense fit on dequantize_x."""
+
+    @pytest.mark.parametrize('cfg_kw', [
+        dict(),
+        dict(inner_reps=3),
+        dict(project_T_each_iter=True, t_row_sum=1.0),
+        dict(reg_w_l2=0.05, reg_t_l1=0.02),
+        dict(fix_T=True),
+        dict(w_row_sum=1.0, project_W_each_iter=True),
+    ])
+    def test_phase_sweep_parity(self, cfg_kw):
+        from rri_nmf_tpu.ops.dense_pallas import (
+            make_dense_phase_sweep_pallas)
+        X = _problem()
+        n, d, k = X.shape[0], X.shape[1], 6
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = dequantize_x(qx)
+        rng = np.random.RandomState(1)
+        W = jnp.asarray(rng.rand(n, k))
+        T = jnp.asarray(rng.rand(k, d))
+        cfg = SweepConfig(k=k, reset_topic_method=None,
+                          update_order='phase', **cfg_kw)
+        sw = make_dense_phase_sweep_pallas(
+            cfg, interpret=jax.default_backend() == 'cpu')
+        key = jax.random.PRNGKey(0)
+        rl = jnp.asarray(0, jnp.int32)
+        for _ in range(3):
+            Wq, Tq, _, _ = sw(qx, W, T, key, rl, key)
+            Wd, Td, _, _ = sw(Xdq, W, T, key, rl, key)
+            np.testing.assert_allclose(np.asarray(Wq), np.asarray(Wd),
+                                       atol=1e-11)
+            np.testing.assert_allclose(np.asarray(Tq), np.asarray(Td),
+                                       atol=1e-11)
+            W, T = Wq, Tq
+
+    def test_objectives_parity(self):
+        from rri_nmf_tpu.ops.accel import make_residual_obj
+        from rri_nmf_tpu.ops.sweep_xla import make_objective
+        X = _problem()
+        k = 6
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = dequantize_x(qx)
+        rng = np.random.RandomState(2)
+        W = jnp.asarray(rng.rand(X.shape[0], k))
+        T = jnp.asarray(rng.rand(k, X.shape[1]))
+        for cfg in (SweepConfig(k=k, reset_topic_method=None,
+                                update_order='phase'),
+                    SweepConfig(k=k, reset_topic_method=None)):
+            o = make_residual_obj(cfg, block_rows=32)
+            assert abs(float(o(qx, W, T)) - float(o(Xdq, W, T))) < 1e-8
+        for br in (None, 32):
+            o = make_objective(masked=False, row_weighted=False,
+                               reg_w_l2=0.01, block_rows=br)
+            assert abs(float(o(qx, W, T)) - float(o(Xdq, W, T))) < 1e-8
+
+    def test_her_parity(self):
+        from rri_nmf_tpu.ops.accel import make_her_step, make_residual_obj
+        from rri_nmf_tpu.ops.dense_pallas import (
+            make_dense_phase_sweep_pallas)
+        X = _problem()
+        k = 6
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = dequantize_x(qx)
+        cfg = SweepConfig(k=k, reset_topic_method=None,
+                          update_order='phase')
+        sw = make_dense_phase_sweep_pallas(
+            cfg, interpret=jax.default_backend() == 'cpu')
+        obj = make_residual_obj(cfg)
+        step = make_her_step(sw, obj)
+        rng = np.random.RandomState(3)
+        W = jnp.asarray(rng.rand(X.shape[0], k))
+        T = jnp.asarray(rng.rand(k, X.shape[1]))
+        key = jax.random.PRNGKey(0)
+        rl = jnp.asarray(0, jnp.int32)
+        beta = jnp.asarray(0.5, qx.dtype)
+        e = jnp.asarray(np.inf, qx.dtype)
+        sq = step(qx, W, T, W, T, W, T, e, beta, e, key, rl, key)
+        sd = step(Xdq, W, T, W, T, W, T, e, beta, e, key, rl, key)
+        for a, b in zip(sq[:6], sd[:6]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-11)
+
+
+class TestDriver:
+    def test_x_dtype_int16_monotone_and_close_to_dense(self):
+        X = _problem()
+        k = 6
+        r = nmf(X, k, x_dtype='int16', update_order='phase',
+                reset_topic_method=None, max_iter=20,
+                compute_obj_each_iter=True, random_state=0)
+        oh = np.asarray(r['obj_history'])
+        assert np.all(np.diff(oh) <= 1e-9)
+        rd = nmf(X, k, update_order='phase', reset_topic_method=None,
+                 max_iter=20, compute_obj_each_iter=True, random_state=0)
+        # ~2e-5 storage noise: final objectives agree to ~1e-3 relative
+        assert abs(oh[-1] - rd['obj_history'][-1]) \
+            <= 2e-3 * abs(rd['obj_history'][-1])
+
+    def test_quantized_input_and_pickle(self):
+        import pickle
+        X = _problem()
+        k = 5
+        qx = quantize_x(jnp.asarray(X))
+        r = nmf(qx, k, update_order='phase', reset_topic_method=None,
+                max_iter=8, compute_obj_each_iter=True, random_state=0)
+        oh = np.asarray(r['obj_history'])
+        assert np.all(np.diff(oh) <= 1e-9)
+        oc = r['obj_calculator']
+        v = oc.true_objective()
+        oc2 = pickle.loads(pickle.dumps(oc))
+        assert abs(oc2.true_objective() - v) < 1e-8 * abs(v)
+
+    def test_quantized_input_smart_random_and_warm_start(self):
+        X = _problem()
+        k = 5
+        qx = quantize_x(jnp.asarray(X))
+        r = nmf(qx, k, init='smart_random', update_order='phase',
+                reset_topic_method=None, max_iter=5,
+                compute_obj_each_iter=True, random_state=0)
+        assert np.all(np.diff(r['obj_history']) <= 1e-9)
+        r2 = nmf(qx, k, W_in=r['W'], T_in=r['T'], update_order='phase',
+                 reset_topic_method=None, max_iter=3,
+                 compute_obj_each_iter=True, random_state=0)
+        assert r2['obj_history'][-1] <= r['obj_history'][-1] + 1e-9
+
+    def test_gating_errors(self):
+        X = _problem()
+        with pytest.raises(ValueError, match='phase'):
+            nmf(X, 4, x_dtype='int16', max_iter=2)   # interleaved default
+        with pytest.raises(ValueError, match='nonnegative'):
+            nmf(X - 10.0, 4, x_dtype='int16', update_order='phase',
+                reset_topic_method=None, max_iter=2)
+        with pytest.raises(ValueError, match='dense unmasked'):
+            nmf(X, 4, x_dtype='int16', W_mat=(X > 1).astype(float),
+                update_order='phase', reset_topic_method=None, max_iter=2)
+
+    def test_early_stop_and_her(self):
+        X = _problem()
+        k = 5
+        r = nmf(X, k, x_dtype='int16', update_order='phase',
+                reset_topic_method=None, max_iter=15, accel='her',
+                compute_obj_each_iter=True, random_state=0)
+        assert np.isfinite(r['obj_history']).all()
+        rd = nmf(X, k, update_order='phase', reset_topic_method=None,
+                 max_iter=15, accel='her', compute_obj_each_iter=True,
+                 random_state=0)
+        assert abs(r['obj_history'][-1] - rd['obj_history'][-1]) \
+            <= 5e-3 * abs(rd['obj_history'][-1])
+
+
+class TestInit:
+    def test_nndsvd_on_quantized_matches_dense(self):
+        from rri_nmf_tpu.initialization import initialize_nmf
+        X = _problem(n=150, d=100)
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = dequantize_x(qx)
+        Wq, Hq = initialize_nmf(qx, 8, 'nndsvd', random_state=0,
+                                svd_backend='jax')
+        Wd, Hd = initialize_nmf(Xdq, 8, 'nndsvd', random_state=0,
+                                svd_backend='jax')
+        np.testing.assert_allclose(np.asarray(Wq), np.asarray(Wd),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Hq), np.asarray(Hd),
+                                   atol=1e-8)
+
+    def test_smart_random_and_nndsvda_on_quantized(self):
+        from rri_nmf_tpu.initialization import initialize_nmf
+        X = _problem(n=150, d=100)
+        qx = quantize_x(jnp.asarray(X))
+        Xdq = np.asarray(dequantize_x(qx))
+        for init in ('smart_random', 'nndsvda'):
+            Wq, Hq = initialize_nmf(qx, 8, init, random_state=0,
+                                    svd_backend='jax')
+            Wd, Hd = initialize_nmf(Xdq, 8, init, random_state=0,
+                                    svd_backend='jax')
+            np.testing.assert_allclose(np.asarray(Wq), np.asarray(Wd),
+                                       atol=1e-7)
+
+    def test_bf16_svd_matches_f32_computation(self):
+        """Regression for the round-4 dead-topic stall: the SVD chain on
+        a bf16-STORED X must run its computation in f32 (identical
+        results to feeding the same values as f32)."""
+        from rri_nmf_tpu.initialization import initialize_nmf
+        X = _problem(n=200, d=120)
+        Xb = jnp.asarray(X, jnp.bfloat16)
+        Xf = Xb.astype(jnp.float32)
+        Wb, Hb = initialize_nmf(Xb, 16, 'nndsvd', random_state=0,
+                                svd_backend='jax')
+        Wf, Hf = initialize_nmf(Xf, 16, 'nndsvd', random_state=0,
+                                svd_backend='jax')
+        Wb, Hb = np.asarray(Wb, np.float64), np.asarray(Hb, np.float64)
+        Wf, Hf = np.asarray(Wf, np.float64), np.asarray(Hf, np.float64)
+        # no dead topics (the all-bf16 chain produced 40/256 both-dead
+        # at the north-star half shape), and equal init QUALITY (exact
+        # factor comparison is ill-posed: the tail spectrum is
+        # near-degenerate, so eigenvector rotations differ between
+        # arithmetically-distinct but equally-accurate chains)
+        wn = np.linalg.norm(Wb, axis=0)
+        tn = np.linalg.norm(Hb, axis=1)
+        assert int(((wn == 0) | (tn == 0)).sum()) == 0
+        Xd = np.asarray(Xf, np.float64)
+        eb = np.linalg.norm(Xd - Wb @ Hb) / np.linalg.norm(Xd)
+        ef = np.linalg.norm(Xd - Wf @ Hf) / np.linalg.norm(Xd)
+        assert eb <= ef * 1.02 + 1e-12
+
+
+class TestMesh:
+    def test_sharded_phase_sweep_parity(self):
+        """QuantizedX through the shard_map dense sweep == single-device
+        (8 virtual CPU devices, conftest)."""
+        from rri_nmf_tpu.ops.dense_pallas import (
+            make_dense_phase_sweep_pallas)
+        from rri_nmf_tpu.parallel.mesh import make_mesh
+        from rri_nmf_tpu.parallel.sharded_dense import (
+            make_sharded_dense_sweep_pallas)
+        if len(jax.devices()) < 4:
+            pytest.skip('needs the virtual device mesh')
+        mesh = make_mesh(4, mesh_shape=(2, 2))
+        X = _problem(n=128, d=96)
+        k = 4
+        qx = quantize_x(jnp.asarray(X))
+        rng = np.random.RandomState(4)
+        W = jnp.asarray(rng.rand(X.shape[0], k))
+        T = jnp.asarray(rng.rand(k, X.shape[1]))
+        cfg = SweepConfig(k=k, reset_topic_method=None,
+                          update_order='phase', mesh=mesh)
+        cfg1 = SweepConfig(k=k, reset_topic_method=None,
+                           update_order='phase')
+        sw_m = make_sharded_dense_sweep_pallas(cfg, mesh, interpret=True)
+        sw_1 = make_dense_phase_sweep_pallas(cfg1, interpret=True)
+        key = jax.random.PRNGKey(0)
+        rl = jnp.asarray(0, jnp.int32)
+        Wm, Tm, _, _ = sw_m(qx, W, T, key, rl, key)
+        W1, T1, _, _ = sw_1(qx, W, T, key, rl, key)
+        np.testing.assert_allclose(np.asarray(Wm), np.asarray(W1),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Tm), np.asarray(T1),
+                                   atol=1e-10)
+
+    def test_driver_mesh_fit(self):
+        from rri_nmf_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 4:
+            pytest.skip('needs the virtual device mesh')
+        mesh = make_mesh(4, mesh_shape=(2, 2))
+        X = _problem(n=128, d=96)
+        r = nmf(X, 4, x_dtype='int16', update_order='phase',
+                reset_topic_method=None, max_iter=8, mesh=mesh,
+                compute_obj_each_iter=True, random_state=0,
+                use_pallas='interpret')
+        assert np.all(np.diff(r['obj_history']) <= 1e-9)
+        r1 = nmf(X, 4, x_dtype='int16', update_order='phase',
+                 reset_topic_method=None, max_iter=8,
+                 compute_obj_each_iter=True, random_state=0)
+        assert abs(r['obj_history'][-1] - r1['obj_history'][-1]) \
+            <= 1e-6 * abs(r1['obj_history'][-1])

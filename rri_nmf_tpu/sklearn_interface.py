@@ -329,6 +329,12 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
     guarantees and fixed points (only the cyclic update order differs).
     See README "The fast-TM recipe" and
     ``benchmarks/results_round3_tm_{interleaved,preset}.json``.
+
+    Beyond one chip's HBM, add ``x_dtype='int16'`` to the fast-TM
+    kwargs: X stays a per-column int16 code (2 bytes/entry like bf16,
+    ~70× less quantization noise — ``ops/quantized.py``) and the fit
+    converges to ~the storage noise floor instead of bf16's ~1.7e-3
+    (``benchmarks/results_round4_quant_floor.json``).
     """
 
     def __init__(self, n, d, k, wr1=0, wr2=0, tr1=0, tr2=0, random_state=0,

@@ -52,6 +52,7 @@ def _draws():
     import test_consistency
     import test_dense_oracle
     import test_fuzz
+    import test_quantized
 
     def resume(seed):
         with tempfile.TemporaryDirectory() as td:
@@ -66,6 +67,7 @@ def _draws():
         'sparse': test_fuzz.sparse_parity_draw,
         'stepped': test_fuzz.stepped_parity_draw,
         'masked_oracle': test_consistency.masked_oracle_draw,
+        'quantized': test_quantized.quantized_draw,
         'dense_oracle': test_dense_oracle.test_dense_sweep_matches_oracle_randomized,
     }
 
@@ -75,7 +77,8 @@ def main():
     ap.add_argument('--draw', required=True,
                     choices=['invariants', 'invariants_midsize', 'estimator',
                              'mesh', 'resume', 'sparse', 'stepped',
-                             'masked_oracle', 'dense_oracle', 'all'])
+                             'masked_oracle', 'dense_oracle', 'quantized',
+                             'all'])
     ap.add_argument('--seeds', nargs=2, type=int, metavar=('START', 'END'),
                     help='half-open seed range [START, END)')
     ap.add_argument('--seed-list', nargs='+', type=int,

@@ -1245,13 +1245,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # scale-folded GEMMs only (ops/quantized.py); the XLA fallback
         # sweeps read X directly
         if not dense_pallas_ok:
+            _why = ('X shape (%d, %d) does not tile the mesh — the '
+                    'unaligned GSPMD fallback reads X directly; pad '
+                    'the data to the mesh quanta' % (n, d)) \
+                if mesh is not None and (n % mesh.devices.shape[0]
+                                         or d % mesh.devices.shape[1]) \
+                else ('got update_order=%r, reset_topic_method=%r'
+                      % (update_order, reset_topic_method))
             raise ValueError(
                 "x_dtype='int16' runs on the fused dense phase kernels: "
                 "it requires update_order='phase', "
                 'reset_topic_method=None, no store_gradients, no DP '
-                'noise (and mesh-aligned shapes when sharded); got '
-                'update_order=%r, reset_topic_method=%r'
-                % (update_order, reset_topic_method))
+                'noise, and mesh-aligned shapes when sharded; ' + _why)
         if not use_pallas:
             use_pallas = ('interpret'
                           if jax.default_backend() == 'cpu' else True)

@@ -69,16 +69,21 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
     """Jitted ``0.5||X - WT||² + regs`` via blockwise explicit residual
     (forward-stable at 1e-4-scale errors; see module docstring).
 
-    When ``distributed`` (default: ``cfg.mesh is not None``) the residual
-    is computed in one piece instead: under GSPMD each device
-    materializes only its local tile of ``R`` (a blockwise
-    ``dynamic_slice`` scan would instead GATHER a row-sharded ``X`` —
-    the same reasoning as the sharded reset path,
-    :class:`~rri_nmf_tpu.ops.sweep_xla.SweepConfig`). The transient
-    per-device f32 tile is a fraction of X — the single-chip HBM-ceiling
-    concern the blockwise form exists for does not apply. The driver
-    passes ``distributed=True`` for UNALIGNED meshes too (cfg.mesh is
-    None there but X is still axis-sharded)."""
+    When ``distributed`` (default: ``cfg.mesh is not None``) a GLOBAL
+    blockwise ``dynamic_slice`` scan would GATHER a row-sharded ``X``
+    (the same reasoning as the sharded reset path,
+    :class:`~rri_nmf_tpu.ops.sweep_xla.SweepConfig`), so the mesh form
+    runs the blockwise scan INSIDE a ``shard_map`` over each device's
+    local tile (+ one scalar psum): per-device temps stay at block size.
+    An X-sized f32 tile per device is not "a fraction of X" at scale —
+    the 1M×100k k=1024 pod probe measured a 24.2 GiB/device residual
+    temp from the one-piece form, an OOM on 16 GB-HBM chips whose local
+    bf16 X tile is only 12.3 GiB
+    (``results_round4_pod_scale_compile.json``). The one-piece GSPMD
+    form remains the fallback when the global shape does not tile the
+    mesh, and for UNALIGNED meshes (the driver passes
+    ``distributed=True`` with ``cfg.mesh is None`` there — X is still
+    axis-sharded, and a shard_map cannot be built without the mesh)."""
     if distributed is None:
         distributed = cfg.mesh is not None
 
@@ -106,10 +111,74 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
             return jnp.sum(rows)
 
         if distributed:
-            if qx is not None:
-                from rri_nmf_tpu.ops.quantized import dequantize_x
-                X = dequantize_x(qx)  # per-device tiles under GSPMD
-            s = _sq(X, W, M)
+            mesh = cfg.mesh
+            can_map = mesh is not None
+            if can_map:
+                dp_n, tp_n = mesh.devices.shape
+                can_map = (n % dp_n == 0 and d % tp_n == 0)
+            if can_map:
+                # blockwise on each device's LOCAL tile: slices never
+                # cross shard boundaries (no gather) and the transient
+                # f32 residual stays at block size per device
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map      # jax >= 0.8
+                except ImportError:
+                    from jax.experimental.shard_map import shard_map
+                dp_ax, tp_ax = mesh.axis_names
+
+                def _local(Xl, Wl, Tl, Ml=None):
+                    qxl = Xl if isinstance(Xl, QuantizedX) else None
+                    n_loc = Wl.shape[0]
+                    d_loc = Tl.shape[1]
+                    B = int(min(block_rows, n_loc))
+                    nb = -(-n_loc // B)
+
+                    def blk(i, s):
+                        off = jnp.minimum(i * B, n_loc - B)
+                        if qxl is not None:
+                            Xb = qx_row_block(qxl, off, B, acc)
+                        else:
+                            Xb = lax.dynamic_slice(
+                                Xl, (off, 0), (B, d_loc))
+                        Wb = lax.dynamic_slice(Wl, (off, 0), (B, k))
+                        Rb = Xb.astype(acc) - jnp.dot(
+                            Wb, Tl, preferred_element_type=acc)
+                        Rb = Rb * Rb
+                        if Ml is not None:
+                            Rb = lax.dynamic_slice(
+                                Ml, (off, 0), (B, d_loc)).astype(acc) * Rb
+                        rows = jnp.sum(Rb, axis=1)
+                        if n_loc % B:
+                            rows = rows * ((off + jnp.arange(B))
+                                           >= i * B).astype(acc)
+                        return s + jnp.sum(rows)
+
+                    s = lax.fori_loop(0, nb, blk, jnp.zeros((), acc))
+                    return lax.psum(lax.psum(s, dp_ax), tp_ax)
+
+                x_spec = QuantizedX(P(dp_ax, tp_ax), P(tp_ax)) \
+                    if qx is not None else P(dp_ax, tp_ax)
+                base = (x_spec, P(dp_ax, None), P(None, tp_ax))
+                # check_vma=False: the fori carry starts replicated and
+                # becomes device-varying inside the loop (same waiver as
+                # parallel/sharded_dense.py)
+                if M is not None:
+                    s = shard_map(
+                        _local, mesh=mesh,
+                        in_specs=base + (P(dp_ax, tp_ax),),
+                        out_specs=P(), check_vma=False)(
+                            qx if qx is not None else X, W, T, M)
+                else:
+                    s = shard_map(
+                        _local, mesh=mesh, in_specs=base,
+                        out_specs=P(), check_vma=False)(
+                            qx if qx is not None else X, W, T)
+            else:
+                if qx is not None:
+                    from rri_nmf_tpu.ops.quantized import dequantize_x
+                    X = dequantize_x(qx)  # per-device tiles under GSPMD
+                s = _sq(X, W, M)
         elif cfg.update_order == 'phase' and not cfg.masked:
             # COLUMN blocks for the unmasked phase-order composition:
             # the hybrid dense phase sweep this objective shares a jitted

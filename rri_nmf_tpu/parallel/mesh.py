@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep, make_objective
+from rri_nmf_tpu.ops.sweep_xla import SweepConfig, make_sweep
 
 
 def make_mesh(n_devices=None, mesh_shape=None, axis_names=('dp', 'tp'),
@@ -111,9 +111,14 @@ def make_sharded_training_step(cfg: SweepConfig, mesh: Mesh,
         # make the reset path mesh-aware (shard_map blockwise argmax)
         cfg = dataclasses.replace(cfg, mesh=mesh)
     sweep = make_sweep(cfg)
-    obj_fn = make_objective(masked=cfg.masked, row_weighted=False,
-                            reg_w_l2=cfg.reg_w_l2, reg_t_l2=cfg.reg_t_l2,
-                            reg_w_l1=cfg.reg_w_l1, reg_t_l1=cfg.reg_t_l1)
+    # mesh-blockwise residual objective (ops/accel.py): shard_map'd
+    # local row blocks + psum, so per-device temps stay at block size —
+    # the one-piece GSPMD residual costs an X-sized f32 temp per device
+    # (24.2 GiB/device measured at the 1M×100k k=1024 pod shape,
+    # results_round4_pod_scale_compile.json); falls back to one-piece
+    # automatically when the global shape does not tile the mesh
+    from rri_nmf_tpu.ops.accel import make_residual_obj
+    obj_fn = make_residual_obj(cfg, distributed=True)
 
     replicated = NamedSharding(mesh, P())
     in_data = problem_shardings(

@@ -321,3 +321,70 @@ class TestMesh:
                  compute_obj_each_iter=True, random_state=0)
         assert abs(r['obj_history'][-1] - r1['obj_history'][-1]) \
             <= 1e-6 * abs(r1['obj_history'][-1])
+
+
+def quantized_draw(seed):
+    """One randomized quantized-storage draw: a fit on the int16 code
+    must EXACTLY match (f64, 1e-10) the same fit on the dequantized
+    dense matrix, stay monotone, and keep wide factors. Callable
+    standalone for soak ranges (benchmarks/soak_fuzz.py)."""
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(24, 90))
+    d = int(rng.randint(20, 80))
+    k = int(rng.randint(2, 7))
+    scale = float(10.0 ** rng.uniform(-2, 3))
+    X = np.abs(rng.rand(n, k) @ rng.rand(k, d)
+               + 0.01 * rng.rand(n, d)) * scale
+    kw = dict(update_order='phase', reset_topic_method=None,
+              max_iter=int(rng.randint(3, 8)), random_state=seed,
+              compute_obj_each_iter=True, eps_stop=0)
+    if rng.rand() < 0.4:
+        kw['reg_t_l2'] = float(rng.rand() * 0.1)
+    if rng.rand() < 0.3:
+        kw['reg_w_l1'] = float(rng.rand() * 0.01)
+    if rng.rand() < 0.4:
+        kw['inner_reps'] = int(rng.randint(2, 4))
+    if rng.rand() < 0.3:
+        kw['project_T_each_iter'] = True
+        kw['t_row_sum'] = 1.0
+    if rng.rand() < 0.25:
+        kw['accel'] = 'her'
+    use_mesh = rng.rand() < 0.3 and len(jax.devices()) >= 8
+    if use_mesh:
+        # quantized + mesh requires mesh-aligned shapes (the unaligned
+        # GSPMD fallback is gated off for int16 storage by design —
+        # nmf() raises); align the draw to the (4, 2) quanta
+        from rri_nmf_tpu.parallel import make_mesh
+        n -= n % 4
+        d -= d % 2
+        X = X[:n, :d]
+        kw['mesh'] = make_mesh(8, mesh_shape=(4, 2))
+
+    qx = quantize_x(jnp.asarray(X, jnp.float64))
+    Xdq = np.asarray(dequantize_x(qx), np.float64)
+    if rng.rand() < 0.5:
+        sol_q = nmf(qx, k, **kw)                      # QuantizedX direct
+    else:
+        sol_q = nmf(Xdq, k, x_dtype='int16', **kw)    # driver quantizes
+    sol_d = nmf(Xdq, k, **kw)                          # dense on same data
+
+    assert sol_q['W'].dtype == np.float64, kw
+    oh = np.asarray(sol_q['obj_history'], float)
+    assert np.all(np.isfinite(oh)), kw
+    if 'accel' not in kw:
+        assert np.all(np.diff(oh) <= 1e-10 * max(1.0, abs(oh[0]))), kw
+    # the scale-folded GEMMs are a REFORMULATION of the dense sweep on
+    # the dequantized values — parity is exact up to f64 roundoff
+    # (driver-quantized input re-encodes the already-dequantized values,
+    # which is idempotent: q -> q*s -> q)
+    gap = abs(oh[-1] - sol_d['obj_history'][-1])
+    assert gap <= 1e-9 * max(1.0, abs(sol_d['obj_history'][-1])), \
+        (kw, gap)
+    np.testing.assert_allclose(sol_q['W'], sol_d['W'],
+                               atol=1e-8 * max(1.0, scale), rtol=1e-7)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_quantized_fuzz_prefix(seed):
+    """Suite samples a prefix of the soak draw range."""
+    quantized_draw(seed)

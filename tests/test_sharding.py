@@ -454,3 +454,61 @@ def test_sharded_resets_multiblock_per_device():
     assert single['n_resets_remaining'] == shard['n_resets_remaining'] == 4
     assert np.allclose(single['W'], shard['W'], atol=1e-11)
     assert np.allclose(single['T'], shard['T'], atol=1e-11)
+
+
+@requires_8_devices
+def test_distributed_blockwise_objective_parity():
+    """The mesh residual objective (ops/accel.make_residual_obj,
+    distributed=True) runs blockwise inside a shard_map — per-device
+    temps stay at block size instead of an X-sized f32 tile (measured
+    24.2 GiB/device at the 1M x 100k pod shape,
+    benchmarks/results_round4_pod_scale_compile.json). Parity vs the
+    single-device blockwise form must be exact summation-order-level
+    f64: dense, masked, quantized int16 X, and the one-piece fallback
+    for shapes that do not tile the mesh."""
+    import dataclasses
+
+    from rri_nmf_tpu.ops.accel import make_residual_obj
+    from rri_nmf_tpu.ops.quantized import quantize_x
+
+    rng = np.random.RandomState(3)
+    mesh = make_mesh(8, mesh_shape=(4, 2))
+    n, d, k = 64, 48, 5
+    X = rng.rand(n, d)
+    W = rng.rand(n, k)
+    T = rng.rand(k, d)
+    M = (rng.rand(n, d) < 0.6).astype(np.float64)
+
+    cfg1 = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
+                       reg_w_l2=0.01, reg_t_l1=0.005)
+    cfgm = dataclasses.replace(cfg1, mesh=mesh)
+    ref = make_residual_obj(cfg1, distributed=False)
+    dist = make_residual_obj(cfgm, distributed=True)
+
+    v0 = float(ref(jnp.asarray(X), jnp.asarray(W), jnp.asarray(T)))
+    v1 = float(jax.jit(dist)(jnp.asarray(X), jnp.asarray(W),
+                             jnp.asarray(T)))
+    assert abs(v1 - v0) < 1e-12 * abs(v0)
+
+    qx = quantize_x(jnp.asarray(X))
+    vq_ref = float(ref(qx, jnp.asarray(W), jnp.asarray(T)))
+    vq = float(jax.jit(dist)(qx, jnp.asarray(W), jnp.asarray(T)))
+    assert abs(vq - vq_ref) < 1e-12 * abs(vq_ref)
+
+    refm = make_residual_obj(dataclasses.replace(cfg1, masked=True),
+                             distributed=False)
+    distm = make_residual_obj(dataclasses.replace(cfgm, masked=True),
+                              distributed=True)
+    v3 = float(refm(jnp.asarray(X), jnp.asarray(W), jnp.asarray(T),
+                    jnp.asarray(M)))
+    v4 = float(jax.jit(distm)(jnp.asarray(X), jnp.asarray(W),
+                              jnp.asarray(T), jnp.asarray(M)))
+    assert abs(v4 - v3) < 1e-12 * abs(v3)
+
+    # shapes that do not tile the (4, 2) mesh take the one-piece form
+    n2, d2 = 63, 47
+    X2, W2, T2 = rng.rand(n2, d2), rng.rand(n2, k), rng.rand(k, d2)
+    v5 = float(ref(jnp.asarray(X2), jnp.asarray(W2), jnp.asarray(T2)))
+    v6 = float(jax.jit(dist)(jnp.asarray(X2), jnp.asarray(W2),
+                             jnp.asarray(T2)))
+    assert abs(v6 - v5) < 1e-11 * abs(v5)

@@ -177,6 +177,20 @@ class TrueObjComputer(object):
         _acc = resolve_mixed_dtypes(self.X.dtype, self.W.dtype)[1]
         _isz = jnp.dtype(_acc).itemsize
         block_rows = 8192 if n * d * _isz > 2e9 and n > 8192 else None
+        if mesh is not None and self.wr is None:
+            # dense mesh: a GLOBAL blockwise dynamic_slice over the
+            # dp-sharded X gathers every block over ICI each evaluation;
+            # the shard_map blockwise form (ops/accel.py) keeps slices
+            # device-local (one-piece fallback inside when the shape
+            # does not tile the mesh)
+            from rri_nmf_tpu.ops.accel import make_residual_obj
+            from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+            _cfg = SweepConfig(
+                k=int(self.W.shape[-1]), mesh=mesh,
+                masked=self.Wm is not None, reset_topic_method=None,
+                reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
+                reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
+            return jax.jit(make_residual_obj(_cfg, distributed=True))
         return make_objective(
             masked=self.Wm is not None, row_weighted=self.wr is not None,
             reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,

@@ -139,7 +139,7 @@ def bench_numpy(n, d, k, n_timed=2):
     return (time.perf_counter() - t0) / n_timed
 
 
-def _wait_for_backend(max_wait_s=900, probe_timeout_s=180):
+def _wait_for_backend(max_wait_s=1500, probe_timeout_s=600):
     """Wait out a transient accelerator outage before benching.
 
     The tunneled TPU pool can be unavailable for stretches (observed:
@@ -147,7 +147,15 @@ def _wait_for_backend(max_wait_s=900, probe_timeout_s=180):
     ``Unavailable`` or hung). Backend init failures are cached per
     process, so probe in a SUBPROCESS: the first successful probe leaves
     this process free to initialize cleanly. Gives up after
-    ``max_wait_s`` and lets the normal config-failure path report."""
+    ``max_wait_s`` and lets the normal config-failure path report.
+
+    The probe timeout is LONG (10 min) on purpose: a probe subprocess
+    killed while its backend init is in flight re-wedges the tunnel for
+    ~15 minutes (observed round 4: a 180 s probe timeout put the loop
+    into a kill → wedge → timeout cycle that never recovered while a
+    bare probe between cycles succeeded immediately). A hung init that
+    long means the tunnel is already stuck, so the one kill at give-up
+    time costs nothing extra."""
     import subprocess
     deadline = time.time() + max_wait_s
     attempt = 0

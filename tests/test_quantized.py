@@ -388,3 +388,23 @@ def quantized_draw(seed):
 def test_quantized_fuzz_prefix(seed):
     """Suite samples a prefix of the soak draw range."""
     quantized_draw(seed)
+
+
+def test_w_row_with_int16_dense_input():
+    """w_row + x_dtype='int16' on DENSE input: the driver applies the
+    sqrt(w_row) row scaling on the host BEFORE quantizing, so the
+    scaled problem rides the quantized sweep; parity with the dense
+    w_row fit at quantization tolerance. (Pre-quantized QuantizedX
+    input + w_row raises instead — the scaling cannot be applied to an
+    already-encoded X; covered in test_gating_errors.)"""
+    rng = np.random.RandomState(0)
+    X = np.abs(rng.rand(48, 40))
+    wr = rng.rand(48) * 0.9 + 0.1
+    kw = dict(max_iter=5, random_state=0, update_order='phase',
+              reset_topic_method=None, compute_obj_each_iter=True)
+    a = nmf(X, 4, w_row=wr, x_dtype='int16', **kw)
+    b = nmf(X, 4, w_row=wr, **kw)
+    gap = abs(a['obj_history'][-1] - b['obj_history'][-1]) \
+        / abs(b['obj_history'][-1])
+    assert gap < 1e-5
+    assert a['W'].dtype == np.float64

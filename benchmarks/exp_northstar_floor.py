@@ -106,13 +106,14 @@ def make_problem(n, d, k, x_dtype, seed=0, sparsity=0.5, block=2500):
 
 
 def run(X, W0, T0, xnorm, k, her, label, inner_reps=4, max_sweeps=8000,
-        tol=1e-4, mark=2e-3, plateau_window=600, plateau_frac=0.998):
+        tol=1e-4, mark=2e-3, plateau_window=600, plateau_frac=0.998,
+        precision='float32'):
     from rri_nmf_tpu.ops.accel import make_her_multi, make_residual_obj
     from rri_nmf_tpu.ops.dense_pallas import make_dense_phase_sweep_pallas
     from rri_nmf_tpu.ops.sweep_xla import SweepConfig
 
     cfg = SweepConfig(k=k, reset_topic_method=None, update_order='phase',
-                      matmul_precision='float32', inner_reps=inner_reps)
+                      matmul_precision=precision, inner_reps=inner_reps)
     sweep = make_dense_phase_sweep_pallas(
         cfg, interpret=jax.default_backend() == 'cpu')
     obj_fn = make_residual_obj(cfg)
@@ -251,6 +252,12 @@ def main():
             if r['reached_1e-4']:
                 break          # headline met; skip the HER variant
         del X, W0, T0
+
+    # NOTE: a part (d) probing matmul_precision='high' (3-pass bf16) was
+    # removed: the Mosaic GS-kernel lowering on this toolchain rejects
+    # HIGH ("Unsupported dot precision"), and the quantized X GEMMs pin
+    # Precision.HIGHEST explicitly anyway (exactness of the scale-folded
+    # reformulation) — there is no cheaper-dot variant to measure.
 
     print('wrote', p, flush=True)
 

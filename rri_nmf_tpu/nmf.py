@@ -756,8 +756,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     # from) and runs single-device (the mesh masked path is interleaved).
     # Γ (k², d) + Θ (k², n) gate the economical k: past ~4 GB of Gram
     # tensors the interleaved O(nnz) sweep is the safer default.
+    _gram_isz = (jnp.dtype(dtype).itemsize if dtype is not None
+                 else _default_float().itemsize)   # f64 Grams cost 2x f32
     _gram_fits = (masked_sparse and
-                  k * k * float(sum(np.shape(X))) * 4 <= 4e9)
+                  k * k * float(sum(np.shape(X))) * _gram_isz <= 4e9)
     masked_gram = (masked_sparse and update_order == 'phase'
                    and reset_topic_method is None and mesh is None
                    and _gram_fits)

@@ -96,8 +96,13 @@ def make_residual_obj(cfg, block_rows=4096, distributed=None):
         M = extras[0] if cfg.masked else None
         n, d = X.shape
         k = W.shape[1]
-        acc = jnp.float32 if X.dtype in (jnp.bfloat16, jnp.float16) \
-            else X.dtype
+        # accumulate in the PROMOTED dtype: X may be stored narrower
+        # than the factors (x_dtype='float32' under f64 factors, bf16
+        # mixed storage) and an X-dtype accumulator would silently
+        # drop the tracked objective to storage precision — objective
+        # -based stopping then fires on storage noise
+        from rri_nmf_tpu.ops.sweep_xla import resolve_mixed_dtypes
+        acc = resolve_mixed_dtypes(X.dtype, W.dtype)[1]
 
         def _sq(Xb, Wb, Mb, rw=None):
             Rb = Xb.astype(acc) - jnp.dot(Wb, T,

@@ -87,11 +87,22 @@ def _quantize(X, dtype):
 def quantize_x(X, dtype=None):
     """Encode a nonnegative dense X (device or host array) as
     :class:`QuantizedX`. ``dtype`` sets the scale/dequantized dtype
-    (default: X's floating dtype, or the default float for ints)."""
+    (default: X's floating dtype, or the default float for ints).
+
+    Negative entries are rejected (the code is nonnegative — the NMF
+    input contract; clipping silently would fit a different problem,
+    and the driver's ``x_dtype='int16'`` host path raises the same
+    way). Under a jit trace the check cannot run (value-dependent);
+    callers quantizing traced values keep the clip-at-0 semantics."""
     X = jnp.asarray(X)
     if dtype is None:
         dtype = X.dtype if jnp.issubdtype(X.dtype, jnp.floating) \
             else jnp.dtype(jnp.result_type(float))
+    if not isinstance(X, jax.core.Tracer) and X.size \
+            and float(jnp.min(X)) < 0:
+        raise ValueError('quantize_x encodes nonnegative X only (NMF '
+                         'input contract); found negative entries — '
+                         'shift/clip explicitly first')
     return _quantize(X, jnp.dtype(dtype))
 
 

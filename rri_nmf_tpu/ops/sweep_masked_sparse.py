@@ -76,9 +76,10 @@ class MaskedCOOPlan:
 
     ``rows``/``cols``/``x_vals``/``m_vals`` are (nnz_pad,) device arrays
     sorted row-major (CSR order — the row-keyed segment sums exploit it);
-    padding entries sit at the tail with ``rows = cols = 0`` and
-    ``x = m = 0``. ``shape`` is the dense (n, d); ``nnz`` the number of
-    real (unpadded) observations.
+    padding entries sit at the tail with ``rows`` = the last real row
+    (keeping the row stream non-decreasing for the sorted segment sums),
+    ``cols`` = d-1, and ``x = m = 0``. ``shape`` is the dense (n, d);
+    ``nnz`` the number of real (unpadded) observations.
     """
     rows: jnp.ndarray     # (nnz_pad,) int32
     cols: jnp.ndarray     # (nnz_pad,) int32
@@ -141,8 +142,17 @@ def masked_coo_host_arrays(X, W_mat, dtype):
     nnz = rows.shape[0]
     pad = (-nnz) % _PAD_TO
     if pad:
-        rows = np.pad(rows, (0, pad))
-        cols = np.pad(cols, (0, pad))
+        # pad indices with the LAST row / max column so the row stream
+        # stays non-decreasing — seg_rows passes indices_are_sorted=True
+        # to segment_sum, and a trailing block of row-0 padding after
+        # sorted real rows would violate that contract (XLA's sorted
+        # scatter lowering may mis-sum on TPU; zero-index padding only
+        # happened to work on the CPU backend, which ignores the hint).
+        # Padding values stay m = x = 0, contributing exactly 0.
+        pr = rows[-1] if nnz else np.int32(max(X.shape[0] - 1, 0))
+        pc = np.int32(max(X.shape[1] - 1, 0))
+        rows = np.pad(rows, (0, pad), constant_values=pr)
+        cols = np.pad(cols, (0, pad), constant_values=pc)
         x = np.pad(x, (0, pad))
         m = np.pad(m, (0, pad))
     return rows, cols, x, m, (int(X.shape[0]), int(X.shape[1])), int(nnz)

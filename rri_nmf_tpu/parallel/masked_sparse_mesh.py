@@ -80,38 +80,44 @@ def partition_masked_coo(X, W_mat, mesh, dtype):
     :func:`rri_nmf_tpu.ops.sweep_masked_sparse.plan_masked_coo`."""
     dp_size, tp_size = mesh.devices.shape
     assert tp_size == 1, 'sparse-mask mesh sweeps are row-partitioned'
-    M = W_mat.tocsr()
-    M.eliminate_zeros()
-    coo = M.tocoo()
-    n, d = X.shape
-    rows = coo.row.astype(np.int64)
-    cols = coo.col.astype(np.int32)
-    m = np.asarray(coo.data, dtype=dtype)
-    if hasattr(X, 'tocsr'):
-        x = np.asarray(X.tocsr()[coo.row, coo.col]).ravel().astype(dtype)
-    else:
-        x = np.asarray(X)[coo.row, coo.col].astype(dtype)
+    # shared host extraction (ops/sweep_masked_sparse.py): explicit-zero
+    # elimination, duplicate summing, and the aligned-structure fast
+    # path — scipy's O(nnz) pair fancy-indexing costs minutes at 25M
+    # observations, exactly the scale this mesh path exists for
+    from rri_nmf_tpu.ops.sweep_masked_sparse import masked_coo_host_arrays
+    rows_a, cols_a, x_a, m_a, (n, d), nnz = \
+        masked_coo_host_arrays(X, W_mat, dtype)
+    rows = rows_a[:nnz].astype(np.int64)
+    cols = cols_a[:nnz]
+    x = x_a[:nnz]
+    m = m_a[:nnz]
 
     n_loc = -(-n // dp_size)
+    # rows arrive CSR-sorted, so the block key is non-decreasing —
+    # contiguous slices partition the observations per device
     blk = rows // n_loc
-    order = np.argsort(blk, kind='stable')   # rows stay sorted in-block
-    counts = np.bincount(blk[order], minlength=dp_size)
+    counts = np.bincount(blk, minlength=dp_size)
     starts = np.concatenate([[0], np.cumsum(counts)])
     mmax = max(int(counts.max()), 1)
     mmax += (-mmax) % _PAD_TO
 
     r_b = np.zeros((dp_size, mmax), dtype=np.int32)
-    c_b = np.zeros((dp_size, mmax), dtype=np.int32)
+    c_b = np.full((dp_size, mmax), max(d - 1, 0), dtype=np.int32)
     x_b = np.zeros((dp_size, mmax), dtype=dtype)
     m_b = np.zeros((dp_size, mmax), dtype=dtype)
     for b in range(dp_size):
         lo, hi = starts[b], starts[b + 1]
         cnt = hi - lo
-        sl = order[lo:hi]
-        r_b[b, :cnt] = (rows[sl] % n_loc).astype(np.int32)
-        c_b[b, :cnt] = cols[sl]
-        x_b[b, :cnt] = x[sl]
-        m_b[b, :cnt] = m[sl]
+        r_b[b, :cnt] = (rows[lo:hi] % n_loc).astype(np.int32)
+        c_b[b, :cnt] = cols[lo:hi]
+        x_b[b, :cnt] = x[lo:hi]
+        m_b[b, :cnt] = m[lo:hi]
+        if cnt:
+            # sorted-pad: the local row stream must stay non-decreasing
+            # (seg_rows passes indices_are_sorted=True; zero-index
+            # padding after sorted real rows violates the contract on
+            # sorted-scatter lowerings). Padding keeps m = x = 0.
+            r_b[b, cnt:] = r_b[b, cnt - 1]
 
     dp, _tp = mesh.axis_names
     s = NamedSharding(mesh, P(dp, None))

@@ -50,6 +50,31 @@ def _merged(preset, nmf_kwargs, drop=()):
     return merged
 
 
+def _sparse_cross_term(Xc, W, T, row_block=8192):
+    """``Σ_nnz X_ij (W_i · T_j)`` over CSR row blocks.
+
+    Walks the CSR ``data``/``indices`` directly — scipy's
+    ``X[ii, jj]`` pair fancy-indexing costs minutes at 25M nnz — and
+    bounds the dense gather temporaries to one row block's nnz × k
+    (an unchunked ``W[ii]`` is nnz × k: ~26 GB host RAM at 25M nnz,
+    k=128 — at exactly the corpus scale the sparse scorers exist for).
+    """
+    indptr, idx, data = Xc.indptr, Xc.indices, Xc.data
+    n = Xc.shape[0]
+    total = 0.0
+    for lo in range(0, n, row_block):
+        hi = min(lo + row_block, n)
+        p0, p1 = int(indptr[lo]), int(indptr[hi])
+        if p0 == p1:
+            continue
+        rows = np.repeat(np.arange(lo, hi),
+                         np.diff(indptr[lo:hi + 1]).astype(np.int64))
+        total += float(np.sum(np.asarray(data[p0:p1])
+                              * np.einsum('ik,ki->i', W[rows],
+                                          T[:, idx[p0:p1]])))
+    return total
+
+
 class NMF_RS_Estimator(sklearn.base.BaseEstimator):
     """Recommender-system NMF estimator (masked WRRI).
 
@@ -480,10 +505,9 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
             W = np.asarray(self.transform(X))
             T = np.asarray(self.T)
             # ||X - WT||² = Σx² − 2·Σ X⊙(WT) + ||WT||²; the middle term
-            # touches only the nonzeros, the last is k×k Gram work
-            ii, jj = X.nonzero()
-            cross = float(np.sum(np.asarray(X[ii, jj]).ravel()
-                                 * np.einsum('ik,ki->i', W[ii], T[:, jj])))
+            # touches only the nonzeros (chunked: _sparse_cross_term),
+            # the last is k×k Gram work
+            cross = _sparse_cross_term(X, W, T)
             wtw = W.T @ W
             ttt = T @ T.T
             SSE = sumsq - 2 * cross + float(np.sum(wtw * ttt))
@@ -518,9 +542,7 @@ class NMF_TM_Estimator(sklearn.base.BaseEstimator,
             W = np.asarray(self.transform(X))
             T = np.asarray(self.T)
             sumsq = float(X.multiply(X).sum())
-            ii, jj = X.nonzero()
-            cross = float(np.sum(np.asarray(X[ii, jj]).ravel()
-                                 * np.einsum('ik,ki->i', W[ii], T[:, jj])))
+            cross = _sparse_cross_term(X, W, T)
             SSE = sumsq - 2 * cross + float(np.sum((W.T @ W) * (T @ T.T)))
             mu = np.asarray(X.mean(axis=0)).ravel()
             SST = sumsq - n * float((mu ** 2).sum())

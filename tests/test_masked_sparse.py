@@ -272,3 +272,37 @@ def test_plan_padding_and_roundtrip():
     Ms2, Xs2 = plan.to_scipy()
     np.testing.assert_array_equal(Ms2.toarray(), M)
     np.testing.assert_array_equal(Xs2.toarray(), X * M)
+
+
+def test_plan_padding_preserves_sorted_rows():
+    """seg_rows promises ``indices_are_sorted=True`` to segment_sum, so
+    the padded row stream must be GLOBALLY non-decreasing — zero-index
+    tail padding after sorted real rows violated the contract (a TPU
+    sorted-scatter lowering may mis-sum; the CPU backend ignores the
+    hint, which is why only an index audit can pin this)."""
+    from rri_nmf_tpu.ops.sweep_masked_sparse import plan_masked_coo
+    X, M = _problem(29, n=23, d=9, density=0.4)
+    plan = plan_masked_coo(X, sp.csr_matrix(M), np.float64)
+    rows = np.asarray(plan.rows)
+    assert np.all(np.diff(rows) >= 0), 'padded row stream not sorted'
+    assert float(np.asarray(plan.m_vals)[plan.nnz:].sum()) == 0.0
+    assert float(np.asarray(plan.x_vals)[plan.nnz:].sum()) == 0.0
+
+    # mesh partitioner: every device block's local row stream sorted too
+    import jax
+    if len(jax.devices()) >= 8:
+        from rri_nmf_tpu.parallel import make_mesh
+        from rri_nmf_tpu.parallel.masked_sparse_mesh import (
+            partition_masked_coo)
+        coo = partition_masked_coo(X, sp.csr_matrix(M),
+                                   make_mesh(8, mesh_shape=(8, 1)),
+                                   np.float64)
+        r_b = np.asarray(coo.rows)
+        m_b = np.asarray(coo.m_vals)
+        for b in range(r_b.shape[0]):
+            assert np.all(np.diff(r_b[b]) >= 0), f'block {b} not sorted'
+        # padded entries everywhere carry zero weight
+        x_b = np.asarray(coo.x_vals)
+        recon = (m_b > 0).sum()
+        assert recon == int(M.sum()) - (np.asarray(
+            sp.csr_matrix(M).data) == 0).sum()

@@ -51,7 +51,41 @@ jax.config.update('jax_enable_x64', True)
 _cache = os.environ.get(
     'RRI_NMF_TEST_CACHE',
     str(Path(__file__).resolve().parent.parent / '.cache' / 'jax_compile'))
+
+
+def _sanitize_compile_cache(cache_dir):
+    """Prune truncated/corrupt persistent-cache entries before jax reads any.
+
+    A process killed mid-cache-write leaves a short-read zstd file; jax's
+    reader decompresses the partial payload without noticing (stream ends
+    before the frame does) and SEGFAULTS deserializing the truncated
+    executable (`compilation_cache.get_executable_and_time`, observed
+    rounds 4-5). Entries whose zstd stream either raises or ends without
+    reaching end-of-frame (``decompressobj().eof`` False) are deleted; jax
+    then recompiles and rewrites them. Full scan of a warm ~25 MB cache
+    costs ~1 s.
+    """
+    import zstandard
+    for entry in Path(cache_dir).iterdir():
+        if not entry.is_file():
+            continue
+        try:
+            blob = entry.read_bytes()
+            dec = zstandard.ZstdDecompressor().decompressobj()
+            dec.decompress(blob)
+            ok = dec.eof
+        except Exception:
+            ok = False
+        if not ok:
+            try:
+                entry.unlink()
+            except OSError:
+                pass
+
+
 if _cache:
+    if Path(_cache).is_dir():
+        _sanitize_compile_cache(_cache)
     jax.config.update('jax_compilation_cache_dir', _cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
@@ -63,6 +97,39 @@ import scipy.sparse  # noqa: E402
 from rri_nmf_tpu.matrixops import normalize, tfidf  # noqa: E402
 
 DATA_DIR = Path(__file__).parent / 'data'
+
+# Cap on /proc/self/maps entries before jax's in-memory executable caches
+# are flushed (see pytest_runtest_teardown below). The kernel default
+# vm.max_map_count is 65530; a full-suite burst between teardown checks
+# adds well under 10k maps, so 40k leaves ample headroom.
+_MAP_GUARD_THRESHOLD = int(os.environ.get('RRI_NMF_MAP_GUARD', '40000'))
+
+
+def _map_count():
+    try:
+        with open('/proc/self/maps', 'rb') as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: guard disabled
+        return 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Flush jax executable caches before the process hits vm.max_map_count.
+
+    Root cause of the round-4 positional suite SIGSEGV (~437th of 441
+    tests, always inside ``backend_compile_and_load``): XLA:CPU's LLVM JIT
+    maps three anonymous regions (code/rodata/data) per compiled object,
+    and jax retains every compiled executable in its in-memory caches for
+    the life of the process. A full suite run accumulates ~60k mappings,
+    crosses the kernel's default ``vm.max_map_count`` (65530), and the
+    next mmap failure segfaults LLVM mid-compile — positional, not
+    test-specific. ``jax.clear_caches()`` releases the executables and
+    their JIT mappings (measured 13.5k -> 1.6k); the persistent compile
+    cache makes the subsequent reloads cheap, so we only clear when close
+    to the limit.
+    """
+    if _map_count() > _MAP_GUARD_THRESHOLD:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope='session')

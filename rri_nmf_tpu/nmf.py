@@ -149,11 +149,18 @@ class TrueObjComputer(object):
             if isinstance(self.X, MaskedGramPlan) \
                     and self.X.backend == 'mxu':
                 # one C + one Θ chunk contraction — O(chunks·k²) MXU
-                # flops instead of the O(nnz·k) gather stream
-                from rri_nmf_tpu.ops.sweep_masked_gram import \
-                    make_masked_gram_objective
+                # flops instead of the O(nnz·k) gather stream; Θ tiles
+                # in k-panels past the full-tensor budget (same policy
+                # as the sweep)
+                from rri_nmf_tpu.ops.sweep_masked_gram import (
+                    auto_panel, make_masked_gram_objective)
+                _n, _d = self.X.shape
+                _k = int(np.shape(self.W)[-1])
+                _p = auto_panel(_k, _n, _d,
+                                np.dtype(self.W.dtype).itemsize)
                 return make_masked_gram_objective(
                     backend='mxu',
+                    panel=(1 if _p == 0 else _p),
                     reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
                     reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
             from rri_nmf_tpu.ops.sweep_masked_sparse import \
@@ -779,10 +786,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     _gram_isz = (jnp.dtype(dtype).itemsize if dtype is not None
                  else _default_float().itemsize)   # f64 Grams cost 2x f32
     _gram_dp = mesh.devices.shape[0] if mesh is not None else 1
+    _gram_panel = None
+    if masked_sparse:
+        from rri_nmf_tpu.ops.sweep_masked_gram import auto_panel
+        _gram_panel = auto_panel(
+            k, np.shape(X)[0] / _gram_dp, np.shape(X)[1], _gram_isz)
+    # None → full symmetric-halved tensors; p ≥ 1 → k-panel tiles (the
+    # 4 GB ceiling no longer caps k; single-device only — the mesh sweep
+    # runs the full-tensor form); 0 → even one panel row is too big
     _gram_fits = (masked_sparse and
-                  k * k * float(np.shape(X)[1]
-                                + np.shape(X)[0] / _gram_dp)
-                  * _gram_isz <= 4e9)
+                  (_gram_panel is None
+                   or (_gram_panel >= 1 and mesh is None)))
     _gram_mesh_ok = (mesh is None
                      or (mesh.devices.shape[1] == 1
                          and not (w_row_sum is not None
@@ -800,8 +814,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _why = ('reset_topic_method=%r is set (a mid-phase reset would '
                 'rewrite the frozen factor)' % (reset_topic_method,)) \
             if reset_topic_method is not None else \
-            ('the k²(n/dp+d) Gram tensors exceed the ~4 GB/device gate '
-             '(k=%d, shape %s)' % (k, np.shape(X))) \
+            (('a k=%d fit on a mesh needs k-panel Gram tiling, which '
+              'the mesh Gram sweep does not support; run single-device '
+              'or lower k below the full-tensor budget'
+              % k) if (mesh is not None and _gram_panel is not None)
+             else ('even single-row Γ/Θ panels exceed the 4 GB Gram '
+                   'budget (k=%d, shape %s)' % (k, np.shape(X)))) \
             if not _gram_fits else \
             ('the mesh is not (n_devices, 1) or a per-row w_row_sum '
              'vector is set')
@@ -1352,7 +1370,12 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         use_pallas = False
     elif masked_gram:
         from rri_nmf_tpu.ops.sweep_masked_gram import make_masked_gram_sweep
-        sweep_fn = make_masked_gram_sweep(cfg, backend=X_dev.backend)
+        if _gram_panel is not None:
+            logger.info('Gram-phase masked sweep: k=%d exceeds the full-'
+                        'tensor budget; tiling Γ/Θ in %d-panel tiles',
+                        k, _gram_panel)
+        sweep_fn = make_masked_gram_sweep(cfg, backend=X_dev.backend,
+                                          panel=_gram_panel)
         use_pallas = False
     elif masked_sparse:
         from rri_nmf_tpu.ops.sweep_masked_sparse import \

@@ -244,6 +244,26 @@ def plan_masked_gram(X, W_mat, dtype, backend=None, group=8):
         nnz=nz, group=group, backend='mxu')
 
 
+# full-tensor Γ/Θ budget: past this the sweep tiles them in k-panels
+GRAM_BUDGET_BYTES = 4e9
+
+
+def auto_panel(k, n, d, itemsize, budget=None):
+    """Pick the Γ/Θ tiling for a (n, d) masked problem at rank k.
+
+    Returns ``None`` when the full (k², n+d) tensors fit ``budget``
+    (default :data:`GRAM_BUDGET_BYTES`, read at call time) — the
+    symmetric-halved full-tensor path; a panel size ``1 ≤ p < k`` when
+    only (p·k, n+d) tiles fit; or ``0`` when even a single panel row
+    exceeds the budget (caller declines the Gram path)."""
+    if budget is None:
+        budget = GRAM_BUDGET_BYTES
+    unit = k * float(n + d) * itemsize
+    if k * unit <= budget:
+        return None
+    return int(min(k - 1, budget // max(unit, 1.0)))
+
+
 def supports_masked_gram(cfg: SweepConfig) -> bool:
     """Config coverage of the Gram-phase masked sweep: phase order with
     no resets (a mid-phase reset would rewrite a frozen factor and
@@ -294,6 +314,122 @@ def _contract_segs(plans, F, vals_override, acc, interpret, group):
                             group=group)
         out = part if out is None else out + part
     return out
+
+
+def _mxu_gram_t_A(plan, W, acc, interpret):
+    """A = Wᵀ(M⊙X) (k, d) alone — the panel path computes Γ in k-panel
+    tiles and needs A just once per phase."""
+    n, d = plan.shape
+    k = W.shape[1]
+    npad = -(-n // TILE) * TILE
+    Wt = jnp.zeros((_round8(k), npad), acc).at[:k, :n].set(
+        W.astype(acc).T)
+    return _contract_segs(plan.m_t, Wt, plan.mx_t_vals, acc, interpret,
+                          plan.group)[:k, :d]
+
+
+def _mxu_gram_t_panel(plan, W, t0, p, acc, interpret):
+    """Γ[t0:t0+p, :, :] (p, k, d): contract the p·k Khatri-Rao rows
+    ``w_t ⊙ w_s`` (t in the panel, all s) — the full (k², d) tensor
+    never materializes, lifting the 4 GB Gram ceiling to any k whose
+    single panel fits (VERDICT r5 item 3). No symmetric halving across
+    panels (~2x the MXU flops of the full-tensor path; still MXU-bound
+    vs the interleaved sweep's ~0.4 GB/s gathers)."""
+    n, d = plan.shape
+    k = W.shape[1]
+    npad = -(-n // TILE) * TILE
+    Wa = W.astype(acc)
+    # rows t-major: row (t-t0)·k + s  =  w_t ⊙ w_s
+    KR = (Wa[:, t0:t0 + p, None] * Wa[:, None, :]).reshape(n, p * k)
+    F = jnp.zeros((_round8(p * k), npad), acc).at[:p * k, :n].set(KR.T)
+    Gp = _contract_segs(plan.m_t, F, None, acc, interpret,
+                        plan.group)[:p * k, :d]
+    return Gp.reshape(p, k, d)
+
+
+def _mxu_gram_w_C(plan, T, acc, interpret):
+    """C = (M⊙X)Tᵀ (k, n) alone (panel path)."""
+    n, d = plan.shape
+    k = T.shape[0]
+    dpad = -(-d // TILE) * TILE
+    Tp = jnp.zeros((_round8(k), dpad), acc).at[:k, :d].set(T.astype(acc))
+    return _contract_segs(plan.m_w, Tp, plan.mx_w_vals, acc, interpret,
+                          plan.group)[:k, :n]
+
+
+def _mxu_gram_w_panel(plan, T, t0, p, acc, interpret):
+    """Θ[t0:t0+p, :, :] (p, k, n) via the panel Khatri-Rao rows."""
+    n, d = plan.shape
+    k = T.shape[0]
+    dpad = -(-d // TILE) * TILE
+    Ta = T.astype(acc)
+    KR = (Ta[t0:t0 + p, None, :] * Ta[None, :, :]).reshape(p * k, d)
+    F = jnp.zeros((_round8(p * k), dpad), acc).at[:p * k, :d].set(KR)
+    Hp = _contract_segs(plan.m_w, F, None, acc, interpret,
+                        plan.group)[:p * k, :n]
+    return Hp.reshape(p, k, n)
+
+
+def _seg_gram_t_A(plan, W, acc, interpret=None):
+    coo = plan.coo
+    n, d = plan.shape
+    k = W.shape[1]
+    Wa = W.astype(acc)
+
+    def vals(rows, cols, m, x):
+        return Wa[rows] * (m.astype(acc) * x.astype(acc))[:, None]
+
+    return _seg_chunked(coo, vals, d, coo.cols, k, acc).T
+
+
+def _seg_gram_t_panel(plan, W, t0, p, acc, interpret=None):
+    coo = plan.coo
+    n, d = plan.shape
+    k = W.shape[1]
+    Wa = W.astype(acc)
+
+    def vals(rows, cols, m, x):
+        P = Wa[rows]                                   # (chunk, k)
+        KR = (P[:, t0:t0 + p, None] * P[:, None, :]).reshape(-1, p * k)
+        return KR * m.astype(acc)[:, None]
+
+    out = _seg_chunked(coo, vals, d, coo.cols, p * k, acc)
+    return out.T.reshape(p, k, d)
+
+
+def _seg_gram_w_C(plan, T, acc, interpret=None):
+    coo = plan.coo
+    n, d = plan.shape
+    k = T.shape[0]
+    Ta = T.astype(acc)
+
+    def vals(rows, cols, m, x):
+        return Ta[:, cols].T * (m.astype(acc) * x.astype(acc))[:, None]
+
+    return _seg_chunked(coo, vals, n, coo.rows, k, acc).T
+
+
+def _seg_gram_w_panel(plan, T, t0, p, acc, interpret=None):
+    coo = plan.coo
+    n, d = plan.shape
+    k = T.shape[0]
+    Ta = T.astype(acc)
+
+    def vals(rows, cols, m, x):
+        P = Ta[:, cols].T                              # (chunk, k)
+        KR = (P[:, t0:t0 + p, None] * P[:, None, :]).reshape(-1, p * k)
+        return KR * m.astype(acc)[:, None]
+
+    out = _seg_chunked(coo, vals, n, coo.rows, p * k, acc)
+    return out.T.reshape(p, k, n)
+
+
+def _panel_backends(plan_backend):
+    if plan_backend == 'mxu':
+        return (_mxu_gram_t_A, _mxu_gram_t_panel,
+                _mxu_gram_w_C, _mxu_gram_w_panel)
+    return (_seg_gram_t_A, _seg_gram_t_panel,
+            _seg_gram_w_C, _seg_gram_w_panel)
 
 
 def _mxu_gram_t(plan, W, acc, interpret):
@@ -420,7 +556,8 @@ def _backends(plan_backend):
 
 @lru_cache(maxsize=16)
 def make_masked_gram_sweep(cfg: SweepConfig, backend: str = 'segsum',
-                           interpret: Optional[bool] = None):
+                           interpret: Optional[bool] = None,
+                           panel: Optional[int] = None):
     """Build the jitted Gram-phase masked sweep. Same call signature as
     ``make_masked_sparse_sweep``::
 
@@ -428,12 +565,27 @@ def make_masked_gram_sweep(cfg: SweepConfig, backend: str = 'segsum',
             -> (W, T, key, resets_left)
 
     ``resets_left`` passes through untouched (no resets on this path).
+
+    ``panel``: when set (1 ≤ panel < k), Γ/Θ are built and consumed in
+    (panel, k, ·) tiles instead of whole (k², ·) tensors — peak Gram
+    memory drops from ``k²(n+d)`` to ``panel·k·max(n, d)`` words, so k
+    is no longer capped by the 4 GB full-tensor gate (VERDICT r5
+    item 3). Each panel's Gauss-Seidel corrections read the CURRENT
+    partially-updated factor, so the updates are bitwise the same
+    coordinate minimizations as the full-tensor path (parity pinned in
+    tests/test_masked_gram.py). Cost: the mask chunk stream is
+    contracted k/panel times per phase (still MXU-bound; the full path
+    streams it once with symmetric halving).
     """
     assert supports_masked_gram(cfg), \
         'config not supported by the Gram-phase masked sweep'
     k = cfg.k
     if interpret is None:
         interpret = _interpret_default()
+    if panel is not None and not (1 <= panel < k):
+        raise ValueError('panel must satisfy 1 <= panel < k')
+    if panel is not None:
+        return _make_panel_sweep(cfg, backend, interpret, panel)
     gram_t, gram_w = _backends(backend)
 
     def sweep(plan, W, T, key, resets_left, reset_key, *extras):
@@ -526,9 +678,113 @@ def make_masked_gram_sweep(cfg: SweepConfig, backend: str = 'segsum',
     return jax.jit(sweep)
 
 
+def _make_panel_sweep(cfg: SweepConfig, backend: str, interpret: bool,
+                      panel: int):
+    """Panel-tiled Gram-phase sweep body (see make_masked_gram_sweep):
+    static python loops over reps and k-panels, a fori_loop inside each
+    panel. The contraction tiles Γ[t0:t0+p] depend only on the FROZEN
+    factor, so slicing the phase into panels changes nothing about the
+    Gauss-Seidel sequence — topic t still reads every other topic's
+    current value through its own Γ/Θ row."""
+    k = cfg.k
+    gA, gPanel, gC, gWPanel = _panel_backends(backend)
+
+    def sweep(plan, W, T, key, resets_left, reset_key, *extras):
+        w_row_sum_vec = (extras[0].reshape(-1)
+                         if cfg.w_row_sum_is_vector else None)
+        dtype, acc, _ = resolve_mixed_dtypes(W.dtype, W.dtype,
+                                             cfg.matmul_precision)
+
+        if not cfg.fix_T:
+            A = gA(plan, W, acc, interpret)
+            for _rep in range(cfg.inner_reps):
+                for t0 in range(0, k, panel):
+                    p = min(panel, k - t0)
+                    Gpan = gPanel(plan, W, t0, p, acc, interpret)
+
+                    def t_topic(j, carry, t0=t0, Gpan=Gpan):
+                        T, key = carry
+                        t = t0 + j
+                        Gt = lax.dynamic_slice(
+                            Gpan, (j, 0, 0),
+                            (1, k, Gpan.shape[2]))[0]      # (k, d)
+                        corr = jnp.sum(Gt * T.astype(acc), axis=0) \
+                            - Gt[t] * T[t].astype(acc)
+                        wR = A[t] - corr
+                        nw = Gt[t]
+                        if cfg.dp_sigma is not None:
+                            key, k1, k2 = jax.random.split(key, 3)
+                            wR = wR + cfg.dp_sigma * jax.random.normal(
+                                k1, wR.shape, wR.dtype)
+                            nw = jnp.maximum(
+                                nw + cfg.dp_sigma * jax.random.normal(
+                                    k2, nw.shape, wR.dtype), 0.0)
+                        numer = wR - cfg.reg_t_l1
+                        denom = nw + cfg.reg_t_l2
+                        t_new, _nt1 = qf_min_vector_c(
+                            -numer, denom, s=cfg.t_update_s,
+                            ub=cfg.t_row_sum)
+                        t_stored = t_new.astype(dtype)
+                        if cfg.t_row_sum and cfg.project_T_each_iter:
+                            t_stored = reproject_row_if_drifted(
+                                t_stored, cfg.t_row_sum, dtype)
+                        return T.at[t].set(t_stored), key
+
+                    T, key = lax.fori_loop(0, p, t_topic, (T, key))
+
+        if not cfg.fix_W:
+            C = gC(plan, T, acc, interpret)
+            for _rep in range(cfg.inner_reps):
+                for t0 in range(0, k, panel):
+                    p = min(panel, k - t0)
+                    Hpan = gWPanel(plan, T, t0, p, acc, interpret)
+
+                    def w_topic(j, carry, t0=t0, Hpan=Hpan):
+                        W, key = carry
+                        t = t0 + j
+                        Ht = lax.dynamic_slice(
+                            Hpan, (j, 0, 0),
+                            (1, k, Hpan.shape[2]))[0]      # (k, n)
+                        corr = jnp.sum(Ht * W.T.astype(acc), axis=0) \
+                            - Ht[t] * W[:, t].astype(acc)
+                        Rt = C[t] - corr
+                        nt = Ht[t]
+                        numer = Rt - cfg.reg_w_l1
+                        denom = nt + cfg.reg_w_l2
+                        ub = (w_row_sum_vec if cfg.w_row_sum_is_vector
+                              else cfg.w_row_sum)
+                        w_new, _nw1 = qf_min_vector_c(
+                            -numer, denom, s=None, ub=ub)
+                        return W.at[:, t].set(w_new.astype(dtype)), key
+
+                    W, key = lax.fori_loop(0, p, w_topic, (W, key))
+
+        if (cfg.project_W_each_iter and not cfg.fix_W
+                and (cfg.w_row_sum is not None
+                     or cfg.w_row_sum_is_vector)):
+            if cfg.w_row_sum_is_vector:
+                s_vec = w_row_sum_vec.astype(W.dtype)
+            else:
+                s_vec = jnp.full((W.shape[0],), cfg.w_row_sum,
+                                 dtype=W.dtype)
+            W = jax.vmap(_proj_simplex_core)(W, s_vec)
+
+        return W, T, key, resets_left
+
+    if cfg.matmul_precision is not None:
+        _sweep_body = sweep
+
+        def sweep(*args):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _sweep_body(*args)
+
+    return jax.jit(sweep)
+
+
 def make_masked_gram_objective(backend='segsum', interpret=None,
                                reg_w_l2=0.0, reg_t_l2=0.0,
-                               reg_w_l1=0.0, reg_t_l1=0.0):
+                               reg_w_l1=0.0, reg_t_l1=0.0,
+                               panel=None):
     """Masked objective through the Gram identity::
 
         ‖√M ⊙ (X − WT)‖² = Σ m x² − 2 Σ_t w_tᵀ C[t]
@@ -538,17 +794,34 @@ def make_masked_gram_objective(backend='segsum', interpret=None,
     instead of the O(nnz·k) gather stream of
     ``make_masked_sparse_objective``. Exact (same bilinear form); the
     f32 Gram route and the gather route agree to accumulation roundoff.
+    ``panel``: accumulate the quadratic form in (panel, k, n) Θ tiles
+    (matching the panel sweep's memory ceiling) instead of the whole
+    (k², n) tensor.
     """
     if interpret is None:
         interpret = _interpret_default()
-    gram_w = _backends(backend)[1]
+    if panel is None:
+        gram_w = _backends(backend)[1]
+    else:
+        gC, gWPanel = _panel_backends(backend)[2:]
 
     def objective(plan, W, T):
         _, acc, _ = resolve_mixed_dtypes(W.dtype, W.dtype)
-        C, H = gram_w(plan, T, acc, interpret)
         Wa = W.astype(acc)
-        cross = jnp.sum(C * Wa.T)
-        quad = jnp.einsum('tsi,it,is->', H, Wa, Wa)
+        if panel is None:
+            C, H = gram_w(plan, T, acc, interpret)
+            cross = jnp.sum(C * Wa.T)
+            quad = jnp.einsum('tsi,it,is->', H, Wa, Wa)
+        else:
+            k = T.shape[0]
+            C = gC(plan, T, acc, interpret)
+            cross = jnp.sum(C * Wa.T)
+            quad = jnp.zeros((), acc)
+            for t0 in range(0, k, panel):
+                p = min(panel, k - t0)
+                Hpan = gWPanel(plan, T, t0, p, acc, interpret)
+                quad = quad + jnp.einsum(
+                    'tsi,it,is->', Hpan, Wa[:, t0:t0 + p], Wa)
         obj = 0.5 * (plan.sum_mx2 - 2.0 * cross + quad)
         Ta = T.astype(acc)
         obj = obj + 0.5 * reg_w_l2 * jnp.sum(Wa ** 2)

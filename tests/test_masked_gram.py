@@ -432,3 +432,112 @@ def test_plan_masked_gram_layouts():
                                np.sum(M * X ** 2), rtol=1e-12)
     Ms2, Xs2 = plan.to_scipy()
     np.testing.assert_array_equal(Ms2.toarray(), M)
+
+
+# ---------------------------------------------------------------------------
+# k-panel tiling (VERDICT r5 item 3): Γ/Θ built in (p, k, ·) tiles
+# ---------------------------------------------------------------------------
+
+def _run_gram_panel(X, M, W0, T0, sweeps, panel, backend='segsum', **kw):
+    import jax
+    import jax.numpy as jnp
+
+    from rri_nmf_tpu.ops.sweep_masked_gram import (make_masked_gram_sweep,
+                                                   plan_masked_gram)
+    from rri_nmf_tpu.ops.sweep_xla import SweepConfig
+
+    cfg = SweepConfig(k=W0.shape[1], masked=True, masked_sparse=True,
+                      update_order='phase', reset_topic_method=None,
+                      **kw)
+    plan = plan_masked_gram(X, sp.csr_matrix(M), np.float64,
+                            backend=backend)
+    sweep = make_masked_gram_sweep(cfg, backend=backend, panel=panel)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    W, T = jnp.asarray(W0), jnp.asarray(T0)
+    out = []
+    for _ in range(sweeps):
+        W, T, key, r = sweep(plan, W, T, key, r, key)
+        out.append((np.array(W), np.array(T)))
+    return out
+
+
+@pytest.mark.parametrize('panel', [1, 2, 3])
+@pytest.mark.parametrize('kw', [
+    dict(),
+    dict(project_T_each_iter=True, t_row_sum=1.0, w_row_sum=1.0,
+         project_W_each_iter=True),
+    dict(reg_t_l1=0.02, reg_w_l2=0.05),
+    dict(inner_reps=2),
+    dict(fix_T=True),
+])
+def test_panel_sweep_bitwise_equals_full(panel, kw):
+    """Panel-tiled sweeps run the IDENTICAL Gauss-Seidel sequence as the
+    full-tensor path — every panel's corrections read the current
+    partially-updated factor, so results agree to f64 roundoff for any
+    panel size (including ragged last panels: k=4 with p=3)."""
+    X, M, W0, T0 = _problem(21, k=4)
+    full = _run_gram(X, M, W0, T0, 3, **kw)
+    tiled = _run_gram_panel(X, M, W0, T0, 3, panel, **kw)
+    for (W1, T1), (W2, T2) in zip(full, tiled):
+        np.testing.assert_allclose(W2, W1, atol=1e-13, rtol=0)
+        np.testing.assert_allclose(T2, T1, atol=1e-13, rtol=0)
+
+
+def test_panel_sweep_mxu_backend():
+    """Panel contractions on the chunked MXU plans (interpret mode)
+    match the segsum panel path."""
+    X, M, W0, T0 = _problem(22, n=40, d=33, k=5)
+    t1 = _run_gram_panel(X, M, W0, T0, 2, 2, backend='segsum')
+    t2 = _run_gram_panel(X, M, W0, T0, 2, 2, backend='mxu')
+    for (W1, T1), (W2, T2) in zip(t1, t2):
+        np.testing.assert_allclose(W2, W1, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(T2, T1, atol=1e-9, rtol=0)
+
+
+def test_panel_objective_matches_full():
+    from rri_nmf_tpu.ops.sweep_masked_gram import (
+        make_masked_gram_objective, plan_masked_gram)
+    import jax.numpy as jnp
+    X, M, W0, T0 = _problem(23, k=5)
+    plan = plan_masked_gram(X, sp.csr_matrix(M), np.float64,
+                            backend='segsum')
+    regs = dict(reg_w_l2=0.02, reg_t_l1=0.003)
+    full = make_masked_gram_objective(backend='segsum', **regs)
+    tiled = make_masked_gram_objective(backend='segsum', panel=2, **regs)
+    W, T = jnp.asarray(W0), jnp.asarray(T0)
+    np.testing.assert_allclose(float(tiled(plan, W, T)),
+                               float(full(plan, W, T)), rtol=1e-13)
+
+
+def test_auto_panel_policy():
+    from rri_nmf_tpu.ops.sweep_masked_gram import auto_panel
+    # tiny problem: full tensors fit
+    assert auto_panel(8, 100, 80, 8) is None
+    # k=128 at the round-4 record shape, f32: full Γ/Θ would be 98 GB —
+    # panels engage with 1 <= p < k
+    p = auto_panel(128, 100_000, 50_000, 4)
+    assert p is not None and 1 <= p < 128
+    assert p * 128 * 150_000 * 4 <= 4e9
+    # absurd k: even one panel row over budget -> 0 (decline)
+    assert auto_panel(10_000_000, 1_000_000, 1_000_000, 8) == 0
+
+
+def test_driver_routes_large_k_to_panels(monkeypatch):
+    """The driver engages the Gram path with panel tiling when the full
+    tensors exceed the budget (instead of silently falling back to the
+    interleaved sweep), and the fit matches the full-tensor fit."""
+    import rri_nmf_tpu.ops.sweep_masked_gram as smg
+    X, M, _, _ = _problem(24, n=40, d=30, k=4)
+    Ms = sp.csr_matrix(M)
+    kw = _driver_kw(max_iter=6)
+    r_full = nmf(X, 4, W_mat=Ms, update_order='phase', **kw)
+    # shrink the budget so k=4 at (40, 30) needs 2-panels
+    unit = 4 * (40 + 30) * 8
+    monkeypatch.setattr(smg, 'GRAM_BUDGET_BYTES', 2 * unit)
+    r_tiled = nmf(X, 4, W_mat=Ms, update_order='phase', **kw)
+    np.testing.assert_allclose(np.asarray(r_tiled['W']),
+                               np.asarray(r_full['W']), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_tiled['T']),
+                               np.asarray(r_full['T']), atol=1e-13)
+    assert np.all(np.diff(r_tiled['obj_history']) <= 1e-12)

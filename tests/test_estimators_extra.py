@@ -48,6 +48,24 @@ def test_rs_estimator_transform_and_predict(recsys_train):
     assert s < 1.5
 
 
+def test_rs_transform_dense_equals_sparse(recsys_train):
+    """Dense Xnew routes through the same O(nnz) sparse-mask inference
+    as scipy-sparse Xnew (round-5 transform-latency fix): identical W,
+    and no dense (rows, d) mask is ever built."""
+    X = recsys_train
+    n, d = X.shape
+    E = NMF_RS_Estimator(n, d, 4, random_state=0, max_iter=6)
+    E.fit_from_Xtr(X)
+    Xnew = X[:64]
+    W_dense = np.asarray(E.transform(Xnew))
+    W_sparse = np.asarray(E.transform(sp.csr_matrix(Xnew)))
+    np.testing.assert_allclose(W_dense, W_sparse, atol=1e-12, rtol=0)
+    # rows with no observations come back all-zero, not NaN
+    empty = np.asarray(Xnew.sum(axis=1)).ravel() == 0
+    assert np.isfinite(W_dense).all()
+    assert np.all(W_dense[empty] == 0)
+
+
 def test_rs_no_validation_early_stopping(recsys_train):
     X = recsys_train
     n, d = X.shape

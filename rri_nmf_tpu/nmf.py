@@ -1285,9 +1285,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # shard_map reset path, which needs aligned layouts — and the
         # blockwise reset scan is turned off there too (its
         # dynamic_slice over a row-sharded X would gather X per block;
-        # the one-piece residual stays distributed under GSPMD)
-        mesh=mesh if _mesh_aligned else None,
-        reset_blockwise=(mesh is None or _mesh_aligned),
+        # the one-piece residual stays distributed under GSPMD).
+        # EXCEPTION: quantized storage has no GSPMD fallback (the XLA
+        # sweeps read X directly), and the sharded dense sweep repads
+        # X/W/T to its (BN·dp, BD·tp) quanta internally (ghost columns
+        # masked in the projected kernel) — so int16 keeps the mesh and
+        # rides the fused path on ANY shape (resets are None there).
+        mesh=mesh if (_mesh_aligned or x_quant) else None,
+        reset_blockwise=(mesh is None or _mesh_aligned or x_quant),
         matmul_precision=matmul_precision,
         inner_reps=inner_reps)
 
@@ -1297,8 +1302,17 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         make_masked_sweep_pallas, supports_pallas)
     if mesh is not None and not _mesh_aligned:
         # neither the shard_map'd mesh kernels (aligned layouts) nor the
-        # single-device pallas_calls (unsharded arrays) can run here
-        pallas_ok = dense_pallas_ok = False
+        # single-device pallas_calls (unsharded arrays) can run here —
+        # EXCEPT quantized storage, whose sharded sweep repads internally
+        # (see the cfg.mesh comment above)
+        pallas_ok = False
+        if x_quant:
+            from rri_nmf_tpu.parallel.sharded_dense import \
+                supports_sharded_dense
+            dense_pallas_ok = supports_sharded_dense(
+                cfg, d=d, narrow=dtype in (jnp.bfloat16, jnp.float16))
+        else:
+            dense_pallas_ok = False
     elif mesh is not None:
         from rri_nmf_tpu.parallel.sharded_dense import \
             supports_sharded_dense
@@ -1331,18 +1345,14 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # scale-folded GEMMs only (ops/quantized.py); the XLA fallback
         # sweeps read X directly
         if not dense_pallas_ok:
-            _why = ('X shape (%d, %d) does not tile the mesh — the '
-                    'unaligned GSPMD fallback reads X directly; pad '
-                    'the data to the mesh quanta' % (n, d)) \
-                if mesh is not None and (n % mesh.devices.shape[0]
-                                         or d % mesh.devices.shape[1]) \
-                else ('got update_order=%r, reset_topic_method=%r'
-                      % (update_order, reset_topic_method))
             raise ValueError(
                 "x_dtype='int16' runs on the fused dense phase kernels: "
                 "it requires update_order='phase', "
                 'reset_topic_method=None, no store_gradients, no DP '
-                'noise, and mesh-aligned shapes when sharded; ' + _why)
+                'noise, and the projected (k, d) T panel within the '
+                'VMEM budget; got update_order=%r, '
+                'reset_topic_method=%r'
+                % (update_order, reset_topic_method))
         if not use_pallas:
             use_pallas = ('interpret'
                           if jax.default_backend() == 'cpu' else True)

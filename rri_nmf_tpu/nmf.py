@@ -730,13 +730,42 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
 
+    # ---- pre-built mesh observation plans (multi-controller masked
+    # fits): a ShardedMaskedCOO / ShardedMaskedGramPlan assembled by
+    # parallel.distribute_masked_coo passes DIRECTLY as X — the observed
+    # set never exists on one host (VERDICT r5 item 6). ----------------
+    _premade_masked = _premade_gram = False
+    if mesh is not None and W_mat is None:
+        from rri_nmf_tpu.parallel.masked_gram_mesh import \
+            ShardedMaskedGramPlan
+        from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+            ShardedMaskedCOO
+        if isinstance(X, (ShardedMaskedCOO, ShardedMaskedGramPlan)):
+            _premade_masked = True
+            _premade_gram = isinstance(X, ShardedMaskedGramPlan)
+            _n_loc_mesh = -(-X.shape[0] // mesh.devices.shape[0])
+            if X.n_loc != _n_loc_mesh:
+                raise ValueError(
+                    'plan was partitioned for %d-row device blocks but '
+                    'this mesh implies %d; rebuild it over this mesh'
+                    % (X.n_loc, _n_loc_mesh))
+            if np.prod(np.shape(W_in)) == 0 or \
+                    np.prod(np.shape(T_in)) == 0:
+                raise ValueError(
+                    'a pre-built mesh observation plan carries no host '
+                    'X to initialize from; pass W_in AND T_in '
+                    '(initialize per process — e.g. random draws from '
+                    'a shared seed — and place with '
+                    'parallel.distribute_factors)')
+
     # ---- sparse-mask WRRI mode (ops/sweep_masked_sparse.py): a
     # scipy-sparse W_mat keeps the observed set as COO end to end —
     # O(nnz) memory and O(nnz·k) work per sweep, vs the dense masked
     # path's O(nd) arrays (and the reference's O(ndk²) sweep,
     # nmf.py:687-746). The recommender pillar's beyond-HBM path.
-    masked_sparse = (W_mat is not None and hasattr(W_mat, 'tocoo')
-                     and hasattr(W_mat, 'toarray'))
+    masked_sparse = (_premade_masked
+                     or (W_mat is not None and hasattr(W_mat, 'tocoo')
+                         and hasattr(W_mat, 'toarray')))
     if masked_sparse:
         if w_row is not None:
             raise NotImplementedError(
@@ -787,7 +816,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                  else _default_float().itemsize)   # f64 Grams cost 2x f32
     _gram_dp = mesh.devices.shape[0] if mesh is not None else 1
     _gram_panel = None
-    if masked_sparse:
+    if masked_sparse and not _premade_masked:
         from rri_nmf_tpu.ops.sweep_masked_gram import auto_panel
         _gram_panel = auto_panel(
             k, np.shape(X)[0] / _gram_dp, np.shape(X)[1], _gram_isz)
@@ -804,7 +833,26 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     masked_gram = (masked_sparse and update_order == 'phase'
                    and reset_topic_method is None and _gram_mesh_ok
                    and _gram_fits)
-    if masked_sparse and update_order == 'phase' and not masked_gram:
+    if _premade_masked:
+        # the plan type, not the heuristics, decides the sweep family
+        masked_gram = _premade_gram
+        if _premade_gram and update_order != 'phase':
+            raise ValueError(
+                "this plan was built for the Gram-phase sweep "
+                "(backend=%r); pass update_order='phase'" % (X.backend,))
+        if _premade_gram and reset_topic_method is not None:
+            raise ValueError('the Gram-phase sweep supports '
+                             'reset_topic_method=None only')
+        if not _premade_gram and update_order == 'phase':
+            import warnings as _warnings
+            _warnings.warn(
+                "update_order='phase' needs a Gram plan; this "
+                'interleaved COO plan runs the reference order '
+                '(rebuild with distribute_masked_coo('
+                "backend='segsum') for the Gram-phase sweep)",
+                RuntimeWarning, stacklevel=2)
+            update_order = 'interleaved'
+    elif masked_sparse and update_order == 'phase' and not masked_gram:
         import warnings as _warnings
         # a user explicitly requesting 'phase' on a masked fit opted into
         # the Gram sweep; falling to the interleaved order costs ~85x per
@@ -927,13 +975,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         # ever reach the device (plan_masked_coo)
         if not np.issubdtype(X.dtype, np.floating):
             X = X.astype(np.float64)
-    elif not sparse_mode and not _X_global and not _x_is_quant_in:
+    elif not sparse_mode and not _X_global and not _x_is_quant_in \
+            and not _premade_masked:
         X = np.asarray(X, dtype=np.float64 if not np.issubdtype(
             np.asarray(X).dtype, np.floating) else None)
         X = np.asarray(X)
     n, d = X.shape
+    _x_dt = X.dtype if not _premade_masked else \
+        (X.coo.x_vals.dtype if _premade_gram else X.x_vals.dtype)
     if dtype is None:
-        dtype = X.dtype if np.issubdtype(X.dtype, np.floating) else None
+        dtype = _x_dt if np.issubdtype(_x_dt, np.floating) else None
         if dtype is None or (dtype == np.float64 and
                              not jax.config.jax_enable_x64):
             dtype = _default_float()
@@ -1063,7 +1114,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     iter_cputime = []
 
-    masked = W_mat is not None
+    masked = W_mat is not None or _premade_masked
     if masked:
         logger.info('W_mat path: fused masked sweep, O(ndk) per sweep '
                     '(the reference is O(ndk^2), nmf.py:355-356).')
@@ -1112,7 +1163,11 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             # observations row-partitioned per device; W rides the row
             # axis when it divides (the sweep pads/reshards internally
             # otherwise); T replicated (tp == 1 enforced above)
-            if masked_gram:
+            if _premade_masked:
+                # assembled by parallel.distribute_masked_coo (possibly
+                # across processes); already on this mesh
+                X_dev = X
+            elif masked_gram:
                 from rri_nmf_tpu.parallel.masked_gram_mesh import \
                     partition_masked_gram
                 X_dev = partition_masked_gram(

@@ -74,6 +74,38 @@ class ShardedMaskedCOO:
         return cls(*children, shape=aux[0], n_loc=aux[1], nnz=aux[2])
 
 
+def _host_row_blocks(rows, cols, x, m, n_loc, dp_first, dp_count, d,
+                     mmax, dtype):
+    """(dp_count, mmax) padded observation blocks for the devices
+    ``[dp_first, dp_first + dp_count)``. ``rows`` are GLOBAL CSR-sorted
+    row indices covering exactly those devices' row range; local row
+    indices come out ``rows % n_loc``. Shared by the single-controller
+    partitioners and :func:`parallel.multihost.distribute_masked_coo`
+    (which builds only its own process's slab)."""
+    blk = rows // n_loc - dp_first
+    counts = (np.bincount(blk, minlength=max(dp_count, 1))
+              if rows.size else np.zeros(max(dp_count, 1), np.int64))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    r_b = np.zeros((dp_count, mmax), dtype=np.int32)
+    c_b = np.full((dp_count, mmax), max(d - 1, 0), dtype=np.int32)
+    x_b = np.zeros((dp_count, mmax), dtype=dtype)
+    m_b = np.zeros((dp_count, mmax), dtype=dtype)
+    for b in range(dp_count):
+        lo, hi = starts[b], starts[b + 1]
+        cnt = hi - lo
+        r_b[b, :cnt] = (rows[lo:hi] % n_loc).astype(np.int32)
+        c_b[b, :cnt] = cols[lo:hi]
+        x_b[b, :cnt] = x[lo:hi]
+        m_b[b, :cnt] = m[lo:hi]
+        if cnt:
+            # sorted-pad: the local row stream must stay non-decreasing
+            # (seg_rows passes indices_are_sorted=True; zero-index
+            # padding after sorted real rows violates the contract on
+            # sorted-scatter lowerings). Padding keeps m = x = 0.
+            r_b[b, cnt:] = r_b[b, cnt - 1]
+    return r_b, c_b, x_b, m_b
+
+
 def partition_masked_coo(X, W_mat, mesh, dtype):
     """Host-side: (X, scipy-sparse W_mat) → :class:`ShardedMaskedCOO` on
     ``mesh`` (which must be (dp, 1)). Same value semantics as
@@ -95,29 +127,11 @@ def partition_masked_coo(X, W_mat, mesh, dtype):
     n_loc = -(-n // dp_size)
     # rows arrive CSR-sorted, so the block key is non-decreasing —
     # contiguous slices partition the observations per device
-    blk = rows // n_loc
-    counts = np.bincount(blk, minlength=dp_size)
-    starts = np.concatenate([[0], np.cumsum(counts)])
+    counts = np.bincount(rows // n_loc, minlength=dp_size)
     mmax = max(int(counts.max()), 1)
     mmax += (-mmax) % _PAD_TO
-
-    r_b = np.zeros((dp_size, mmax), dtype=np.int32)
-    c_b = np.full((dp_size, mmax), max(d - 1, 0), dtype=np.int32)
-    x_b = np.zeros((dp_size, mmax), dtype=dtype)
-    m_b = np.zeros((dp_size, mmax), dtype=dtype)
-    for b in range(dp_size):
-        lo, hi = starts[b], starts[b + 1]
-        cnt = hi - lo
-        r_b[b, :cnt] = (rows[lo:hi] % n_loc).astype(np.int32)
-        c_b[b, :cnt] = cols[lo:hi]
-        x_b[b, :cnt] = x[lo:hi]
-        m_b[b, :cnt] = m[lo:hi]
-        if cnt:
-            # sorted-pad: the local row stream must stay non-decreasing
-            # (seg_rows passes indices_are_sorted=True; zero-index
-            # padding after sorted real rows violates the contract on
-            # sorted-scatter lowerings). Padding keeps m = x = 0.
-            r_b[b, cnt:] = r_b[b, cnt - 1]
+    r_b, c_b, x_b, m_b = _host_row_blocks(
+        rows, cols, x, m, n_loc, 0, dp_size, d, mmax, dtype)
 
     dp, _tp = mesh.axis_names
     s = NamedSharding(mesh, P(dp, None))

@@ -209,3 +209,129 @@ def distribute_factors(W_local, T, n, mesh):
         W_dev = jax.make_array_from_process_local_data(
             s_W, W_local, (n, W_local.shape[1]))
     return W_dev, jax.device_put(np.asarray(T), s_T)
+
+
+def _allgather_np(value):
+    """Host-scalar allgather across the process group (identity in a
+    single-process run). Returns a (process_count, ...) numpy array."""
+    value = np.asarray(value)
+    if jax.process_count() == 1:
+        return value[None]
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(value))
+
+
+def distribute_masked_coo(X_local, W_mat_local, global_shape, mesh,
+                          dtype=None, backend=None, group=8):
+    """Assemble a mesh-global masked (WRRI) observation plan from
+    per-process row slabs — the multi-controller form of
+    :func:`~rri_nmf_tpu.parallel.masked_sparse_mesh.partition_masked_coo`
+    / :func:`~rri_nmf_tpu.parallel.masked_gram_mesh.partition_masked_gram`
+    (round-5 VERDICT item 6: BASELINE #5-class observed sets must never
+    be materialized on one host).
+
+    ``X_local`` (dense or scipy-sparse) and scipy-sparse ``W_mat_local``
+    hold THIS process's rows (:func:`process_row_block`'s range for
+    ``mesh``, which must be (dp, 1)). Every process calls this with its
+    own slab and receives the same global plan handle, ready to pass
+    DIRECTLY as ``nmf()``'s ``X`` (with ``W_mat=None`` and explicit
+    ``W_in``/``T_in`` placed by :func:`distribute_factors`).
+
+    ``backend=None`` returns the interleaved O(nnz) plan
+    (:class:`~rri_nmf_tpu.parallel.masked_sparse_mesh.ShardedMaskedCOO`,
+    reference update order); ``'segsum'`` returns the Gram-phase plan
+    (:class:`~rri_nmf_tpu.parallel.masked_gram_mesh.ShardedMaskedGramPlan`,
+    ``update_order='phase'``, XLA segment-sum contractions). The
+    ``'mxu'`` chunk plans are single-controller-only for now (their
+    cross-device padding needs a chunk-geometry allgather); build them
+    with ``partition_masked_gram`` when one host can see the data.
+
+    Cross-process coordination is three host allgathers of scalars
+    (padding width, nnz, Σmx²) — the observation data itself never
+    moves between hosts.
+    """
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.ops.sweep_masked_sparse import (_PAD_TO,
+        masked_coo_host_arrays)
+    from rri_nmf_tpu.parallel.masked_sparse_mesh import (
+        ShardedMaskedCOO, _host_row_blocks)
+
+    n, d = (int(s) for s in global_shape)
+    dp_size, tp_size = mesh.devices.shape
+    if tp_size != 1:
+        raise ValueError('masked mesh plans are row-partitioned; use an '
+                         '(n_devices, 1) mesh')
+    dp_ax = mesh.axis_names[0]
+    n_loc = -(-n // dp_size)
+    lo, hi = process_row_block(n, mesh)
+    n_sl = int(np.shape(X_local)[0])
+    if n_sl != hi - lo:
+        raise ValueError(
+            'X_local has %d rows but this process owns rows [%d, %d) of '
+            'the global (%d, %d) problem (process_row_block)'
+            % (n_sl, lo, hi, n, d))
+    if not sp.issparse(W_mat_local):
+        raise ValueError('W_mat_local must be scipy-sparse (the mask IS '
+                         'the observed set)')
+    if dtype is None:
+        xdt = (X_local.dtype if hasattr(X_local, 'dtype')
+               else np.asarray(X_local).dtype)
+        dtype = xdt if np.issubdtype(xdt, np.floating) else np.float64
+    dtype = np.dtype(dtype)
+
+    rows_sl, cols_sl, x_sl, m_sl, (_n_sl, d_sl), nnz_sl = \
+        masked_coo_host_arrays(X_local, W_mat_local, dtype)
+    assert d_sl == d, (d_sl, d)
+    rows_g = rows_sl[:nnz_sl].astype(np.int64) + lo
+    cols = cols_sl[:nnz_sl]
+    x = x_sl[:nnz_sl]
+    m = m_sl[:nnz_sl]
+
+    dp_first = lo // n_loc
+    dp_count = -(-(hi - lo) // n_loc) if hi > lo else 0
+
+    # one global padding width: every device block shares mmax
+    local_max = int(np.bincount(rows_g // n_loc - dp_first,
+                                minlength=max(dp_count, 1)).max()) \
+        if nnz_sl else 0
+    mmax = int(_allgather_np(np.int64(local_max)).max())
+    mmax = max(mmax, 1)
+    mmax += (-mmax) % _PAD_TO
+    nnz_glob = int(_allgather_np(np.int64(nnz_sl)).sum())
+
+    r_b, c_b, x_b, m_b = _host_row_blocks(
+        rows_g, cols, x, m, n_loc, dp_first, dp_count, d, mmax, dtype)
+
+    s = NamedSharding(mesh, P(dp_ax, None))
+
+    def _glob(local):
+        if jax.process_count() == 1:
+            return jax.device_put(local, s)
+        return jax.make_array_from_process_local_data(
+            s, local, (dp_size, mmax))
+
+    coo = ShardedMaskedCOO(
+        _glob(r_b), _glob(c_b), _glob(x_b), _glob(m_b),
+        shape=(n, d), n_loc=n_loc, nnz=nnz_glob)
+    if backend is None:
+        return coo
+    if backend != 'segsum':
+        raise NotImplementedError(
+            "distribute_masked_coo supports backend=None (interleaved) "
+            "and 'segsum' (Gram-phase); the 'mxu' chunk plans need "
+            'single-controller partition_masked_gram')
+
+    import jax.numpy as jnp
+
+    from rri_nmf_tpu.parallel.masked_gram_mesh import ShardedMaskedGramPlan
+
+    smx2 = float(_allgather_np(
+        np.float64(m).dot(np.float64(x) ** 2)).sum())
+    sum_mx2 = jax.device_put(
+        jnp.asarray(smx2, dtype=jnp.promote_types(dtype, jnp.float32)),
+        NamedSharding(mesh, P()))
+    return ShardedMaskedGramPlan(
+        coo=coo, m_t=None, m_w=None, mx_t_vals=None, mx_w_vals=None,
+        sum_mx2=sum_mx2, shape=(n, d), n_loc=n_loc, nnz=nnz_glob,
+        group=group, backend='segsum')

@@ -126,7 +126,36 @@ def main():
     np.testing.assert_allclose(Wi_g, Wi_l, atol=1e-10)
     np.testing.assert_allclose(Ti_g, Ti_l, atol=1e-10)
 
-    for tag, res in (('A', ra), ('B', rb), ('D', rd), ('F', rf)):
+    # config G/H: multi-controller MASKED (WRRI) fits — the observed set
+    # is assembled from per-process row slabs (distribute_masked_coo)
+    # and never exists on one host. G: interleaved COO plan (reference
+    # order); H: Gram-phase segsum plan (one psum per T-phase).
+    import scipy.sparse as sps
+
+    from rri_nmf_tpu.parallel import distribute_masked_coo
+    mesh_m = make_global_mesh(mesh_shape=(8, 1))
+    lo_m, hi_m = process_row_block(n, mesh_m)
+    assert (lo_m, hi_m) == ((0, 32) if pid == 0 else (32, 64))
+    rngm = np.random.RandomState(3)
+    M_full = (rngm.rand(n, d) < 0.4).astype(np.float64)
+    Xm_full = rngm.rand(n, d) * M_full
+    plan_coo = distribute_masked_coo(
+        Xm_full[lo_m:hi_m], sps.csr_matrix(M_full[lo_m:hi_m]),
+        (n, d), mesh_m)
+    plan_gram = distribute_masked_coo(
+        Xm_full[lo_m:hi_m], sps.csr_matrix(M_full[lo_m:hi_m]),
+        (n, d), mesh_m, backend='segsum')
+    Wgm, Tgm = distribute_factors(W0[lo_m:hi_m], T0, n, mesh_m)
+    rg = nmf(plan_coo, k, W_in=Wgm, T_in=Tgm, mesh=mesh_m, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             reset_topic_method=None, t_row_sum=1.0)
+    rh = nmf(plan_gram, k, W_in=Wgm, T_in=Tgm, mesh=mesh_m, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             update_order='phase', reset_topic_method=None,
+             reg_t_l1=0.01)
+
+    for tag, res in (('A', ra), ('B', rb), ('D', rd), ('F', rf),
+                     ('G', rg), ('H', rh)):
         assert isinstance(res['W'], np.ndarray) and res['W'].shape == (n, k)
         assert np.isfinite(res['W']).all() and np.isfinite(res['T']).all()
         oh = res['obj_history']
@@ -136,7 +165,9 @@ def main():
              WA=ra['W'], TA=ra['T'], ohA=np.asarray(ra['obj_history']),
              WB=rb['W'], TB=rb['T'], ohB=np.asarray(rb['obj_history']),
              WD=rd['W'], TD=rd['T'], ohD=np.asarray(rd['obj_history']),
-             WF=rf['W'], TF=rf['T'], ohF=np.asarray(rf['obj_history']))
+             WF=rf['W'], TF=rf['T'], ohF=np.asarray(rf['obj_history']),
+             WG=rg['W'], TG=rg['T'], ohG=np.asarray(rg['obj_history']),
+             WH=rh['W'], TH=rh['T'], ohH=np.asarray(rh['obj_history']))
     with open(os.path.join(outdir, 'ok_%d.json' % pid), 'w') as f:
         json.dump({'rows': [int(lo), int(hi)]}, f)
     print('worker', pid, 'OK', flush=True)

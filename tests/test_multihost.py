@@ -75,3 +75,106 @@ def test_process_row_block_clamped_and_mesh_aware():
         for n in (100, 5, 64, 17, 3):
             lo, hi = process_row_block(n, mesh)
             assert (lo, hi) == (0, n), (mesh.devices.shape, n, lo, hi)
+
+
+def test_distribute_masked_coo_single_process():
+    """Single-process distribute_masked_coo == partition_masked_coo /
+    partition_masked_gram value-wise, and the plan drives nmf() directly
+    (the multi-controller masked entry, VERDICT r5 item 6)."""
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import (distribute_factors,
+        distribute_masked_coo, make_global_mesh, process_row_block)
+
+    n, d, k = 32, 24, 4
+    rng = np.random.RandomState(1)
+    M = (rng.rand(n, d) < 0.35).astype(float)
+    X = rng.rand(n, d) * M
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    Ms = sp.csr_matrix(M)
+    mesh = make_global_mesh(mesh_shape=(8, 1))
+    lo, hi = process_row_block(n, mesh)
+    assert (lo, hi) == (0, n)
+
+    plan = distribute_masked_coo(X[lo:hi], Ms[lo:hi], (n, d), mesh)
+    from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+        partition_masked_coo
+    ref = partition_masked_coo(X, Ms, mesh, np.dtype(np.float64))
+    assert plan.nnz == ref.nnz and plan.n_loc == ref.n_loc
+    np.testing.assert_array_equal(np.asarray(plan.rows),
+                                  np.asarray(ref.rows))
+    np.testing.assert_array_equal(np.asarray(plan.x_vals),
+                                  np.asarray(ref.x_vals))
+
+    Wg, Tg = distribute_factors(W0, T0, n, mesh)
+    kw = dict(max_iter=4, random_state=7, compute_obj_each_iter=True,
+              reset_topic_method=None, t_row_sum=1.0)
+    rp = nmf(plan, k, W_in=Wg, T_in=Tg, mesh=mesh, **kw)
+    ro = nmf(X, k, W_mat=Ms, W_in=W0, T_in=T0, **kw)
+    np.testing.assert_allclose(np.asarray(rp['W']), np.asarray(ro['W']),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rp['T']), np.asarray(ro['T']),
+                               atol=1e-10)
+
+    # Gram-phase plan: phase order, monotone, parity, live objective
+    plan_g = distribute_masked_coo(X[lo:hi], Ms[lo:hi], (n, d), mesh,
+                                   backend='segsum')
+    kwg = dict(max_iter=4, random_state=7, compute_obj_each_iter=True,
+               reset_topic_method=None, update_order='phase',
+               reg_t_l1=0.01)
+    rg = nmf(plan_g, k, W_in=Wg, T_in=Tg, mesh=mesh, **kwg)
+    rgo = nmf(X, k, W_mat=Ms, W_in=W0, T_in=T0, **kwg)
+    np.testing.assert_allclose(np.asarray(rg['W']), np.asarray(rgo['W']),
+                               atol=1e-10)
+    assert np.all(np.diff(rg['obj_history']) <= 1e-12)
+    oc = rg['obj_calculator']
+    assert abs(oc.true_objective() - rg['obj_history'][-1]) < 1e-9
+
+
+def test_distribute_masked_coo_guards():
+    import pytest
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.nmf import nmf
+    from rri_nmf_tpu.parallel import (distribute_masked_coo,
+        make_global_mesh)
+
+    n, d, k = 32, 24, 4
+    rng = np.random.RandomState(2)
+    M = (rng.rand(n, d) < 0.4).astype(float)
+    X = rng.rand(n, d) * M
+    Ms = sp.csr_matrix(M)
+    mesh = make_global_mesh(mesh_shape=(8, 1))
+    mesh2 = make_global_mesh(mesh_shape=(4, 2))
+    with pytest.raises(ValueError, match='row-partitioned'):
+        distribute_masked_coo(X, Ms, (n, d), mesh2)
+    with pytest.raises(ValueError, match='scipy-sparse'):
+        distribute_masked_coo(X, M, (n, d), mesh)
+    with pytest.raises(ValueError, match='process_row_block'):
+        distribute_masked_coo(X[:10], Ms[:10], (n, d), mesh)
+    with pytest.raises(NotImplementedError, match='mxu'):
+        distribute_masked_coo(X, Ms, (n, d), mesh, backend='mxu')
+
+    plan = distribute_masked_coo(X, Ms, (n, d), mesh)
+    # plan input needs explicit warm starts
+    with pytest.raises(ValueError, match='W_in AND T_in'):
+        nmf(plan, k, mesh=mesh, max_iter=2)
+    # gram plan built for phase order refuses interleaved
+    plan_g = distribute_masked_coo(X, Ms, (n, d), mesh,
+                                   backend='segsum')
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    with pytest.raises(ValueError, match='phase'):
+        nmf(plan_g, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            reset_topic_method=None)
+    # COO plan + phase request warns and runs the reference order
+    with pytest.warns(RuntimeWarning, match='Gram plan'):
+        r = nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+                update_order='phase', reset_topic_method=None)
+    assert np.isfinite(np.asarray(r['W'])).all()
+    # mesh mismatch: plan partitioned for another dp count
+    mesh4 = make_global_mesh(mesh_shape=(4, 1))
+    with pytest.raises(ValueError, match='rebuild'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh4, max_iter=2)

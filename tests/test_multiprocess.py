@@ -73,7 +73,8 @@ def group_results(tmp_path_factory):
 def test_two_process_results_agree_bitwise(group_results):
     r0, r1 = group_results
     for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB',
-                'WD', 'TD', 'ohD', 'WF', 'TF', 'ohF'):
+                'WD', 'TD', 'ohD', 'WF', 'TF', 'ohF',
+                'WG', 'TG', 'ohG', 'WH', 'TH', 'ohH'):
         np.testing.assert_array_equal(np.asarray(r0[key]),
                                       np.asarray(r1[key]), err_msg=key)
 
@@ -116,3 +117,25 @@ def test_multiprocess_matches_single_controller(group_results):
     np.testing.assert_allclose(r0['WF'], rf['W'], atol=1e-10)
     np.testing.assert_allclose(r0['TF'], rf['T'], atol=1e-10)
     np.testing.assert_allclose(r0['ohF'], rf['obj_history'], rtol=1e-11)
+
+    # masked multi-controller fits (distribute_masked_coo slabs) match
+    # the single-controller masked oracles — the observed set never
+    # existed on one host in the group run
+    import scipy.sparse as sps
+    rngm = np.random.RandomState(3)
+    M_full = (rngm.rand(n, d) < 0.4).astype(np.float64)
+    Xm_full = rngm.rand(n, d) * M_full
+    Msp = sps.csr_matrix(M_full)
+    rg = nmf(Xm_full, k, W_mat=Msp, W_in=W0, T_in=T0, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             reset_topic_method=None, t_row_sum=1.0)
+    np.testing.assert_allclose(r0['WG'], rg['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TG'], rg['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohG'], rg['obj_history'], rtol=1e-11)
+    rh = nmf(Xm_full, k, W_mat=Msp, W_in=W0, T_in=T0, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             update_order='phase', reset_topic_method=None,
+             reg_t_l1=0.01)
+    np.testing.assert_allclose(r0['WH'], rh['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TH'], rh['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohH'], rh['obj_history'], rtol=1e-11)

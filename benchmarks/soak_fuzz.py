@@ -52,6 +52,7 @@ def _draws():
     import test_consistency
     import test_dense_oracle
     import test_fuzz
+    import test_masked_gram_mesh
     import test_quantized
 
     def resume(seed):
@@ -69,6 +70,7 @@ def _draws():
         'masked_oracle': test_consistency.masked_oracle_draw,
         'quantized': test_quantized.quantized_draw,
         'dense_oracle': test_dense_oracle.test_dense_sweep_matches_oracle_randomized,
+        'masked_gram_mesh': test_masked_gram_mesh.masked_gram_mesh_draw,
     }
 
 
@@ -78,7 +80,7 @@ def main():
                     choices=['invariants', 'invariants_midsize', 'estimator',
                              'mesh', 'resume', 'sparse', 'stepped',
                              'masked_oracle', 'dense_oracle', 'quantized',
-                             'all'])
+                             'masked_gram_mesh', 'all'])
     ap.add_argument('--seeds', nargs=2, type=int, metavar=('START', 'END'),
                     help='half-open seed range [START, END)')
     ap.add_argument('--seed-list', nargs='+', type=int,

@@ -257,3 +257,84 @@ def test_driver_mesh_gram_fix_T_transform():
     np.testing.assert_array_equal(np.asarray(sharded['T']), T_fixed)
     np.testing.assert_allclose(np.asarray(sharded['W']),
                                np.asarray(single['W']), atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# randomized differential draw (standalone for benchmarks/soak_fuzz.py)
+# ---------------------------------------------------------------------------
+
+def masked_gram_mesh_draw(seed):
+    """One randomized mesh-vs-single-device Gram parity draw: random
+    shapes (ghost rows likely), random config (projections, regs,
+    inner_reps, DP noise, fix_T), random backend (segsum, occasionally
+    interpret-mode mxu on small shapes), 2 sweeps, 1e-10 f64 parity.
+    Occasionally drives the premade-plan nmf() entry instead of the raw
+    sweeps."""
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip('needs 8 (virtual) devices')
+    rng = np.random.RandomState(1000 + seed)
+    n = int(rng.randint(17, 61))
+    d = int(rng.randint(12, 48))
+    k = int(rng.randint(2, 7))
+    X, M, W0, T0 = _problem(2000 + seed, n=n, d=d, k=k,
+                            density=float(rng.uniform(0.2, 0.6)))
+    kw = {}
+    if rng.rand() < 0.5:
+        kw['project_T_each_iter'] = True
+        kw['t_row_sum'] = float(rng.choice([1.0, 2.0]))
+    if rng.rand() < 0.4:
+        kw['w_row_sum'] = float(rng.choice([1.0, 3.0]))
+        kw['project_W_each_iter'] = rng.rand() < 0.5
+    for r in ('reg_w_l1', 'reg_w_l2', 'reg_t_l1', 'reg_t_l2'):
+        if rng.rand() < 0.3:
+            kw[r] = float(rng.choice([0.01, 0.1]))
+    if rng.rand() < 0.25:
+        kw['inner_reps'] = int(rng.randint(2, 4))
+    if rng.rand() < 0.15:
+        kw['fix_T'] = True
+    backend = 'mxu' if (rng.rand() < 0.2 and n * d <= 1200) else 'segsum'
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+
+    if rng.rand() < 0.3:
+        # premade-plan driver entry (multi-controller form, 1-process)
+        import scipy.sparse as sps
+
+        from rri_nmf_tpu.nmf import nmf
+        from rri_nmf_tpu.parallel import (distribute_factors,
+            distribute_masked_coo)
+        n -= n % 8
+        if n == 0:
+            return
+        X, M, W0 = X[:n], M[:n], W0[:n]
+        dkw = dict(max_iter=3, random_state=seed,
+                   compute_obj_each_iter=True, reset_topic_method=None,
+                   update_order='phase',
+                   **{kk: v for kk, v in kw.items()
+                      if kk not in ('fix_T',)})
+        plan = distribute_masked_coo(X, sps.csr_matrix(M), (n, d), mesh,
+                                     backend='segsum')
+        Wg, Tg = distribute_factors(W0, T0, n, mesh)
+        rp = nmf(plan, k, W_in=Wg, T_in=Tg, mesh=mesh, **dkw)
+        ro = nmf(X, k, W_mat=sps.csr_matrix(M), W_in=W0, T_in=T0, **dkw)
+        np.testing.assert_allclose(np.asarray(rp['W']),
+                                   np.asarray(ro['W']), atol=1e-10,
+                                   rtol=0, err_msg=repr((seed, dkw)))
+        np.testing.assert_allclose(np.asarray(rp['T']),
+                                   np.asarray(ro['T']), atol=1e-10,
+                                   rtol=0, err_msg=repr((seed, dkw)))
+        return
+
+    ts = _run_single(X, M, W0, T0, 2, **kw)
+    tm = _run_mesh(X, M, W0, T0, 2, mesh, backend=backend, **kw)
+    for (W1, T1), (W2, T2) in zip(ts, tm):
+        np.testing.assert_allclose(W2, W1, atol=1e-10, rtol=0,
+                                   err_msg=repr((seed, kw, backend)))
+        np.testing.assert_allclose(T2, T1, atol=1e-10, rtol=0,
+                                   err_msg=repr((seed, kw, backend)))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_masked_gram_mesh_fuzz_prefix(seed):
+    """Suite samples a prefix of the soak draw range."""
+    masked_gram_mesh_draw(seed)

@@ -816,16 +816,18 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                  else _default_float().itemsize)   # f64 Grams cost 2x f32
     _gram_dp = mesh.devices.shape[0] if mesh is not None else 1
     _gram_panel = None
-    if masked_sparse and not _premade_masked:
+    if masked_sparse:
         from rri_nmf_tpu.ops.sweep_masked_gram import auto_panel
         _gram_panel = auto_panel(
-            k, np.shape(X)[0] / _gram_dp, np.shape(X)[1], _gram_isz)
+            k, np.shape(X)[0] / _gram_dp
+            if not _premade_masked else X.shape[0] / _gram_dp,
+            np.shape(X)[1] if not _premade_masked else X.shape[1],
+            _gram_isz)
     # None → full symmetric-halved tensors; p ≥ 1 → k-panel tiles (the
-    # 4 GB ceiling no longer caps k; single-device only — the mesh sweep
-    # runs the full-tensor form); 0 → even one panel row is too big
+    # 4 GB ceiling no longer caps k, single-device or mesh); 0 → even
+    # one panel row is too big
     _gram_fits = (masked_sparse and
-                  (_gram_panel is None
-                   or (_gram_panel >= 1 and mesh is None)))
+                  (_gram_panel is None or _gram_panel >= 1))
     _gram_mesh_ok = (mesh is None
                      or (mesh.devices.shape[1] == 1
                          and not (w_row_sum is not None
@@ -862,12 +864,8 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         _why = ('reset_topic_method=%r is set (a mid-phase reset would '
                 'rewrite the frozen factor)' % (reset_topic_method,)) \
             if reset_topic_method is not None else \
-            (('a k=%d fit on a mesh needs k-panel Gram tiling, which '
-              'the mesh Gram sweep does not support; run single-device '
-              'or lower k below the full-tensor budget'
-              % k) if (mesh is not None and _gram_panel is not None)
-             else ('even single-row Γ/Θ panels exceed the 4 GB Gram '
-                   'budget (k=%d, shape %s)' % (k, np.shape(X)))) \
+            ('even single-row Γ/Θ panels exceed the 4 GB Gram budget '
+             '(k=%d, shape %s)' % (k, np.shape(X))) \
             if not _gram_fits else \
             ('the mesh is not (n_devices, 1) or a per-row w_row_sum '
              'vector is set')
@@ -1425,8 +1423,13 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
     elif masked_gram and mesh is not None:
         from rri_nmf_tpu.parallel.masked_gram_mesh import \
             make_sharded_masked_gram_sweep
+        if _gram_panel is not None:
+            logger.info('Gram-phase masked mesh sweep: k=%d exceeds the '
+                        'full-tensor budget; tiling Γ/Θ in %d-panel '
+                        'tiles', k, _gram_panel)
         sweep_fn = make_sharded_masked_gram_sweep(
-            cfg, mesh, backend=X_dev.backend, group=X_dev.group)
+            cfg, mesh, backend=X_dev.backend, group=X_dev.group,
+            panel=_gram_panel)
         use_pallas = False
     elif masked_sparse and mesh is not None:
         from rri_nmf_tpu.parallel.masked_sparse_mesh import \

@@ -368,6 +368,56 @@ def _seg_gram_w_local(rows, cols, x, m, T, n_loc, acc):
     return out.T                                       # (k + kp, n_loc)
 
 
+def _seg_gram_t_A_local(rows, cols, x, m, W_l, d, acc):
+    """Local A partial (k, d) alone (panel mode)."""
+    Wa = W_l.astype(acc)
+
+    def vals(r, c, mm, xx):
+        return Wa[r] * (mm.astype(acc) * xx.astype(acc))[:, None]
+
+    return _seg_local(rows, cols, x, m, vals, d, W_l.shape[1], cols,
+                      acc).T
+
+
+def _seg_gram_t_panel_local(rows, cols, x, m, W_l, d, t0, p, acc):
+    """Local Γ[t0:t0+p] partial (p, k, d) — psum'd by the caller."""
+    k = W_l.shape[1]
+    Wa = W_l.astype(acc)
+
+    def vals(r, c, mm, xx):
+        P = Wa[r]
+        KR = (P[:, t0:t0 + p, None] * P[:, None, :]).reshape(-1, p * k)
+        return KR * mm.astype(acc)[:, None]
+
+    out = _seg_local(rows, cols, x, m, vals, d, p * k, cols, acc)
+    return out.T.reshape(p, k, d)
+
+
+def _seg_gram_w_C_local(rows, cols, x, m, T, n_loc, acc):
+    """Local C (k, n_loc) alone — row-keyed, stays local."""
+    Ta = T.astype(acc)
+
+    def vals(r, c, mm, xx):
+        return Ta[:, c].T * (mm.astype(acc) * xx.astype(acc))[:, None]
+
+    return _seg_local(rows, cols, x, m, vals, n_loc, T.shape[0], rows,
+                      acc).T
+
+
+def _seg_gram_w_panel_local(rows, cols, x, m, T, n_loc, t0, p, acc):
+    """Local Θ[t0:t0+p] (p, k, n_loc) — row-keyed, stays local."""
+    k = T.shape[0]
+    Ta = T.astype(acc)
+
+    def vals(r, c, mm, xx):
+        P = Ta[:, c].T
+        KR = (P[:, t0:t0 + p, None] * P[:, None, :]).reshape(-1, p * k)
+        return KR * mm.astype(acc)[:, None]
+
+    out = _seg_local(rows, cols, x, m, vals, n_loc, p * k, rows, acc)
+    return out.T.reshape(p, k, n_loc)
+
+
 def _mxu_contract_local(segs, vals_override, F, acc, interpret, group):
     """Sum the local chunk contraction over the per-segment plans; each
     plan field arrives as this device's (1, ·) slice of the stacked
@@ -403,6 +453,52 @@ def _mxu_gram_t_local(plan_segs, mx_vals, W_l, d, acc, interpret, group):
     return jnp.concatenate([A, Gp], axis=0)[:, :d]     # (k + kp, d)
 
 
+def _mxu_gram_t_A_local(plan_segs, mx_vals, W_l, d, acc, interpret,
+                        group):
+    k = W_l.shape[1]
+    n_loc = W_l.shape[0]
+    npad = -(-n_loc // TILE) * TILE
+    Wt = jnp.zeros((_round8(k), npad), acc).at[:k, :n_loc].set(
+        W_l.astype(acc).T)
+    return _mxu_contract_local(plan_segs, mx_vals, Wt, acc, interpret,
+                               group)[:k, :d]
+
+
+def _mxu_gram_t_panel_local(plan_segs, W_l, d, t0, p, acc, interpret,
+                            group):
+    k = W_l.shape[1]
+    n_loc = W_l.shape[0]
+    npad = -(-n_loc // TILE) * TILE
+    Wa = W_l.astype(acc)
+    KR = (Wa[:, t0:t0 + p, None] * Wa[:, None, :]).reshape(n_loc, p * k)
+    F = jnp.zeros((_round8(p * k), npad), acc).at[:p * k, :n_loc].set(
+        KR.T)
+    out = _mxu_contract_local(plan_segs, None, F, acc, interpret,
+                              group)[:p * k, :d]
+    return out.reshape(p, k, d)
+
+
+def _mxu_gram_w_C_local(plan_segs, mx_vals, T, n_loc, acc, interpret,
+                        group):
+    k, d = T.shape
+    dpad = -(-d // TILE) * TILE
+    Tp = jnp.zeros((_round8(k), dpad), acc).at[:k, :d].set(T.astype(acc))
+    return _mxu_contract_local(plan_segs, mx_vals, Tp, acc, interpret,
+                               group)[:k, :n_loc]
+
+
+def _mxu_gram_w_panel_local(plan_segs, T, n_loc, t0, p, acc, interpret,
+                            group):
+    k, d = T.shape
+    dpad = -(-d // TILE) * TILE
+    Ta = T.astype(acc)
+    KR = (Ta[t0:t0 + p, None, :] * Ta[None, :, :]).reshape(p * k, d)
+    F = jnp.zeros((_round8(p * k), dpad), acc).at[:p * k, :d].set(KR)
+    out = _mxu_contract_local(plan_segs, None, F, acc, interpret,
+                              group)[:p * k, :n_loc]
+    return out.reshape(p, k, n_loc)
+
+
 def _mxu_gram_w_local(plan_segs, mx_vals, T, n_loc, acc, interpret,
                       group):
     k = T.shape[0]
@@ -429,7 +525,8 @@ def _mxu_gram_w_local(plan_segs, mx_vals, T, n_loc, acc, interpret,
 def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
                                    backend: str = 'segsum',
                                    group: int = 8,
-                                   interpret: Optional[bool] = None):
+                                   interpret: Optional[bool] = None,
+                                   panel: Optional[int] = None):
     """shard_map'd Gram-phase masked sweep. Driver call signature::
 
         sweep(plan, W, T, key, resets_left, reset_key) ->
@@ -437,16 +534,122 @@ def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
 
     Exactly the single-device Gram sweep's Gauss-Seidel updates (same
     topic order, same qf_min subproblems) — parity at f64 roundoff.
+
+    ``panel``: build Γ/Θ in (panel, k, ·) tiles past the full-tensor
+    budget, exactly like the single-device panel sweep
+    (``ops.sweep_masked_gram._make_panel_sweep``) — each Γ panel costs
+    one psum of (panel·k, d) partials (same total bytes per phase as
+    the full-tensor psum), Θ panels stay device-local.
     """
     assert supports_sharded_masked_gram(cfg, mesh), \
         'config not supported by the masked Gram mesh sweep'
     k = cfg.k
     if interpret is None:
         interpret = _interpret_default()
+    if panel is not None and not (1 <= panel < k):
+        raise ValueError('panel must satisfy 1 <= panel < k')
     dp_ax, _tp = mesh.axis_names
     dp_size = mesh.devices.shape[0]
     _, _, unpack = _sym_pairs(k)
     unpack_mat = unpack.reshape(k, k)                  # host np, static
+
+    def _local_panel(rows, cols, x, m, W_l, T, key, m_t, m_w, mx_t,
+                     mx_w):
+        rows = rows[0]
+        cols = cols[0]
+        x = x[0]
+        m = m[0]
+        dtype, acc, _ = resolve_mixed_dtypes(W_l.dtype, W_l.dtype,
+                                             cfg.matmul_precision)
+        n_loc = W_l.shape[0]
+        d = T.shape[1]
+
+        if not cfg.fix_T:
+            if backend == 'mxu':
+                A = _mxu_gram_t_A_local(m_t, mx_t, W_l, d, acc,
+                                        interpret, group)
+            else:
+                A = _seg_gram_t_A_local(rows, cols, x, m, W_l, d, acc)
+            A = lax.psum(A, dp_ax)
+            for _rep in range(cfg.inner_reps):
+                for t0 in range(0, k, panel):
+                    p = min(panel, k - t0)
+                    if backend == 'mxu':
+                        Gpan = _mxu_gram_t_panel_local(
+                            m_t, W_l, d, t0, p, acc, interpret, group)
+                    else:
+                        Gpan = _seg_gram_t_panel_local(
+                            rows, cols, x, m, W_l, d, t0, p, acc)
+                    Gpan = lax.psum(Gpan, dp_ax)
+
+                    def t_topic(j, carry, t0=t0, Gpan=Gpan):
+                        T, key = carry
+                        t = t0 + j
+                        Gt = lax.dynamic_slice(
+                            Gpan, (j, 0, 0), (1, k, Gpan.shape[2]))[0]
+                        corr = jnp.sum(Gt * T.astype(acc), axis=0) \
+                            - Gt[t] * T[t].astype(acc)
+                        wR = A[t] - corr
+                        nw = Gt[t]
+                        if cfg.dp_sigma is not None:
+                            key, k1, k2 = jax.random.split(key, 3)
+                            wR = wR + cfg.dp_sigma * jax.random.normal(
+                                k1, wR.shape, wR.dtype)
+                            nw = jnp.maximum(
+                                nw + cfg.dp_sigma * jax.random.normal(
+                                    k2, nw.shape, wR.dtype), 0.0)
+                        numer = wR - cfg.reg_t_l1
+                        denom = nw + cfg.reg_t_l2
+                        t_new, _nt1 = qf_min_vector_c(
+                            -numer, denom, s=cfg.t_update_s,
+                            ub=cfg.t_row_sum)
+                        t_stored = t_new.astype(dtype)
+                        if cfg.t_row_sum and cfg.project_T_each_iter:
+                            t_stored = reproject_row_if_drifted(
+                                t_stored, cfg.t_row_sum, dtype)
+                        return T.at[t].set(t_stored), key
+
+                    T, key = lax.fori_loop(0, p, t_topic, (T, key))
+
+        if not cfg.fix_W:
+            if backend == 'mxu':
+                C = _mxu_gram_w_C_local(m_w, mx_w, T, n_loc, acc,
+                                        interpret, group)
+            else:
+                C = _seg_gram_w_C_local(rows, cols, x, m, T, n_loc, acc)
+            for _rep in range(cfg.inner_reps):
+                for t0 in range(0, k, panel):
+                    p = min(panel, k - t0)
+                    if backend == 'mxu':
+                        Hpan = _mxu_gram_w_panel_local(
+                            m_w, T, n_loc, t0, p, acc, interpret, group)
+                    else:
+                        Hpan = _seg_gram_w_panel_local(
+                            rows, cols, x, m, T, n_loc, t0, p, acc)
+
+                    def w_topic(j, carry, t0=t0, Hpan=Hpan):
+                        W_l, key = carry
+                        t = t0 + j
+                        Ht = lax.dynamic_slice(
+                            Hpan, (j, 0, 0), (1, k, Hpan.shape[2]))[0]
+                        corr = jnp.sum(Ht * W_l.T.astype(acc), axis=0) \
+                            - Ht[t] * W_l[:, t].astype(acc)
+                        Rt = C[t] - corr
+                        nt = Ht[t]
+                        numer = Rt - cfg.reg_w_l1
+                        denom = nt + cfg.reg_w_l2
+                        w_new, _nw1 = qf_min_vector_c(
+                            -numer, denom, s=None, ub=cfg.w_row_sum)
+                        return W_l.at[:, t].set(w_new.astype(dtype)), key
+
+                    W_l, key = lax.fori_loop(0, p, w_topic, (W_l, key))
+
+        if (cfg.project_W_each_iter and not cfg.fix_W
+                and cfg.w_row_sum is not None):
+            s_vec = jnp.full((n_loc,), cfg.w_row_sum, dtype=W_l.dtype)
+            W_l = jax.vmap(_proj_simplex_core)(W_l, s_vec)
+
+        return W_l, T, key
 
     def _local(rows, cols, x, m, W_l, T, key, m_t, m_w, mx_t, mx_w):
         rows = rows[0]
@@ -557,7 +760,7 @@ def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
         coo = plan.coo
         mt_spec, mw_spec, mxt_spec, mxw_spec = _plan_specs(plan)
         W_out, T_out, key = shard_map(
-            _local, mesh=mesh,
+            _local if panel is None else _local_panel, mesh=mesh,
             in_specs=(P(dp_ax, None), P(dp_ax, None), P(dp_ax, None),
                       P(dp_ax, None), P(dp_ax, None), P(None, None),
                       P(), mt_spec, mw_spec, mxt_spec, mxw_spec),

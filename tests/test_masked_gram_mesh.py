@@ -338,3 +338,84 @@ def masked_gram_mesh_draw(seed):
 def test_masked_gram_mesh_fuzz_prefix(seed):
     """Suite samples a prefix of the soak draw range."""
     masked_gram_mesh_draw(seed)
+
+
+# ---------------------------------------------------------------------------
+# k-panel tiling on the mesh (round-5: large-k recommender fits distribute)
+# ---------------------------------------------------------------------------
+
+def _run_mesh_panel(X, M, W0, T0, sweeps, mesh, panel,
+                    backend='segsum', **kw):
+    from rri_nmf_tpu.parallel.masked_gram_mesh import (
+        make_sharded_masked_gram_sweep, partition_masked_gram)
+    plan = partition_masked_gram(X, sp.csr_matrix(M), mesh, np.float64,
+                                 backend=backend)
+    sweep = make_sharded_masked_gram_sweep(
+        _cfg(W0.shape[1], **kw), mesh, backend=backend,
+        group=plan.group, panel=panel)
+    key = jax.random.PRNGKey(0)
+    r = jnp.asarray(0, jnp.int32)
+    W, T = jnp.asarray(W0), jnp.asarray(T0)
+    out = []
+    for _ in range(sweeps):
+        W, T, key, r = sweep(plan, W, T, key, r, key)
+        out.append((np.array(W), np.array(T)))
+    return out
+
+
+@requires_8_devices
+@pytest.mark.parametrize('panel', [1, 3])
+@pytest.mark.parametrize('kw', [
+    dict(),
+    dict(project_T_each_iter=True, t_row_sum=1.0, w_row_sum=1.0,
+         project_W_each_iter=True),
+    dict(inner_reps=2),
+    dict(fix_T=True),
+])
+def test_mesh_panel_bitwise_equals_full(panel, kw):
+    """Mesh panel tiling == mesh full-tensor == single-device at f64
+    roundoff (same Gauss-Seidel sequence; one psum per Γ panel)."""
+    X, M, W0, T0 = _problem(31, k=4)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    full = _run_mesh(X, M, W0, T0, 2, mesh, **kw)
+    tiled = _run_mesh_panel(X, M, W0, T0, 2, mesh, panel, **kw)
+    single = _run_single(X, M, W0, T0, 2, **kw)
+    for (W1, T1), (W2, T2), (W3, T3) in zip(full, tiled, single):
+        np.testing.assert_allclose(W2, W1, atol=1e-13, rtol=0)
+        np.testing.assert_allclose(T2, T1, atol=1e-13, rtol=0)
+        np.testing.assert_allclose(W2, W3, atol=1e-12, rtol=0)
+        np.testing.assert_allclose(T2, T3, atol=1e-12, rtol=0)
+
+
+@requires_8_devices
+def test_mesh_panel_mxu_backend():
+    X, M, W0, T0 = _problem(32, n=40, d=33, k=5)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    t1 = _run_mesh_panel(X, M, W0, T0, 2, mesh, 2, backend='segsum')
+    t2 = _run_mesh_panel(X, M, W0, T0, 2, mesh, 2, backend='mxu')
+    for (W1, T1), (W2, T2) in zip(t1, t2):
+        np.testing.assert_allclose(W2, W1, atol=1e-9, rtol=0)
+        np.testing.assert_allclose(T2, T1, atol=1e-9, rtol=0)
+
+
+@requires_8_devices
+def test_driver_mesh_routes_large_k_to_panels(monkeypatch):
+    """A mesh masked phase fit whose full Gram tensors exceed the budget
+    now engages the panel-tiled mesh sweep (round 4 fell back to the
+    ~85x interleaved order) and matches the full-tensor mesh fit."""
+    import rri_nmf_tpu.ops.sweep_masked_gram as smg
+    X, M, _, _ = _problem(33, n=40, d=30, k=4)
+    Ms = sp.csr_matrix(M)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    kw = dict(max_iter=5, compute_obj_each_iter=True, random_state=0,
+              reset_topic_method=None, update_order='phase',
+              reg_t_l1=0.01, mesh=mesh)
+    r_full = nmf(X, 4, W_mat=Ms, **kw)
+    unit = 4 * (40 / 8 + 30) * 8
+    monkeypatch.setattr(smg, 'GRAM_BUDGET_BYTES', 2 * unit)
+    r_tiled = nmf(X, 4, W_mat=Ms, **kw)
+    np.testing.assert_allclose(np.asarray(r_tiled['W']),
+                               np.asarray(r_full['W']), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_tiled['T']),
+                               np.asarray(r_full['T']), atol=1e-13)
+    assert np.all(np.diff(r_tiled['obj_history']) <= 1e-12)

@@ -150,7 +150,8 @@ def _pad_plan_np(arrays, ngroups_to, group, C):
     return vals, glo, slo, ftile, otile, mask
 
 
-def _stack_segments(per_dev, group, C, n_stiles, mesh, dtype):
+def _stack_segments(per_dev, group, C, n_stiles, mesh, dtype,
+                    ngroups_to=None, put=None):
     """Per-device host plans → tuple of per-segment stacked
     :class:`ContractPlan`s (every field (dp, ·), sharded ``P(dp, None)``)
     plus the matching tuple layout offsets. All devices are padded to a
@@ -159,10 +160,20 @@ def _stack_segments(per_dev, group, C, n_stiles, mesh, dtype):
     uniformly-shaped ``pallas_call`` under shard_map. Each segment's
     touched-tile mask is recomputed per device from its own otile slice
     (padding groups revisit a real tile with zero values — marking it
-    costs nothing)."""
+    costs nothing).
+
+    ``ngroups_to``/``put`` support the multi-controller assembly
+    (``parallel.multihost.distribute_masked_coo``): a GLOBAL padded
+    group count (allgathered max) and a local-slab→global-array
+    placement function; defaults are the single-controller local max and
+    ``jax.device_put``."""
     dp_ax = mesh.axis_names[0]
     s2 = NamedSharding(mesh, P(dp_ax, None))
-    ngroups_to = max(a[4].shape[0] for a in per_dev)
+    if put is None:
+        def put(local):
+            return jax.device_put(local, s2)
+    if ngroups_to is None:
+        ngroups_to = max(a[4].shape[0] for a in per_dev)
     max_g = MAX_PREFETCH_CHUNKS // group
     padded = [_pad_plan_np(a, ngroups_to, group, C) for a in per_dev]
     spad = n_stiles * TILE
@@ -183,11 +194,8 @@ def _stack_segments(per_dev, group, C, n_stiles, mesh, dtype):
                 mk, (n_stiles, TILE)).reshape(-1)))
         mask = np.stack(masks)
         segs.append(ContractPlan(
-            jax.device_put(vals, s2),
-            _widen_i32(jax.device_put(glo, s2)),
-            _widen_i32(jax.device_put(slo, s2)),
-            jax.device_put(ftile, s2), jax.device_put(otile, s2),
-            jax.device_put(mask, s2)))
+            put(vals), _widen_i32(put(glo)), _widen_i32(put(slo)),
+            put(ftile), put(otile), put(mask)))
     return tuple(segs)
 
 

@@ -239,16 +239,17 @@ def distribute_masked_coo(X_local, W_mat_local, global_shape, mesh,
 
     ``backend=None`` returns the interleaved O(nnz) plan
     (:class:`~rri_nmf_tpu.parallel.masked_sparse_mesh.ShardedMaskedCOO`,
-    reference update order); ``'segsum'`` returns the Gram-phase plan
+    reference update order); ``'segsum'`` / ``'mxu'`` return the
+    Gram-phase plan
     (:class:`~rri_nmf_tpu.parallel.masked_gram_mesh.ShardedMaskedGramPlan`,
-    ``update_order='phase'``, XLA segment-sum contractions). The
-    ``'mxu'`` chunk plans are single-controller-only for now (their
-    cross-device padding needs a chunk-geometry allgather); build them
-    with ``partition_masked_gram`` when one host can see the data.
+    ``update_order='phase'``) with XLA segment-sum contractions or the
+    per-device MXU chunk plans (the TPU record path — each process
+    builds plans for its own devices; one allgathered group count per
+    direction makes every device's kernel sequence identical).
 
-    Cross-process coordination is three host allgathers of scalars
-    (padding width, nnz, Σmx²) — the observation data itself never
-    moves between hosts.
+    Cross-process coordination is a handful of host allgathers of
+    scalars (padding width, nnz, Σmx², chunk-group counts) — the
+    observation data itself never moves between hosts.
     """
     import scipy.sparse as sp
 
@@ -316,11 +317,9 @@ def distribute_masked_coo(X_local, W_mat_local, global_shape, mesh,
         shape=(n, d), n_loc=n_loc, nnz=nnz_glob)
     if backend is None:
         return coo
-    if backend != 'segsum':
-        raise NotImplementedError(
-            "distribute_masked_coo supports backend=None (interleaved) "
-            "and 'segsum' (Gram-phase); the 'mxu' chunk plans need "
-            'single-controller partition_masked_gram')
+    if backend not in ('segsum', 'mxu'):
+        raise ValueError("backend must be None, 'segsum' or 'mxu', "
+                         'got %r' % (backend,))
 
     import jax.numpy as jnp
 
@@ -331,7 +330,60 @@ def distribute_masked_coo(X_local, W_mat_local, global_shape, mesh,
     sum_mx2 = jax.device_put(
         jnp.asarray(smx2, dtype=jnp.promote_types(dtype, jnp.float32)),
         NamedSharding(mesh, P()))
+    if backend == 'segsum':
+        return ShardedMaskedGramPlan(
+            coo=coo, m_t=None, m_w=None, mx_t_vals=None, mx_w_vals=None,
+            sum_mx2=sum_mx2, shape=(n, d), n_loc=n_loc, nnz=nnz_glob,
+            group=group, backend='segsum')
+
+    # 'mxu': per-local-device chunk plans, padded to an ALLGATHERED
+    # global group count per direction so every device's shard_map body
+    # is the identical pallas_call sequence; the segment arrays are
+    # assembled from process-local slabs like the COO blocks
+    from rri_nmf_tpu.ops.sparse_mxu import _plan_direction_np
+    from rri_nmf_tpu.ops.sweep_masked_gram import TILE
+    from rri_nmf_tpu.parallel.masked_gram_mesh import _stack_segments
+
+    n_rt_loc = -(-n_loc // TILE)
+    n_ct = -(-d // TILE)
+    mxv = (m * x).astype(dtype, copy=False)
+    mv = m.astype(dtype, copy=False)
+    rloc = (rows_g % n_loc).astype(np.int64)
+    blk = rows_g // n_loc - dp_first
+    counts = (np.bincount(blk, minlength=max(dp_count, 1))
+              if rows_g.size else np.zeros(max(dp_count, 1), np.int64))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    def _per_dev(vals_src, g_rows, g_cols, ngt, nst):
+        return [_plan_direction_np(
+            g_rows[starts[b]:starts[b + 1]],
+            g_cols[starts[b]:starts[b + 1]],
+            vals_src[starts[b]:starts[b + 1]],
+            ngt, nst, TILE, group, dtype)
+            for b in range(dp_count)]
+
+    def _put(local):
+        s2 = NamedSharding(mesh, P(dp_ax, None))
+        if jax.process_count() == 1:
+            return jax.device_put(local, s2)
+        glob_shape = (dp_size,) + tuple(local.shape[1:])
+        return jax.make_array_from_process_local_data(
+            s2, local, glob_shape)
+
+    def _dir(g_rows, g_cols, ngt, nst):
+        plans_m = _per_dev(mv, g_rows, g_cols, ngt, nst)
+        plans_mx = _per_dev(mxv, g_rows, g_cols, ngt, nst)
+        local_max = max((a[4].shape[0] for a in plans_m), default=0)
+        ng_to = int(_allgather_np(np.int64(local_max)).max())
+        seg_m = _stack_segments(plans_m, group, TILE, nst, mesh, dtype,
+                                ngroups_to=ng_to, put=_put)
+        seg_mx = _stack_segments(plans_mx, group, TILE, nst, mesh,
+                                 dtype, ngroups_to=ng_to, put=_put)
+        return seg_m, tuple(p.vals for p in seg_mx)
+
+    m_t, mx_t_vals = _dir(rloc, cols, n_rt_loc, n_ct)
+    m_w, mx_w_vals = _dir(cols, rloc, n_ct, n_rt_loc)
     return ShardedMaskedGramPlan(
-        coo=coo, m_t=None, m_w=None, mx_t_vals=None, mx_w_vals=None,
-        sum_mx2=sum_mx2, shape=(n, d), n_loc=n_loc, nnz=nnz_glob,
-        group=group, backend='segsum')
+        coo=coo, m_t=m_t, m_w=m_w, mx_t_vals=mx_t_vals,
+        mx_w_vals=mx_w_vals, sum_mx2=sum_mx2, shape=(n, d),
+        n_loc=n_loc, nnz=nnz_glob, group=group, backend='mxu')

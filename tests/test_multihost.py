@@ -118,6 +118,23 @@ def test_distribute_masked_coo_single_process():
     np.testing.assert_allclose(np.asarray(rp['T']), np.asarray(ro['T']),
                                atol=1e-10)
 
+    # 'mxu' chunk plans (interpret mode off-TPU) value-match the
+    # single-controller partitioner's
+    plan_mx = distribute_masked_coo(X[lo:hi], Ms[lo:hi], (n, d), mesh,
+                                    backend='mxu')
+    from rri_nmf_tpu.parallel.masked_gram_mesh import \
+        partition_masked_gram
+    ref_mx = partition_masked_gram(X, Ms, mesh, np.dtype(np.float64),
+                                   backend='mxu')
+    assert len(plan_mx.m_t) == len(ref_mx.m_t)
+    for a, b in zip(plan_mx.m_t, ref_mx.m_t):
+        np.testing.assert_array_equal(np.asarray(a.vals),
+                                      np.asarray(b.vals))
+        np.testing.assert_array_equal(np.asarray(a.otile),
+                                      np.asarray(b.otile))
+    np.testing.assert_array_equal(np.asarray(plan_mx.mx_w_vals[0]),
+                                  np.asarray(ref_mx.mx_w_vals[0]))
+
     # Gram-phase plan: phase order, monotone, parity, live objective
     plan_g = distribute_masked_coo(X[lo:hi], Ms[lo:hi], (n, d), mesh,
                                    backend='segsum')
@@ -154,8 +171,8 @@ def test_distribute_masked_coo_guards():
         distribute_masked_coo(X, M, (n, d), mesh)
     with pytest.raises(ValueError, match='process_row_block'):
         distribute_masked_coo(X[:10], Ms[:10], (n, d), mesh)
-    with pytest.raises(NotImplementedError, match='mxu'):
-        distribute_masked_coo(X, Ms, (n, d), mesh, backend='mxu')
+    with pytest.raises(ValueError, match='backend'):
+        distribute_masked_coo(X, Ms, (n, d), mesh, backend='bogus')
 
     plan = distribute_masked_coo(X, Ms, (n, d), mesh)
     # plan input needs explicit warm starts

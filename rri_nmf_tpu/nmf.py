@@ -133,11 +133,20 @@ class TrueObjComputer(object):
                     ShardedMaskedGramPlan
                 if isinstance(self.X, ShardedMaskedGramPlan):
                     # one local C/Θ contraction + a scalar psum — the
-                    # mesh analog of the Gram objective below
+                    # mesh analog of the Gram objective below; Θ tiles
+                    # in k-panels past the full-tensor budget
+                    from rri_nmf_tpu.ops.sweep_masked_gram import \
+                        auto_panel
                     from rri_nmf_tpu.parallel.masked_gram_mesh import \
                         make_sharded_masked_gram_objective
+                    _n, _d = self.X.shape
+                    _k = int(np.shape(self.W)[-1])
+                    _p = auto_panel(
+                        _k, _n / mesh.devices.shape[0], _d,
+                        np.dtype(self.W.dtype).itemsize)
                     return make_sharded_masked_gram_objective(
                         mesh, backend=self.X.backend, group=self.X.group,
+                        panel=(1 if _p == 0 else _p),
                         reg_w_l2=self.reg_w_l2, reg_t_l2=self.reg_t_l2,
                         reg_w_l1=self.reg_w_l1, reg_t_l1=self.reg_t_l1)
                 from rri_nmf_tpu.parallel.masked_sparse_mesh import \

@@ -793,12 +793,16 @@ def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
 def make_sharded_masked_gram_objective(mesh, backend='segsum', group=8,
                                        interpret=None,
                                        reg_w_l2=0.0, reg_t_l2=0.0,
-                                       reg_w_l1=0.0, reg_t_l1=0.0):
+                                       reg_w_l1=0.0, reg_t_l1=0.0,
+                                       panel=None):
     """Masked objective over a :class:`ShardedMaskedGramPlan` through the
     Gram identity (one local C/Θ contraction + one scalar psum)::
 
         ‖√M ⊙ (X − WT)‖² = Σ m x² − 2 Σ_t w_tᵀ C[t]
                            + Σ_{t,s} w_tᵀ Θ[t,s] w_s
+
+    ``panel``: accumulate the quadratic form in (panel, k, n_loc) Θ
+    tiles (the mesh analog of the single-device panel objective).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -809,23 +813,44 @@ def make_sharded_masked_gram_objective(mesh, backend='segsum', group=8,
         _, acc, _ = resolve_mixed_dtypes(W_l.dtype, W_l.dtype)
         k = T.shape[0]
         n_loc = W_l.shape[0]
-        if backend == 'mxu':
-            CH = _mxu_gram_w_local(m_w, mx_w, T, n_loc, acc, interpret,
-                                   group)
-        else:
-            CH = _seg_gram_w_local(rows[0], cols[0], x[0], m[0], T,
-                                   n_loc, acc)
-        C = CH[:k]
-        Hp = CH[k:]
-        it, is_, _ = _sym_pairs(k)
         Wa = W_l.astype(acc)
-        cross = jnp.sum(C * Wa.T)
-        # Σ_{t,s} w_tᵀ Θ[t,s] w_s from the kp unique pairs: off-diagonal
-        # pairs count twice
-        pw = jnp.sum(Hp.T * (Wa[:, it] * Wa[:, is_]), axis=0)  # (kp,)
-        wgt = jnp.where(jnp.asarray(it) == jnp.asarray(is_), 1.0, 2.0) \
-            .astype(acc)
-        quad = jnp.sum(pw * wgt)
+        if panel is not None:
+            if backend == 'mxu':
+                C = _mxu_gram_w_C_local(m_w, mx_w, T, n_loc, acc,
+                                        interpret, group)
+            else:
+                C = _seg_gram_w_C_local(rows[0], cols[0], x[0], m[0],
+                                        T, n_loc, acc)
+            cross = jnp.sum(C * Wa.T)
+            quad = jnp.zeros((), acc)
+            for t0 in range(0, k, panel):
+                p = min(panel, k - t0)
+                if backend == 'mxu':
+                    Hpan = _mxu_gram_w_panel_local(
+                        m_w, T, n_loc, t0, p, acc, interpret, group)
+                else:
+                    Hpan = _seg_gram_w_panel_local(
+                        rows[0], cols[0], x[0], m[0], T, n_loc, t0, p,
+                        acc)
+                quad = quad + jnp.einsum(
+                    'tsi,it,is->', Hpan, Wa[:, t0:t0 + p], Wa)
+        else:
+            if backend == 'mxu':
+                CH = _mxu_gram_w_local(m_w, mx_w, T, n_loc, acc,
+                                       interpret, group)
+            else:
+                CH = _seg_gram_w_local(rows[0], cols[0], x[0], m[0], T,
+                                       n_loc, acc)
+            C = CH[:k]
+            Hp = CH[k:]
+            it, is_, _ = _sym_pairs(k)
+            cross = jnp.sum(C * Wa.T)
+            # Σ_{t,s} w_tᵀ Θ[t,s] w_s from the kp unique pairs:
+            # off-diagonal pairs count twice
+            pw = jnp.sum(Hp.T * (Wa[:, it] * Wa[:, is_]), axis=0)
+            wgt = jnp.where(jnp.asarray(it) == jnp.asarray(is_),
+                            1.0, 2.0).astype(acc)
+            quad = jnp.sum(pw * wgt)
         part = (-2.0 * cross + quad) * 0.5 \
             + 0.5 * reg_w_l2 * jnp.sum(Wa ** 2) \
             + reg_w_l1 * jnp.sum(jnp.abs(Wa))

@@ -419,3 +419,22 @@ def test_driver_mesh_routes_large_k_to_panels(monkeypatch):
     np.testing.assert_allclose(np.asarray(r_tiled['T']),
                                np.asarray(r_full['T']), atol=1e-13)
     assert np.all(np.diff(r_tiled['obj_history']) <= 1e-12)
+
+
+@requires_8_devices
+@pytest.mark.parametrize('backend', ['segsum', 'mxu'])
+def test_mesh_panel_objective_matches_full(backend):
+    from rri_nmf_tpu.parallel.masked_gram_mesh import (
+        make_sharded_masked_gram_objective, partition_masked_gram)
+    X, M, W0, T0 = _problem(34, k=5)
+    mesh = make_mesh(8, mesh_shape=(8, 1))
+    plan = partition_masked_gram(X, sp.csr_matrix(M), mesh, np.float64,
+                                 backend=backend)
+    regs = dict(reg_w_l2=0.02, reg_t_l1=0.003)
+    full = make_sharded_masked_gram_objective(
+        mesh, backend=backend, group=plan.group, **regs)
+    tiled = make_sharded_masked_gram_objective(
+        mesh, backend=backend, group=plan.group, panel=2, **regs)
+    W, T = jnp.asarray(W0), jnp.asarray(T0)
+    np.testing.assert_allclose(float(tiled(plan, W, T)),
+                               float(full(plan, W, T)), rtol=1e-12)

@@ -9,6 +9,7 @@ NumPy loop's per-sweep wall-clock on the SAME data.
 Writes benchmarks/results_round4_baseline_rs.json.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -20,6 +21,10 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='results_round4_baseline_rs.json',
+                    help='output JSON filename (under benchmarks/)')
+    args = ap.parse_args()
     import jax
     from rri_nmf_tpu.sklearn_interface import NMF_RS_Estimator
     from run_baselines import _numpy_masked_sweep, _synth_ratings
@@ -129,8 +134,7 @@ def main():
              results['speedup_fit_wall'],
              results['speedup_per_sweep_fixed_30']), flush=True)
 
-    path = os.path.join(os.path.dirname(__file__),
-                        'results_round4_baseline_rs.json')
+    path = os.path.join(os.path.dirname(__file__), args.out)
     with open(path, 'w') as f:
         json.dump(results, f, indent=1)
     print('wrote', path, flush=True)

@@ -604,15 +604,22 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         Multi-controller (multi-host) runs pass a process-spanning
         ``jax.Array`` X built with :func:`rri_nmf_tpu.parallel.
         distribute_dense` over :func:`~rri_nmf_tpu.parallel.
-        make_global_mesh` — no host ever materializes X. That mode
-        requires the dense path and ``w_row=None``; warm starts may be
-        process-spanning too (:func:`~rri_nmf_tpu.parallel.
-        distribute_factors`), and fresh initialization works for
-        ``random``/``smart_random`` (shape / replicated-mean only) and
-        the NNDSVD family (the device backend's jitted program runs
-        under GSPMD). Every process calls ``nmf()`` with the same
-        arguments and receives the same gathered host results
-        (validated 2-process in tests/test_multiprocess.py).
+        make_global_mesh` — no host ever materializes X. The dense mode
+        requires ``w_row=None``; warm starts may be process-spanning too
+        (:func:`~rri_nmf_tpu.parallel.distribute_factors`), and fresh
+        initialization works for ``random``/``smart_random`` (shape /
+        replicated-mean only) and the NNDSVD family (the device
+        backend's jitted program runs under GSPMD). Sparse and masked
+        corpora distribute as pre-built mesh plans passed DIRECTLY as
+        ``X`` (with explicit ``W_in``/``T_in``): a
+        :func:`~rri_nmf_tpu.parallel.distribute_masked_coo` observation
+        plan selects the masked (WRRI) mesh sweeps, a
+        :func:`~rri_nmf_tpu.parallel.distribute_sparse_coo` plan the
+        unmasked sparse mesh sweeps (BCOO or one-hot-MXU per the plan's
+        backend) — each process contributes only its own row slab.
+        Every process calls ``nmf()`` with the same arguments and
+        receives the same gathered host results (validated 2-process in
+        tests/test_multiprocess.py).
     update_order : str, optional
         ``'interleaved'`` (default) follows the reference's per-topic
         T-then-W interleaving exactly. ``'phase'`` updates all T rows, then
@@ -767,6 +774,35 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     'a shared seed — and place with '
                     'parallel.distribute_factors)')
 
+    # ---- pre-built mesh sparse-X plans (multi-controller unmasked
+    # corpora): a ShardedCOO / ShardedMXUPlan assembled by
+    # parallel.distribute_sparse_coo passes DIRECTLY as X — the corpus
+    # never exists on one host. Plan type selects the sweep backend.
+    _premade_sp = _premade_sp_mxu = False
+    if mesh is not None and W_mat is None and not _premade_masked:
+        from rri_nmf_tpu.parallel.sparse_mesh import (ShardedCOO,
+            ShardedMXUPlan)
+        if isinstance(X, (ShardedCOO, ShardedMXUPlan)):
+            _premade_sp = True
+            _premade_sp_mxu = isinstance(X, ShardedMXUPlan)
+            _dp_sz_pre = mesh.devices.shape[0]
+            _n_loc_pre = -(-X.shape[0] // _dp_sz_pre)
+            if _premade_sp_mxu:
+                from rri_nmf_tpu.ops.sparse_mxu import TILE as _TILE_pre
+                _n_loc_pre = -(-_n_loc_pre // _TILE_pre) * _TILE_pre
+            if X.n_loc != _n_loc_pre:
+                raise ValueError(
+                    'sparse plan was partitioned for %d-row device '
+                    'blocks but this mesh implies %d; rebuild it over '
+                    'this mesh' % (X.n_loc, _n_loc_pre))
+            if np.prod(np.shape(W_in)) == 0 or \
+                    np.prod(np.shape(T_in)) == 0:
+                raise ValueError(
+                    'a pre-built mesh sparse plan carries no host X to '
+                    'initialize from; pass W_in AND T_in (initialize '
+                    'per process — e.g. random draws from a shared seed '
+                    '— and place with parallel.distribute_factors)')
+
     # ---- sparse-mask WRRI mode (ops/sweep_masked_sparse.py): a
     # scipy-sparse W_mat keeps the observed set as COO end to end —
     # O(nnz) memory and O(nnz·k) work per sweep, vs the dense masked
@@ -896,6 +932,22 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                    or not (project_T_each_iter and t_row_sum))
     mxu_mode = sparse in ('mxu', 'dma')
     dma_mode = sparse == 'dma'
+    if _premade_sp:
+        # the plan type selects the sweep backend; the sparse kwarg must
+        # not contradict it
+        if sparse is False:
+            raise ValueError('X is a pre-built sparse mesh plan; '
+                             'sparse=False conflicts with it')
+        if dma_mode:
+            raise ValueError("sparse='dma' is single-device; pre-built "
+                             'plans are mesh paths')
+        if mxu_mode and not _premade_sp_mxu:
+            raise ValueError(
+                "sparse='mxu' with a ShardedCOO plan: rebuild it with "
+                "distribute_sparse_coo(backend='mxu')")
+        sparse = True
+        mxu_mode = _premade_sp_mxu
+        dma_mode = False
     # with a scipy-sparse W_mat the sparse kwarg is the Gram-backend hint
     # instead: 'mxu' forces the chunk-plan contractions (default on TPU),
     # anything else leaves the auto choice (segment-sums off-TPU)
@@ -907,7 +959,7 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         if mxu_mode:
             gram_backend = 'mxu'
         mxu_mode = dma_mode = False
-    elif mxu_mode:
+    elif mxu_mode and not _premade_sp:
         # tile-bucketed MXU chunk contractions: the beyond-HBM fast path —
         # all flops on the MXU, no gather/scatter. 'mxu' = the pipelined
         # one-hot kernel (ops/sparse_mxu.py); 'dma' = the manual-DMA
@@ -963,9 +1015,10 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                 '(parallel.make_global_mesh) the array was built over')
         if sparse_mode or _is_sp:
             raise NotImplementedError(
-                'multi-controller fits support the dense mesh path only; '
-                'partition sparse corpora per process and densify, or '
-                'run single-controller')
+                'a process-spanning DENSE X cannot drive the sparse '
+                'sweeps; partition the sparse corpus per process with '
+                'parallel.distribute_sparse_coo and pass the plan as X '
+                '(masked observed sets: parallel.distribute_masked_coo)')
         if w_row is not None:
             raise NotImplementedError(
                 'w_row pre-scales X on the host; with a process-spanning '
@@ -1199,7 +1252,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             from jax.sharding import NamedSharding, PartitionSpec
             from rri_nmf_tpu.parallel.sparse_mesh import (
                 partition_coo, partition_mxu)
-            if mxu_mode:
+            if _premade_sp:
+                # assembled by parallel.distribute_sparse_coo (possibly
+                # across processes); already on this mesh
+                if jnp.dtype(X.dtype) != dtype:
+                    raise ValueError(
+                        'sparse plan holds %s values but the fit runs '
+                        '%s; rebuild the plan with dtype=%s (or pass '
+                        'dtype=%s)' % (X.dtype, dtype, dtype, X.dtype))
+                X_dev = X
+            elif mxu_mode:
                 X_dev = partition_mxu(X, mesh, np.dtype(dtype))
             else:
                 X_dev = partition_coo(X, mesh, dtype)
@@ -1664,7 +1726,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
             and X_obj_dev is None:
         # the MXU sweep's X is a chunk plan; the objective's cross term
         # wants the plain coordinate list
-        if mesh is not None:
+        if _premade_sp:
+            X_obj_dev = getattr(X, 'obj_coo', None)
+            if X_obj_dev is None:
+                raise ValueError(
+                    'compute_obj_each_iter with a pre-built MXU plan '
+                    'needs its COO companion blocks; build the plan '
+                    "with distribute_sparse_coo(backend='mxu', "
+                    'with_obj_coo=True) — or pass '
+                    'compute_obj_each_iter=False')
+        elif mesh is not None:
             from rri_nmf_tpu.parallel.sparse_mesh import partition_coo
             X_obj_dev = partition_coo(X, mesh, dtype)
         else:

@@ -248,20 +248,36 @@ def plan_masked_gram(X, W_mat, dtype, backend=None, group=8):
 GRAM_BUDGET_BYTES = 4e9
 
 
+# Khatri-Rao row ceiling for one chunk-kernel dispatch. The MXU chunk
+# kernel holds G+1 (rows, TILE) factor/output blocks in VMEM per grid
+# step (~rows·(G+1)·TILE·4 bytes, double-buffered); Mosaic's scoped-vmem
+# limit is 16 MiB on this toolchain, so rows beyond ~1700 fail to
+# compile ("Ran out of memory in memory space vmem", observed at
+# p·k = 6656 on the k=128 TPU record attempt). 1280 rows ≈ 11.8 MiB
+# leaves headroom. This also bounds the FULL-tensor path: its stacked
+# A/Γ contraction has k + k(k+1)/2 rows, so k ≳ 49 must panel-tile even
+# when the Γ/Θ tensors would fit HBM.
+VMEM_GRAM_ROWS = 1280
+
+
 def auto_panel(k, n, d, itemsize, budget=None):
     """Pick the Γ/Θ tiling for a (n, d) masked problem at rank k.
 
     Returns ``None`` when the full (k², n+d) tensors fit ``budget``
-    (default :data:`GRAM_BUDGET_BYTES`, read at call time) — the
-    symmetric-halved full-tensor path; a panel size ``1 ≤ p < k`` when
-    only (p·k, n+d) tiles fit; or ``0`` when even a single panel row
-    exceeds the budget (caller declines the Gram path)."""
+    (default :data:`GRAM_BUDGET_BYTES`, read at call time) AND the
+    stacked symmetric-halved contraction stays under the kernel's
+    VMEM row ceiling (:data:`VMEM_GRAM_ROWS`) — the full-tensor path; a
+    panel size ``1 ≤ p < k`` when only (p·k, n+d) tiles fit either
+    budget; or ``0`` when even a single panel row exceeds them (caller
+    declines the Gram path)."""
     if budget is None:
         budget = GRAM_BUDGET_BYTES
     unit = k * float(n + d) * itemsize
-    if k * unit <= budget:
+    full_rows = k + k * (k + 1) // 2
+    if k * unit <= budget and full_rows <= VMEM_GRAM_ROWS:
         return None
-    return int(min(k - 1, budget // max(unit, 1.0)))
+    return int(min(k - 1, budget // max(unit, 1.0),
+                   VMEM_GRAM_ROWS // k))
 
 
 def supports_masked_gram(cfg: SweepConfig) -> bool:

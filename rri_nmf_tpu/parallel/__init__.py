@@ -10,6 +10,7 @@ from rri_nmf_tpu.parallel.sparse_mesh import (
 from rri_nmf_tpu.parallel.multihost import (
     initialize_distributed, make_global_mesh, process_row_block,
     distribute_dense, distribute_factors, distribute_masked_coo,
+    distribute_sparse_coo,
 )
 
 __all__ = ['make_mesh', 'shard_problem', 'make_sharded_training_step',
@@ -17,4 +18,4 @@ __all__ = ['make_mesh', 'shard_problem', 'make_sharded_training_step',
            'make_sharded_sparse_objective',
            'initialize_distributed', 'make_global_mesh',
            'process_row_block', 'distribute_dense', 'distribute_factors',
-           'distribute_masked_coo']
+           'distribute_masked_coo', 'distribute_sparse_coo']

@@ -153,7 +153,7 @@ def make_global_mesh(mesh_shape=None, axis_names=('dp', 'tp'),
                 .reshape(mesh_shape), axis_names)
 
 
-def process_row_block(n, mesh):
+def process_row_block(n, mesh, tile=None):
     """The global ``[start, stop)`` row range of X this process must
     load, under the canonical row-over-``dp`` layout.
 
@@ -163,9 +163,16 @@ def process_row_block(n, mesh):
     divisible, a naive ``p·ceil(n/r)`` split disagrees with the device
     shards that :func:`distribute_dense`'s
     ``make_array_from_process_local_data`` expects (and its unclamped
-    start could even exceed ``n``)."""
+    start could even exceed ``n``).
+
+    ``tile`` rounds the per-device row quantum up to a multiple (the MXU
+    chunk-plan layout blocks rows by TILE-rounded quanta —
+    ``partition_mxu`` / ``distribute_sparse_coo(backend='mxu')``); leave
+    ``None`` for the dense / COO layouts."""
     dp_size = mesh.devices.shape[0]
     per = -(-n // dp_size)
+    if tile:
+        per = -(-per // int(tile)) * int(tile)
     pidx = jax.process_index()
     mine = [i for i in range(dp_size)
             if any(d.process_index == pidx
@@ -219,6 +226,185 @@ def _allgather_np(value):
         return value[None]
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(value))
+
+
+def _owned_dp_rows(mesh):
+    """This process's dp mesh rows, validated contiguous and fully owned
+    (tp never spans processes — the :func:`make_global_mesh` layout).
+    Returns ``(dp_first, dp_count)``."""
+    pidx = jax.process_index()
+    dp_size = mesh.devices.shape[0]
+    mine = []
+    for i in range(dp_size):
+        procs = {d.process_index
+                 for d in np.atleast_1d(mesh.devices[i]).ravel()}
+        if pidx in procs:
+            if procs != {pidx}:
+                raise ValueError(
+                    'mesh dp row %d spans processes %r; row-partitioned '
+                    'plans need tp within a process '
+                    '(parallel.make_global_mesh)' % (i, sorted(procs)))
+            mine.append(i)
+    if not mine:
+        return 0, 0
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError('this process owns non-contiguous dp rows %r; '
+                         'use a process-major device layout '
+                         '(parallel.make_global_mesh)' % (mine,))
+    return mine[0], len(mine)
+
+
+def distribute_sparse_coo(X_local, global_shape, mesh, dtype=None,
+                          backend=None, C=128, group=8,
+                          with_obj_coo=True):
+    """Assemble a mesh-global sparse-X plan from per-process row slabs —
+    the multi-controller form of
+    :func:`~rri_nmf_tpu.parallel.sparse_mesh.partition_coo` /
+    :func:`~rri_nmf_tpu.parallel.sparse_mesh.partition_mxu` for UNMASKED
+    sparse corpora (the BASELINE #5 topic-modeling scale axis: X's
+    sparse form fits the pod, its dense form fits no chip — the
+    reference densifies all sparse input, reference
+    ``sklearn_interface.py:78-83``, and has no distributed runtime,
+    SURVEY.md §2.2).
+
+    ``X_local`` (scipy-sparse or dense) holds THIS process's rows:
+    ``process_row_block(n, mesh)``'s range for ``backend=None``, or
+    ``process_row_block(n, mesh, tile=128)``'s for ``backend='mxu'``
+    (the MXU layout blocks rows by 128-rounded quanta). Every process
+    calls this with its own slab and receives the same global plan
+    handle, ready to pass DIRECTLY as ``nmf()``'s ``X`` with explicit
+    ``W_in``/``T_in`` (place them with :func:`distribute_factors`; the
+    sharded sparse sweep re-pads and re-shards internally).
+
+    ``backend=None`` returns the BCOO-contraction plan
+    (:class:`~rri_nmf_tpu.parallel.sparse_mesh.ShardedCOO`);
+    ``'mxu'`` returns the one-hot MXU chunk plan
+    (:class:`~rri_nmf_tpu.parallel.sparse_mesh.ShardedMXUPlan`, the TPU
+    fast path) — with ``with_obj_coo=True`` (default) the COO blocks
+    ride along as ``plan.obj_coo`` so ``compute_obj_each_iter`` /
+    early stopping work (the objective's cross term wants the plain
+    coordinate list; pass ``False`` to save the extra O(nnz) device
+    bytes on pure production fits). ``obj_coo`` hangs off the Python
+    handle only — it does not survive a pytree round-trip.
+
+    Cross-process coordination is a handful of host allgathers of
+    scalars (padding width, nnz, chunk-group counts); the nonzeros
+    themselves never move between hosts. Unlike the masked plans, a
+    column (tp) mesh axis IS supported: each process owns whole dp rows
+    and partitions its slab over its own tp columns locally.
+    """
+    import scipy.sparse as sps
+
+    from rri_nmf_tpu.parallel.sparse_mesh import (ShardedCOO,
+        _coo_block_arrays, _mxu_put, _pad_stack_mxu)
+
+    n, d = (int(s) for s in global_shape)
+    dp_size, tp_size = mesh.devices.shape
+    dp_ax, tp_ax = mesh.axis_names
+    if backend not in (None, 'mxu'):
+        raise ValueError("backend must be None or 'mxu', got %r"
+                         % (backend,))
+    mxu = backend == 'mxu'
+    if mxu:
+        from rri_nmf_tpu.ops.sparse_mxu import TILE, _plan_direction_np
+        n_loc = -(-(-(-n // dp_size)) // TILE) * TILE
+        d_loc = -(-(-(-d // tp_size)) // TILE) * TILE
+        tile = TILE
+    else:
+        n_loc = -(-n // dp_size)
+        d_loc = -(-d // tp_size)
+        tile = None
+
+    dp_first, dp_count = _owned_dp_rows(mesh)
+    lo, hi = process_row_block(n, mesh, tile=tile)
+    n_sl = int(np.shape(X_local)[0])
+    if n_sl != hi - lo:
+        raise ValueError(
+            'X_local has %d rows but this process owns rows [%d, %d) of '
+            'the global (%d, %d) problem (process_row_block(n, mesh%s))'
+            % (n_sl, lo, hi, n, d, ', tile=128' if mxu else ''))
+    if int(np.shape(X_local)[1]) != d:
+        raise ValueError('X_local has %d columns, global problem has %d'
+                         % (np.shape(X_local)[1], d))
+
+    if not sps.issparse(X_local):
+        X_local = sps.csr_matrix(np.asarray(X_local))
+    coo = X_local.tocsr().tocoo()   # canonical: sorted, duplicates summed
+    if dtype is None:
+        dtype = coo.data.dtype if np.issubdtype(
+            coo.data.dtype, np.floating) else np.float64
+    dtype = np.dtype(dtype)
+
+    r_g = coo.row.astype(np.int64) + lo
+    c_g = coo.col.astype(np.int64)
+    v = coo.data.astype(dtype, copy=False)
+
+    nblocks = max(dp_count, 1) * tp_size
+    blk = (r_g // n_loc - dp_first) * tp_size + c_g // d_loc
+    order = np.argsort(blk, kind='stable')
+    counts = np.bincount(blk[order], minlength=nblocks)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    r_s, c_s, v_s = r_g[order], c_g[order], v[order]
+
+    nnz_glob = int(_allgather_np(np.int64(len(v))).sum())
+
+    def _glob(local, trailing):
+        s3 = NamedSharding(mesh, P(dp_ax, tp_ax,
+                                   *([None] * len(trailing))))
+        if jax.process_count() == 1:
+            return jax.device_put(local, s3)
+        return jax.make_array_from_process_local_data(
+            s3, local, (dp_size, tp_size) + tuple(trailing))
+
+    obj_coo = None
+    if not mxu or with_obj_coo:
+        m = int(_allgather_np(np.int64(
+            counts.max() if counts.size else 0)).max())
+        m = max(m, 1)
+        data, rows, cols = _coo_block_arrays(
+            starts, r_s, c_s, v_s, n_loc, d_loc, nblocks, m, dtype)
+        g_loc = (max(dp_count, 1), tp_size, m)
+        obj_coo = ShardedCOO(
+            _glob(data.reshape(g_loc), (m,)),
+            _glob(rows.reshape(g_loc), (m,)),
+            _glob(cols.reshape(g_loc), (m,)),
+            shape=(n, d), n_loc=n_loc, d_loc=d_loc)
+    if not mxu:
+        return obj_coo
+
+    from rri_nmf_tpu.parallel.sparse_mesh import ShardedMXUPlan
+
+    n_gt, n_ct = n_loc // TILE, d_loc // TILE
+    plans_t, plans_w = [], []
+    for b in range(nblocks):
+        blo, bhi = starts[b], starts[b + 1]
+        r = (r_s[blo:bhi] % n_loc).astype(np.int64)
+        c = (c_s[blo:bhi] % d_loc).astype(np.int64)
+        bv = v_s[blo:bhi]
+        plans_t.append(_plan_direction_np(r, c, bv, n_gt, n_ct, C,
+                                          group, dtype))
+        plans_w.append(_plan_direction_np(c, r, bv, n_ct, n_gt, C,
+                                          group, dtype))
+
+    def _stack_dir(plans):
+        ng_loc = max(p[4].shape[0] for p in plans)
+        ng_to = int(_allgather_np(np.int64(ng_loc)).max())
+        return _pad_stack_mxu(plans, group, C,
+                              (max(dp_count, 1), tp_size), ng_to=ng_to)
+
+    def _put(a, sh):
+        if jax.process_count() == 1:
+            return jax.device_put(a, sh)
+        return jax.make_array_from_process_local_data(
+            sh, a, (dp_size, tp_size) + tuple(a.shape[2:]))
+
+    st = _stack_dir(plans_t)
+    sw = _stack_dir(plans_w)
+    plan = ShardedMXUPlan(
+        *(_mxu_put(a, mesh, put=_put) for a in st + sw),
+        shape=(n, d), n_loc=n_loc, d_loc=d_loc, group=group)
+    plan.obj_coo = obj_coo
+    return plan
 
 
 def distribute_masked_coo(X_local, W_mat_local, global_shape, mesh,

@@ -115,6 +115,25 @@ def _block_runs(X, mesh, n_loc, d_loc):
             coo.data[order])
 
 
+def _coo_block_arrays(starts, r_s, c_s, v_s, n_loc, d_loc, nblocks, m,
+                      dtype):
+    """Pack block-sorted global-coordinate runs into zero-padded
+    local-index COO arrays of shape ``(nblocks, m)`` (host). Shared by
+    :func:`partition_coo` (all blocks) and
+    :func:`~rri_nmf_tpu.parallel.multihost.distribute_sparse_coo` (this
+    process's blocks, with ``m`` allgathered)."""
+    data = np.zeros((nblocks, m), dtype=np.dtype(dtype))
+    rows = np.zeros((nblocks, m), dtype=np.int32)
+    cols = np.zeros((nblocks, m), dtype=np.int32)
+    for b in range(nblocks):
+        lo, hi = starts[b], starts[b + 1]
+        cnt = hi - lo
+        data[b, :cnt] = v_s[lo:hi]
+        rows[b, :cnt] = (r_s[lo:hi] % n_loc).astype(np.int32)
+        cols[b, :cnt] = (c_s[lo:hi] % d_loc).astype(np.int32)
+    return data, rows, cols
+
+
 def partition_coo(X, mesh, dtype=None):
     """Host-side: scipy sparse / dense array → :class:`ShardedCOO` laid
     out on ``mesh``. Duplicate coordinates are summed (scipy CSR
@@ -129,15 +148,8 @@ def partition_coo(X, mesh, dtype=None):
 
     if dtype is None:
         dtype = v_s.dtype
-    data = np.zeros((dp_size * tp_size, m), dtype=np.dtype(dtype))
-    rows = np.zeros((dp_size * tp_size, m), dtype=np.int32)
-    cols = np.zeros((dp_size * tp_size, m), dtype=np.int32)
-    for b in range(dp_size * tp_size):
-        lo, hi = starts[b], starts[b + 1]
-        cnt = hi - lo
-        data[b, :cnt] = v_s[lo:hi]
-        rows[b, :cnt] = (r_s[lo:hi] % n_loc).astype(np.int32)
-        cols[b, :cnt] = (c_s[lo:hi] % d_loc).astype(np.int32)
+    data, rows, cols = _coo_block_arrays(
+        starts, r_s, c_s, v_s, n_loc, d_loc, dp_size * tp_size, m, dtype)
 
     dp, tp = mesh.axis_names
     s = NamedSharding(mesh, P(dp, tp, None))
@@ -379,6 +391,12 @@ class ShardedMXUPlan:
                't_mask', 'w_vals', 'w_gloc', 'w_sloc', 'w_ftile',
                'w_otile', 'w_mask')
 
+    # optional companion COO blocks for the true objective
+    # (distribute_sparse_coo(with_obj_coo=True) attaches them to the
+    # driver-held handle; NOT a pytree child — does not survive
+    # flatten/unflatten, which the sweeps never need)
+    obj_coo = None
+
     def __init__(self, t_vals, t_gloc, t_sloc, t_ftile, t_otile, t_mask,
                  w_vals, w_gloc, w_sloc, w_ftile, w_otile, w_mask,
                  shape, n_loc, d_loc, group):
@@ -436,52 +454,68 @@ def partition_mxu(X, mesh, dtype=None, C=128, group=8):
         plans_w.append(_plan_direction_np(c, r, v, n_ct, n_gt, C,
                                           group, dtype))
 
-    def pad_stack(plans, G):
-        ng_max = max(p[4].shape[0] for p in plans)
-        out = []
-        for p in plans:
-            vals, glo, slo, ftile, otile, mask = p
-            add = ng_max - otile.shape[0]
-            if add:
-                z = np.zeros((1, add * G * C), vals.dtype)
-                vals = np.concatenate([vals, z], axis=1)
-                zi = np.zeros((1, add * G * C), glo.dtype)
-                glo = np.concatenate([glo, zi], axis=1)
-                slo = np.concatenate([slo, zi], axis=1)
-                ftile = np.concatenate(
-                    [ftile, np.zeros((add * G,), np.int32)])
-                # dummy groups revisit the last real otile and add zero
-                otile = np.concatenate(
-                    [otile, np.full((add,), otile[-1], np.int32)])
-            out.append((vals, glo, slo, ftile, otile, mask))
-        stacked = [np.stack([p[f] for p in out]).reshape(
-            (dp_size, tp_size) + out[0][f].shape) for f in range(6)]
-        return stacked
+    st = _pad_stack_mxu(plans_t, group, C, (dp_size, tp_size))
+    sw = _pad_stack_mxu(plans_w, group, C, (dp_size, tp_size))
 
-    st = pad_stack(plans_t, group)
-    sw = pad_stack(plans_w, group)
-    dp, tp = mesh.axis_names
-
-    def put(a):
-        spec = P(dp, tp, *([None] * (a.ndim - 2)))
-        sh = NamedSharding(mesh, spec)
-        dev = jax.device_put(jnp.asarray(a), sh)
-        if dev.dtype == jnp.uint8:
-            # glo/slo cross the host↔device link narrow (uint8); the
-            # kernel needs int32 — widen once on device. The shared
-            # jitted cast keys its cache on the input sharding and the
-            # elementwise cast propagates it, so the plan stays on the
-            # mesh (asserted: a silent gather here would be a 4× HBM
-            # replication at production nnz).
-            from rri_nmf_tpu.ops.sparse_mxu import _widen_i32
-            dev = _widen_i32(dev)
-            assert dev.sharding.is_equivalent_to(sh, dev.ndim), \
-                'plan widen changed sharding'
-        return dev
-
-    return ShardedMXUPlan(*(put(a) for a in st + sw),
+    return ShardedMXUPlan(*(_mxu_put(a, mesh) for a in st + sw),
                           shape=(n, d), n_loc=n_loc, d_loc=d_loc,
                           group=group)
+
+
+def _pad_stack_mxu(plans, G, C, lead_shape, ng_to=None):
+    """Pad a list of per-block direction plans (``_plan_direction_np``
+    6-tuples) to a common group count and stack them with leading shape
+    ``lead_shape``. ``ng_to`` overrides the padded count (multi-controller
+    callers pass the allgathered global max so every device's kernel grid
+    is identical). Dummy groups carry v = 0 and revisit the block's last
+    real output tile, so they accumulate exact zeros."""
+    ng_max = max(p[4].shape[0] for p in plans)
+    if ng_to is not None:
+        assert ng_to >= ng_max, (ng_to, ng_max)
+        ng_max = ng_to
+    out = []
+    for p in plans:
+        vals, glo, slo, ftile, otile, mask = p
+        add = ng_max - otile.shape[0]
+        if add:
+            z = np.zeros((1, add * G * C), vals.dtype)
+            vals = np.concatenate([vals, z], axis=1)
+            zi = np.zeros((1, add * G * C), glo.dtype)
+            glo = np.concatenate([glo, zi], axis=1)
+            slo = np.concatenate([slo, zi], axis=1)
+            ftile = np.concatenate(
+                [ftile, np.zeros((add * G,), np.int32)])
+            # dummy groups revisit the last real otile and add zero
+            otile = np.concatenate(
+                [otile, np.full((add,), otile[-1], np.int32)])
+        out.append((vals, glo, slo, ftile, otile, mask))
+    return [np.stack([p[f] for p in out]).reshape(
+        tuple(lead_shape) + out[0][f].shape) for f in range(6)]
+
+
+def _mxu_put(a, mesh, put=None):
+    """Place one stacked plan array onto ``mesh`` as ``P(dp, tp, ...)``.
+    ``put(a, sharding)`` overrides the single-controller ``device_put``
+    (multi-controller callers assemble from process-local slabs)."""
+    dp, tp = mesh.axis_names
+    spec = P(dp, tp, *([None] * (a.ndim - 2)))
+    sh = NamedSharding(mesh, spec)
+    if put is None:
+        dev = jax.device_put(jnp.asarray(a), sh)
+    else:
+        dev = put(a, sh)
+    if dev.dtype == jnp.uint8:
+        # glo/slo cross the host↔device link narrow (uint8); the
+        # kernel needs int32 — widen once on device. The shared
+        # jitted cast keys its cache on the input sharding and the
+        # elementwise cast propagates it, so the plan stays on the
+        # mesh (asserted: a silent gather here would be a 4× HBM
+        # replication at production nnz).
+        from rri_nmf_tpu.ops.sparse_mxu import _widen_i32
+        dev = _widen_i32(dev)
+        assert dev.sharding.is_equivalent_to(sh, dev.ndim), \
+            'plan widen changed sharding'
+    return dev
 
 
 @lru_cache(maxsize=16)

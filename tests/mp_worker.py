@@ -154,8 +154,34 @@ def main():
              update_order='phase', reset_topic_method=None,
              reg_t_l1=0.01)
 
+    # config I/J: multi-controller UNMASKED sparse corpora
+    # (distribute_sparse_coo slabs — the corpus never exists on one
+    # host). I: BCOO plan on the (4, 2) mesh (a tp axis IS supported on
+    # the unmasked path); J: MXU chunk plan on (8, 1) — with n=64 the
+    # 128-rounded row quantum puts EVERY row on process 0, so process 1
+    # drives the empty-slab degenerate path (all-padding plans).
+    rngs = np.random.RandomState(4)
+    Xs_full = sps.csr_matrix(
+        rngs.rand(n, d) * (rngs.rand(n, d) < 0.3))
+    from rri_nmf_tpu.parallel import distribute_sparse_coo
+    plan_sp = distribute_sparse_coo(Xs_full[lo:hi], (n, d), mesh,
+                                    dtype=np.float64)
+    ri = nmf(plan_sp, k, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             early_stop=False, project_W_each_iter=True, w_row_sum=1.0,
+             reg_t_l2=0.05, reset_topic_method=None)
+    lo_s, hi_s = process_row_block(n, mesh_m, tile=128)
+    assert (lo_s, hi_s) == ((0, 64) if pid == 0 else (64, 64))
+    plan_mx = distribute_sparse_coo(Xs_full[lo_s:hi_s], (n, d), mesh_m,
+                                    dtype=np.float64, backend='mxu')
+    Wgs, Tgs = distribute_factors(W0[lo_m:hi_m], T0, n, mesh_m)
+    rj = nmf(plan_mx, k, W_in=Wgs, T_in=Tgs, mesh=mesh_m, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             early_stop=False, project_T_each_iter=True, t_row_sum=1.0,
+             reset_topic_method=None)
+
     for tag, res in (('A', ra), ('B', rb), ('D', rd), ('F', rf),
-                     ('G', rg), ('H', rh)):
+                     ('G', rg), ('H', rh), ('I', ri), ('J', rj)):
         assert isinstance(res['W'], np.ndarray) and res['W'].shape == (n, k)
         assert np.isfinite(res['W']).all() and np.isfinite(res['T']).all()
         oh = res['obj_history']
@@ -167,7 +193,9 @@ def main():
              WD=rd['W'], TD=rd['T'], ohD=np.asarray(rd['obj_history']),
              WF=rf['W'], TF=rf['T'], ohF=np.asarray(rf['obj_history']),
              WG=rg['W'], TG=rg['T'], ohG=np.asarray(rg['obj_history']),
-             WH=rh['W'], TH=rh['T'], ohH=np.asarray(rh['obj_history']))
+             WH=rh['W'], TH=rh['T'], ohH=np.asarray(rh['obj_history']),
+             WI=ri['W'], TI=ri['T'], ohI=np.asarray(ri['obj_history']),
+             WJ=rj['W'], TJ=rj['T'], ohJ=np.asarray(rj['obj_history']))
     with open(os.path.join(outdir, 'ok_%d.json' % pid), 'w') as f:
         json.dump({'rows': [int(lo), int(hi)]}, f)
     print('worker', pid, 'OK', flush=True)

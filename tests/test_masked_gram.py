@@ -511,7 +511,8 @@ def test_panel_objective_matches_full():
 
 
 def test_auto_panel_policy():
-    from rri_nmf_tpu.ops.sweep_masked_gram import auto_panel
+    from rri_nmf_tpu.ops.sweep_masked_gram import (VMEM_GRAM_ROWS,
+        auto_panel)
     # tiny problem: full tensors fit
     assert auto_panel(8, 100, 80, 8) is None
     # k=128 at the round-4 record shape, f32: full Γ/Θ would be 98 GB —
@@ -519,6 +520,15 @@ def test_auto_panel_policy():
     p = auto_panel(128, 100_000, 50_000, 4)
     assert p is not None and 1 <= p < 128
     assert p * 128 * 150_000 * 4 <= 4e9
+    # ... and the panel's Khatri-Rao row block respects the kernel's
+    # scoped-VMEM ceiling (p=52 fit HBM but failed to COMPILE on TPU:
+    # 6656-row factor blocks -> 58.5 MB scoped vmem vs the 16 MB limit)
+    assert p * 128 <= VMEM_GRAM_ROWS
+    # mid-range k: Γ/Θ fit the HBM budget but the stacked full-tensor
+    # contraction (k + k(k+1)/2 rows) exceeds the VMEM ceiling -> panels
+    p64 = auto_panel(64, 10_000, 5_000, 4)
+    assert p64 is not None and 1 <= p64 < 64
+    assert p64 * 64 <= VMEM_GRAM_ROWS
     # absurd k: even one panel row over budget -> 0 (decline)
     assert auto_panel(10_000_000, 1_000_000, 1_000_000, 8) == 0
 

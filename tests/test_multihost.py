@@ -150,6 +150,128 @@ def test_distribute_masked_coo_single_process():
     assert abs(oc.true_objective() - rg['obj_history'][-1]) < 1e-9
 
 
+def test_distribute_sparse_coo_single_process():
+    """Single-process distribute_sparse_coo == partition_coo /
+    partition_mxu value-wise, and the plan drives nmf() directly — the
+    multi-controller UNMASKED sparse entry (the corpus never exists on
+    one host; reference densifies all sparse input,
+    sklearn_interface.py:78-83)."""
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.parallel import (distribute_factors,
+        distribute_sparse_coo, make_global_mesh, partition_coo,
+        process_row_block)
+    from rri_nmf_tpu.parallel.sparse_mesh import partition_mxu
+
+    # n divides both dp extents (distribute_factors shards W rows over
+    # dp); d deliberately off the tp quantum — the sweep pads internally
+    n, d, k = 40, 29, 4
+    rng = np.random.RandomState(1)
+    X = sp.random(n, d, density=0.25, random_state=3, format='csr')
+    X.data += 0.5
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    kw = dict(k=k, max_iter=4, random_state=0, early_stop=False,
+              compute_obj_each_iter=True, project_W_each_iter=True,
+              w_row_sum=1.0, reg_t_l2=0.05, reset_topic_method=None)
+
+    # COO backend on a (dp, tp) grid — tp IS supported here (unlike the
+    # row-partitioned masked plans)
+    mesh = make_global_mesh(mesh_shape=(4, 2))
+    lo, hi = process_row_block(n, mesh)
+    assert (lo, hi) == (0, n)
+    plan = distribute_sparse_coo(X[lo:hi], (n, d), mesh,
+                                 dtype=np.float64)
+    ref_plan = partition_coo(X, mesh, np.float64)
+    for f in ('data', 'rows', 'cols'):
+        np.testing.assert_array_equal(np.asarray(getattr(plan, f)),
+                                      np.asarray(getattr(ref_plan, f)))
+    Wg, Tg = distribute_factors(W0, T0, n, mesh)
+    rp = nmf(plan, W_in=Wg, T_in=Tg, mesh=mesh, **kw)
+    ro = nmf(X, sparse=True, W_in=W0, T_in=T0, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(rp['W']), np.asarray(ro['W']),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rp['T']), np.asarray(ro['T']),
+                               atol=1e-10)
+    np.testing.assert_allclose(rp['obj_history'], ro['obj_history'],
+                               atol=1e-10)
+
+    # 'mxu' chunk plans (TILE-rounded row quanta -> tile-aware loader
+    # range) value-match partition_mxu and carry the obj companion
+    mesh1 = make_global_mesh(mesh_shape=(8, 1))
+    lo, hi = process_row_block(n, mesh1, tile=128)
+    assert (lo, hi) == (0, n)
+    plan_mx = distribute_sparse_coo(X[lo:hi], (n, d), mesh1,
+                                    dtype=np.float64, backend='mxu')
+    ref_mx = partition_mxu(X, mesh1, np.dtype(np.float64))
+    assert plan_mx.n_loc == ref_mx.n_loc
+    assert plan_mx.group == ref_mx.group
+    for f in plan_mx._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(plan_mx, f)),
+                                      np.asarray(getattr(ref_mx, f)))
+    assert plan_mx.obj_coo is not None
+    Wg, Tg = distribute_factors(W0, T0, n, mesh1)
+    rmx = nmf(plan_mx, W_in=Wg, T_in=Tg, mesh=mesh1, **kw)
+    rmo = nmf(X, sparse='mxu', W_in=W0, T_in=T0, mesh=mesh1, **kw)
+    np.testing.assert_allclose(np.asarray(rmx['W']),
+                               np.asarray(rmo['W']), atol=1e-10)
+    np.testing.assert_allclose(rmx['obj_history'], rmo['obj_history'],
+                               atol=1e-10)
+    assert np.all(np.diff(rmx['obj_history']) <= 1e-12)
+
+
+def test_distribute_sparse_coo_guards():
+    import pytest
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.parallel import (distribute_sparse_coo,
+        make_global_mesh)
+
+    n, d, k = 37, 29, 4
+    rng = np.random.RandomState(2)
+    X = sp.random(n, d, density=0.25, random_state=5, format='csr')
+    X.data += 0.5
+    W0 = np.abs(rng.rand(n, k))
+    T0 = np.abs(rng.rand(k, d))
+    mesh = make_global_mesh(mesh_shape=(8, 1))
+    with pytest.raises(ValueError, match='process_row_block'):
+        distribute_sparse_coo(X[:10], (n, d), mesh)
+    with pytest.raises(ValueError, match='columns'):
+        distribute_sparse_coo(X[:, :10], (n, d), mesh)
+    with pytest.raises(ValueError, match='backend'):
+        distribute_sparse_coo(X, (n, d), mesh, backend='bogus')
+
+    plan = distribute_sparse_coo(X, (n, d), mesh, dtype=np.float64)
+    # plan input needs explicit warm starts
+    with pytest.raises(ValueError, match='W_in AND T_in'):
+        nmf(plan, k, mesh=mesh, max_iter=2)
+    # the sparse kwarg must not contradict the plan type
+    with pytest.raises(ValueError, match='conflicts'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            sparse=False)
+    with pytest.raises(ValueError, match='rebuild'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            sparse='mxu')
+    # mesh mismatch: plan partitioned for another dp count
+    mesh4 = make_global_mesh(mesh_shape=(4, 2))
+    with pytest.raises(ValueError, match='rebuild'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh4, max_iter=2)
+    # dtype mismatch is refused, not silently promoted
+    with pytest.raises(ValueError, match='dtype'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            dtype=np.float32)
+    # MXU plan without the COO companion refuses objective tracking
+    plan_nc = distribute_sparse_coo(X, (n, d), mesh, dtype=np.float64,
+                                    backend='mxu', with_obj_coo=False)
+    assert plan_nc.obj_coo is None
+    with pytest.raises(ValueError, match='with_obj_coo'):
+        nmf(plan_nc, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            compute_obj_each_iter=True, early_stop=False)
+    r = nmf(plan_nc, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            compute_obj_each_iter=False, early_stop=False)
+    assert np.isfinite(np.asarray(r['W'])).all()
+
+
 def test_distribute_masked_coo_guards():
     import pytest
     import scipy.sparse as sp

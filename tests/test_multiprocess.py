@@ -74,7 +74,8 @@ def test_two_process_results_agree_bitwise(group_results):
     r0, r1 = group_results
     for key in ('WA', 'TA', 'ohA', 'WB', 'TB', 'ohB',
                 'WD', 'TD', 'ohD', 'WF', 'TF', 'ohF',
-                'WG', 'TG', 'ohG', 'WH', 'TH', 'ohH'):
+                'WG', 'TG', 'ohG', 'WH', 'TH', 'ohH',
+                'WI', 'TI', 'ohI', 'WJ', 'TJ', 'ohJ'):
         np.testing.assert_array_equal(np.asarray(r0[key]),
                                       np.asarray(r1[key]), err_msg=key)
 
@@ -139,3 +140,24 @@ def test_multiprocess_matches_single_controller(group_results):
     np.testing.assert_allclose(r0['WH'], rh['W'], atol=1e-10)
     np.testing.assert_allclose(r0['TH'], rh['T'], atol=1e-10)
     np.testing.assert_allclose(r0['ohH'], rh['obj_history'], rtol=1e-11)
+
+    # unmasked sparse multi-controller fits (distribute_sparse_coo
+    # slabs) match the single-controller sparse oracles — including the
+    # MXU plan whose 128-rounded row quantum left process 1's slab empty
+    rngs = np.random.RandomState(4)
+    Xs_full = sps.csr_matrix(
+        rngs.rand(n, d) * (rngs.rand(n, d) < 0.3))
+    ri = nmf(Xs_full, k, sparse=True, W_in=W0, T_in=T0, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             early_stop=False, project_W_each_iter=True, w_row_sum=1.0,
+             reg_t_l2=0.05, reset_topic_method=None)
+    np.testing.assert_allclose(r0['WI'], ri['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TI'], ri['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohI'], ri['obj_history'], rtol=1e-11)
+    rj = nmf(Xs_full, k, sparse='mxu', W_in=W0, T_in=T0, max_iter=4,
+             random_state=7, compute_obj_each_iter=True,
+             early_stop=False, project_T_each_iter=True, t_row_sum=1.0,
+             reset_topic_method=None)
+    np.testing.assert_allclose(r0['WJ'], rj['W'], atol=1e-10)
+    np.testing.assert_allclose(r0['TJ'], rj['T'], atol=1e-10)
+    np.testing.assert_allclose(r0['ohJ'], rj['obj_history'], rtol=1e-11)

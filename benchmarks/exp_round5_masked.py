@@ -227,6 +227,27 @@ def main():
         out.write_text(json.dumps(results, indent=1))
     # the interleaved fallback at k=128 for comparison (single sweep,
     # single-device O(nnz) path it previously got)
+    # ---- k = 128 panels ON THE MESH (the distributed large-k program) --
+    if 'gram_mesh_k128_s_per_sweep' not in results and \
+            'gram_mesh_k128_error' not in results:
+        try:
+            plan_mp = partition_masked_gram(X, M, mesh, np.float32,
+                                            backend='mxu')
+            sweep_mp = make_sharded_masked_gram_sweep(
+                cfg_p, mesh, backend='mxu', group=plan_mp.group,
+                interpret=False, panel=panel)
+            results['gram_mesh_k128_s_per_sweep'] = round(
+                time_sweeps(sweep_mp, plan_mp, Wp, Tp, key, reps=2,
+                            sweeps_per_rep=1), 3)
+            print('k=128 panel(%d) MESH gram:' % panel,
+                  results['gram_mesh_k128_s_per_sweep'], 's/sweep',
+                  flush=True)
+            del plan_mp
+        except Exception as e:  # noqa: BLE001 - record and continue
+            results['gram_mesh_k128_error'] = str(e)[:300]
+            print('mesh k=128 failed (%s...)' % str(e)[:120], flush=True)
+        out.write_text(json.dumps(results, indent=1))
+
     if not args.skip_interleaved and \
             'interleaved_k128_s_per_sweep' not in results and \
             'interleaved_k128_error' not in results:

@@ -366,14 +366,31 @@ def sparse_parity_draw(seed):
     # earlier seeds' configs are unchanged
     if mode == 'mxu' and mesh is None and rng.rand() < 0.25:
         mode = 'dma'
+    # multi-controller plan entry (single-process here): route the mesh
+    # fit through a distribute_sparse_coo plan passed directly as X —
+    # also drawn after everything else for seed stability
+    plan_input = mesh is not None and rng.rand() < 0.5
 
     kw = dict(max_iter=5, random_state=seed, early_stop=False,
               compute_obj_each_iter=True, eps_stop=0,
               reset_topic_method=None, update_order='phase')
     kw.update(cfg)
+    if plan_input:
+        # plan inputs carry no host X to initialize from: explicit warm
+        # starts on BOTH fits keep the differential exact
+        kw['W_in'] = np.abs(rng.rand(n, k))
+        kw['T_in'] = np.abs(rng.rand(k, d))
     dense = nmf(X, k, **kw)
-    sp = nmf(scipy.sparse.csr_matrix(X), k, sparse=mode,
-             mesh=mesh, **kw)
+    if plan_input:
+        from rri_nmf_tpu.parallel import distribute_sparse_coo
+        plan = distribute_sparse_coo(
+            scipy.sparse.csr_matrix(X), (n, d), mesh,
+            dtype=np.asarray(X).dtype,
+            backend='mxu' if mode == 'mxu' else None)
+        sp = nmf(plan, k, mesh=mesh, **kw)
+    else:
+        sp = nmf(scipy.sparse.csr_matrix(X), k, sparse=mode,
+                 mesh=mesh, **kw)
     ctx = str((cfg, mode, mesh is not None and mesh.devices.shape))
     np.testing.assert_allclose(sp['W'], dense['W'], atol=1e-8, err_msg=ctx)
     np.testing.assert_allclose(sp['T'], dense['T'], atol=1e-8, err_msg=ctx)

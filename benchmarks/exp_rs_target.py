@@ -114,23 +114,24 @@ def main():
     assert np.isfinite(W_new).all()
     print('transform(512 rows): %.2fs' % tr_s, flush=True)
 
-    # the VERDICT r5 done-criterion comparator: an equivalent 4-sweep
-    # fixed-T fit on the SAME 512 rows through nmf() directly (same
-    # sparse-mask sweeps, same per-dispatch tunnel costs — what
-    # transform() adds on top is the estimator wrapper + mask build)
+    # the VERDICT r5 done-criterion comparator: the equivalent 4-sweep
+    # fixed-T fit a user would write themselves on the SAME 512 rows —
+    # transform's exact preset (fresh masked init, 'random' resets, the
+    # reference's transform kwargs) through nmf() directly, so the delta
+    # is purely the estimator wrapper + indicator-mask build
     import scipy.sparse as _sp
 
     from rri_nmf_tpu.nmf import nmf as _nmf
     Xte_sp = _sp.csr_matrix(Xte[:512])
-    W0t = np.abs(np.random.RandomState(3).rand(512, k))
     Mte_sp = _sp.csr_matrix(
         (np.ones_like(Xte_sp.data), Xte_sp.indices, Xte_sp.indptr),
         shape=Xte_sp.shape)
-    _nmf(Xte_sp, k, W_mat=Mte_sp, fix_T=True, T_in=est.T, W_in=W0t,
-         max_iter=4, random_state=0, reset_topic_method=None)  # warm
+    eq_kw = dict(W_mat=Mte_sp, fix_T=True, T_in=est.T, max_iter=4,
+                 max_time=7200, t_row_sum=1.0,
+                 reset_topic_method='random', random_state=0)
+    _nmf(Xte[:512], k, **eq_kw)  # warm the jits
     t0 = time.perf_counter()
-    _nmf(Xte_sp, k, W_mat=Mte_sp, fix_T=True, T_in=est.T, W_in=W0t,
-         max_iter=4, random_state=0, reset_topic_method=None)
+    _nmf(Xte[:512], k, **eq_kw)
     eq_s = time.perf_counter() - t0
     results['equiv_fixT_4sweep_fit_512_rows_seconds'] = eq_s
     results['transform_vs_equiv_fit_x'] = tr_s / eq_s

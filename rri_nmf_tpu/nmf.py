@@ -802,6 +802,16 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
                     'initialize from; pass W_in AND T_in (initialize '
                     'per process — e.g. random draws from a shared seed '
                     '— and place with parallel.distribute_factors)')
+    if (_premade_masked or _premade_sp) and (
+            (diagnostics if isinstance(diagnostics, list)
+             else [diagnostics]) or callable(early_stop)):
+        # diagnostics callbacks and a callable early_stop receive the
+        # HOST X; a mesh plan has none to give (np.asarray on a plan
+        # object would hand the callback garbage)
+        raise ValueError(
+            'diagnostics callbacks and callable early_stop consume the '
+            'host X, which a pre-built mesh plan does not carry; '
+            'compute diagnostics from the returned factors instead')
 
     # ---- sparse-mask WRRI mode (ops/sweep_masked_sparse.py): a
     # scipy-sparse W_mat keeps the observed set as COO end to end —

@@ -260,6 +260,14 @@ def test_distribute_sparse_coo_guards():
     with pytest.raises(ValueError, match='dtype'):
         nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
             dtype=np.float32)
+    # diagnostics / callable early_stop consume the host X a plan
+    # cannot carry — refused loudly, not np.asarray(plan) garbage
+    with pytest.raises(ValueError, match='diagnostics'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            diagnostics=lambda X, W, T: float(np.sum(W)))
+    with pytest.raises(ValueError, match='host X'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            early_stop=lambda X, W, T, d2: False)
     # MXU plan without the COO companion refuses objective tracking
     plan_nc = distribute_sparse_coo(X, (n, d), mesh, dtype=np.float64,
                                     backend='mxu', with_obj_coo=False)

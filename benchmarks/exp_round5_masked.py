@@ -96,8 +96,13 @@ def main():
     out = Path(__file__).parent / 'results_round5_masked.json'
     if args.resume and out.exists():
         prev = json.loads(out.read_text())
-        if prev.get('shape') == [n, d] and prev.get('nnz') == args.nnz:
+        if (prev.get('shape') == [n, d] and prev.get('nnz') == args.nnz
+                and prev.get('k') == args.k
+                and prev.get('k_panel') == args.k_panel):
             results.update(prev)
+        else:
+            print('resume: existing results are for a different '
+                  'config; measuring everything fresh', flush=True)
 
     # ---- HBM bandwidth probe (roofline denominator) ---------------------
     # ONE jitted fori_loop of streaming passes + one scalar readback: a

@@ -143,7 +143,8 @@ class TrueObjComputer(object):
                     _k = int(np.shape(self.W)[-1])
                     _p = auto_panel(
                         _k, _n / mesh.devices.shape[0], _d,
-                        np.dtype(self.W.dtype).itemsize)
+                        np.dtype(self.W.dtype).itemsize,
+                        mxu=self.X.backend == 'mxu')
                     return make_sharded_masked_gram_objective(
                         mesh, backend=self.X.backend, group=self.X.group,
                         panel=(1 if _p == 0 else _p),
@@ -166,7 +167,8 @@ class TrueObjComputer(object):
                 _n, _d = self.X.shape
                 _k = int(np.shape(self.W)[-1])
                 _p = auto_panel(_k, _n, _d,
-                                np.dtype(self.W.dtype).itemsize)
+                                np.dtype(self.W.dtype).itemsize,
+                                mxu=True)
                 return make_masked_gram_objective(
                     backend='mxu',
                     panel=(1 if _p == 0 else _p),
@@ -746,6 +748,28 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
 
     _is_sp = hasattr(X, 'tocoo') and hasattr(X, 'toarray')
 
+    # A mesh plan passed without its mesh (or alongside a W_mat) must
+    # fail HERE with instructions — not fall through to the dense
+    # normalization's `np.asarray(plan)` TypeError. Cheap duck-type
+    # pre-check (all four plan classes carry n_loc) gates the imports.
+    if hasattr(X, 'n_loc'):
+        from rri_nmf_tpu.parallel.masked_gram_mesh import \
+            ShardedMaskedGramPlan as _SMGP
+        from rri_nmf_tpu.parallel.masked_sparse_mesh import \
+            ShardedMaskedCOO as _SMC
+        from rri_nmf_tpu.parallel.sparse_mesh import (
+            ShardedCOO as _SC, ShardedMXUPlan as _SMXU)
+        if isinstance(X, (_SMC, _SMGP, _SC, _SMXU)):
+            if mesh is None:
+                raise ValueError(
+                    'X is a pre-built mesh plan but mesh=None; pass '
+                    'the mesh it was partitioned over')
+            if W_mat is not None:
+                raise ValueError(
+                    'a pre-built mesh plan already carries its '
+                    'observation structure; leave W_mat=None (masked '
+                    'plans ARE the observed set)')
+
     # ---- pre-built mesh observation plans (multi-controller masked
     # fits): a ShardedMaskedCOO / ShardedMaskedGramPlan assembled by
     # parallel.distribute_masked_coo passes DIRECTLY as X — the observed
@@ -785,16 +809,19 @@ def nmf(X, k, w_row=None, W_mat=None, fix_W=False, fix_T=False,
         if isinstance(X, (ShardedCOO, ShardedMXUPlan)):
             _premade_sp = True
             _premade_sp_mxu = isinstance(X, ShardedMXUPlan)
-            _dp_sz_pre = mesh.devices.shape[0]
+            _dp_sz_pre, _tp_sz_pre = mesh.devices.shape
             _n_loc_pre = -(-X.shape[0] // _dp_sz_pre)
+            _d_loc_pre = -(-X.shape[1] // _tp_sz_pre)
             if _premade_sp_mxu:
                 from rri_nmf_tpu.ops.sparse_mxu import TILE as _TILE_pre
                 _n_loc_pre = -(-_n_loc_pre // _TILE_pre) * _TILE_pre
-            if X.n_loc != _n_loc_pre:
+                _d_loc_pre = -(-_d_loc_pre // _TILE_pre) * _TILE_pre
+            if X.n_loc != _n_loc_pre or X.d_loc != _d_loc_pre:
                 raise ValueError(
-                    'sparse plan was partitioned for %d-row device '
-                    'blocks but this mesh implies %d; rebuild it over '
-                    'this mesh' % (X.n_loc, _n_loc_pre))
+                    'sparse plan was partitioned for (%d, %d)-shaped '
+                    'device blocks but this mesh implies (%d, %d); '
+                    'rebuild it over this mesh'
+                    % (X.n_loc, X.d_loc, _n_loc_pre, _d_loc_pre))
             if np.prod(np.shape(W_in)) == 0 or \
                     np.prod(np.shape(T_in)) == 0:
                 raise ValueError(

@@ -260,24 +260,32 @@ GRAM_BUDGET_BYTES = 4e9
 VMEM_GRAM_ROWS = 1280
 
 
-def auto_panel(k, n, d, itemsize, budget=None):
+def auto_panel(k, n, d, itemsize, budget=None, mxu=None):
     """Pick the Γ/Θ tiling for a (n, d) masked problem at rank k.
 
     Returns ``None`` when the full (k², n+d) tensors fit ``budget``
-    (default :data:`GRAM_BUDGET_BYTES`, read at call time) AND the
-    stacked symmetric-halved contraction stays under the kernel's
-    VMEM row ceiling (:data:`VMEM_GRAM_ROWS`) — the full-tensor path; a
-    panel size ``1 ≤ p < k`` when only (p·k, n+d) tiles fit either
-    budget; or ``0`` when even a single panel row exceeds them (caller
-    declines the Gram path)."""
+    (default :data:`GRAM_BUDGET_BYTES`, read at call time) — the
+    full-tensor path; a panel size ``1 ≤ p < k`` when only (p·k, n+d)
+    tiles fit; or ``0`` when even a single panel row exceeds the
+    budget (caller declines the Gram path).
+
+    ``mxu`` additionally bounds the contraction's Khatri-Rao row count
+    by the MXU chunk kernel's scoped-VMEM ceiling
+    (:data:`VMEM_GRAM_ROWS`) — a Mosaic compile limit, so it applies
+    to the real-TPU 'mxu' backend only (the segsum/XLA backends and
+    interpret mode have no such cap). Default ``None`` auto-detects:
+    capped exactly when the default backend is a TPU (where
+    ``plan_masked_gram`` picks 'mxu')."""
     if budget is None:
         budget = GRAM_BUDGET_BYTES
+    if mxu is None:
+        mxu = jax.default_backend() == 'tpu'
+    row_cap = VMEM_GRAM_ROWS if mxu else float('inf')
     unit = k * float(n + d) * itemsize
     full_rows = k + k * (k + 1) // 2
-    if k * unit <= budget and full_rows <= VMEM_GRAM_ROWS:
+    if k * unit <= budget and full_rows <= row_cap:
         return None
-    return int(min(k - 1, budget // max(unit, 1.0),
-                   VMEM_GRAM_ROWS // k))
+    return int(min(k - 1, budget // max(unit, 1.0), row_cap // k))
 
 
 def supports_masked_gram(cfg: SweepConfig) -> bool:

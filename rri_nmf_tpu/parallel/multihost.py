@@ -346,8 +346,6 @@ def distribute_sparse_coo(X_local, global_shape, mesh, dtype=None,
     starts = np.concatenate([[0], np.cumsum(counts)])
     r_s, c_s, v_s = r_g[order], c_g[order], v[order]
 
-    nnz_glob = int(_allgather_np(np.int64(len(v))).sum())
-
     def _glob(local, trailing):
         s3 = NamedSharding(mesh, P(dp_ax, tp_ax,
                                    *([None] * len(trailing))))

@@ -520,15 +520,24 @@ def test_auto_panel_policy():
     p = auto_panel(128, 100_000, 50_000, 4)
     assert p is not None and 1 <= p < 128
     assert p * 128 * 150_000 * 4 <= 4e9
-    # ... and the panel's Khatri-Rao row block respects the kernel's
-    # scoped-VMEM ceiling (p=52 fit HBM but failed to COMPILE on TPU:
-    # 6656-row factor blocks -> 58.5 MB scoped vmem vs the 16 MB limit)
-    assert p * 128 <= VMEM_GRAM_ROWS
-    # mid-range k: Γ/Θ fit the HBM budget but the stacked full-tensor
-    # contraction (k + k(k+1)/2 rows) exceeds the VMEM ceiling -> panels
-    p64 = auto_panel(64, 10_000, 5_000, 4)
+    # on the TPU 'mxu' backend the panel's Khatri-Rao row block must
+    # also respect the kernel's scoped-VMEM ceiling (p=52 fit HBM but
+    # failed to COMPILE on TPU: 6656-row factor blocks -> 58.5 MB
+    # scoped vmem vs the 16 MB Mosaic limit)
+    p_mxu = auto_panel(128, 100_000, 50_000, 4, mxu=True)
+    assert p_mxu is not None and 1 <= p_mxu < 128
+    assert p_mxu * 128 <= VMEM_GRAM_ROWS
+    # mid-range k on mxu: Γ/Θ fit the HBM budget but the stacked
+    # full-tensor contraction (k + k(k+1)/2 rows) exceeds the VMEM
+    # ceiling -> panels; the segsum/XLA backends keep the one-pass
+    # full-tensor path (no Mosaic limit — forcing panels there was a
+    # silent k>=50 slowdown on CPU)
+    p64 = auto_panel(64, 10_000, 5_000, 4, mxu=True)
     assert p64 is not None and 1 <= p64 < 64
     assert p64 * 64 <= VMEM_GRAM_ROWS
+    assert auto_panel(64, 10_000, 5_000, 4, mxu=False) is None
+    # auto-detect: CPU default backend has no VMEM cap
+    assert auto_panel(64, 10_000, 5_000, 4) is None
     # absurd k: even one panel row over budget -> 0 (decline)
     assert auto_panel(10_000_000, 1_000_000, 1_000_000, 8) == 0
 

@@ -245,6 +245,21 @@ def test_distribute_sparse_coo_guards():
     # plan input needs explicit warm starts
     with pytest.raises(ValueError, match='W_in AND T_in'):
         nmf(plan, k, mesh=mesh, max_iter=2)
+    # a plan without its mesh (or alongside a W_mat) fails with
+    # instructions, not np.asarray(plan) garbage
+    with pytest.raises(ValueError, match='mesh=None'):
+        nmf(plan, k, W_in=W0, T_in=T0, max_iter=2)
+    with pytest.raises(ValueError, match='W_mat'):
+        nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,
+            W_mat=sp.csr_matrix(np.ones((n, d))))
+    # wrong-mesh plans are caught on BOTH block axes (a (4,2)-built
+    # plan has d_loc=ceil(d/2) — the dp-only check used to pass it for
+    # n where ceil(n/4)==ceil(n/8))
+    mesh42 = make_global_mesh(mesh_shape=(4, 2))
+    plan42 = distribute_sparse_coo(X, (n, d), mesh42, dtype=np.float64)
+    with pytest.raises(ValueError, match='rebuild'):
+        nmf(plan42, 4, W_in=W0, T_in=T0,
+            mesh=make_global_mesh(mesh_shape=(4, 1)), max_iter=2)
     # the sparse kwarg must not contradict the plan type
     with pytest.raises(ValueError, match='conflicts'):
         nmf(plan, k, W_in=W0, T_in=T0, mesh=mesh, max_iter=2,

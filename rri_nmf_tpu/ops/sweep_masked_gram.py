@@ -724,7 +724,17 @@ def _make_panel_sweep(cfg: SweepConfig, backend: str, interpret: bool,
             for _rep in range(cfg.inner_reps):
                 for t0 in range(0, k, panel):
                     p = min(panel, k - t0)
-                    Gpan = gPanel(plan, W, t0, p, acc, interpret)
+                    # sequencing barrier: the panel contraction reads
+                    # only the FROZEN W, so without a dependency on the
+                    # previous panel's topic loop XLA hoists ALL panel
+                    # contractions to the front and every Γ panel is
+                    # live at once — 18.8 GB at k=256 (52 panels) on
+                    # the record shape. Threading (T, key) through the
+                    # barrier caps residency at one panel (identity on
+                    # values; the bitwise panel-parity tests pin that).
+                    (T, key), W_seq = lax.optimization_barrier(
+                        ((T, key), W))
+                    Gpan = gPanel(plan, W_seq, t0, p, acc, interpret)
 
                     def t_topic(j, carry, t0=t0, Gpan=Gpan):
                         T, key = carry
@@ -761,7 +771,11 @@ def _make_panel_sweep(cfg: SweepConfig, backend: str, interpret: bool,
             for _rep in range(cfg.inner_reps):
                 for t0 in range(0, k, panel):
                     p = min(panel, k - t0)
-                    Hpan = gWPanel(plan, T, t0, p, acc, interpret)
+                    # same sequencing barrier as the T-phase (Θ panels
+                    # read only the frozen T)
+                    (W, key), T_seq = lax.optimization_barrier(
+                        ((W, key), T))
+                    Hpan = gWPanel(plan, T_seq, t0, p, acc, interpret)
 
                     def w_topic(j, carry, t0=t0, Hpan=Hpan):
                         W, key = carry
@@ -843,7 +857,12 @@ def make_masked_gram_objective(backend='segsum', interpret=None,
             quad = jnp.zeros((), acc)
             for t0 in range(0, k, panel):
                 p = min(panel, k - t0)
-                Hpan = gWPanel(plan, T, t0, p, acc, interpret)
+                # sequencing barrier: each Θ panel reads only the
+                # frozen T, so without a dependency on the running
+                # accumulator the scheduler hoists every panel live at
+                # once (the panel-sweep 18.8 GB failure mode)
+                quad, T_seq = lax.optimization_barrier((quad, T))
+                Hpan = gWPanel(plan, T_seq, t0, p, acc, interpret)
                 quad = quad + jnp.einsum(
                     'tsi,it,is->', Hpan, Wa[:, t0:t0 + p], Wa)
         obj = 0.5 * (plan.sum_mx2 - 2.0 * cross + quad)

@@ -582,12 +582,18 @@ def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
             for _rep in range(cfg.inner_reps):
                 for t0 in range(0, k, panel):
                     p = min(panel, k - t0)
+                    # sequencing barrier (see _make_panel_sweep): the
+                    # contraction reads only the frozen W_l, so without
+                    # a dependency on the previous panel's topic loop
+                    # the scheduler hoists every Γ panel live at once
+                    (T, key), W_seq = lax.optimization_barrier(
+                        ((T, key), W_l))
                     if backend == 'mxu':
                         Gpan = _mxu_gram_t_panel_local(
-                            m_t, W_l, d, t0, p, acc, interpret, group)
+                            m_t, W_seq, d, t0, p, acc, interpret, group)
                     else:
                         Gpan = _seg_gram_t_panel_local(
-                            rows, cols, x, m, W_l, d, t0, p, acc)
+                            rows, cols, x, m, W_seq, d, t0, p, acc)
                     Gpan = lax.psum(Gpan, dp_ax)
 
                     def t_topic(j, carry, t0=t0, Gpan=Gpan):
@@ -628,12 +634,17 @@ def make_sharded_masked_gram_sweep(cfg: SweepConfig, mesh,
             for _rep in range(cfg.inner_reps):
                 for t0 in range(0, k, panel):
                     p = min(panel, k - t0)
+                    # same sequencing barrier (Θ panels read only the
+                    # frozen T)
+                    (W_l, key), T_seq = lax.optimization_barrier(
+                        ((W_l, key), T))
                     if backend == 'mxu':
                         Hpan = _mxu_gram_w_panel_local(
-                            m_w, T, n_loc, t0, p, acc, interpret, group)
+                            m_w, T_seq, n_loc, t0, p, acc, interpret,
+                            group)
                     else:
                         Hpan = _seg_gram_w_panel_local(
-                            rows, cols, x, m, T, n_loc, t0, p, acc)
+                            rows, cols, x, m, T_seq, n_loc, t0, p, acc)
 
                     def w_topic(j, carry, t0=t0, Hpan=Hpan):
                         W_l, key = carry
@@ -825,13 +836,16 @@ def make_sharded_masked_gram_objective(mesh, backend='segsum', group=8,
             quad = jnp.zeros((), acc)
             for t0 in range(0, k, panel):
                 p = min(panel, k - t0)
+                # sequencing barrier (see the single-device objective)
+                quad, T_seq = lax.optimization_barrier((quad, T))
                 if backend == 'mxu':
                     Hpan = _mxu_gram_w_panel_local(
-                        m_w, T, n_loc, t0, p, acc, interpret, group)
+                        m_w, T_seq, n_loc, t0, p, acc, interpret,
+                        group)
                 else:
                     Hpan = _seg_gram_w_panel_local(
-                        rows[0], cols[0], x[0], m[0], T, n_loc, t0, p,
-                        acc)
+                        rows[0], cols[0], x[0], m[0], T_seq, n_loc,
+                        t0, p, acc)
                 quad = quad + jnp.einsum(
                     'tsi,it,is->', Hpan, Wa[:, t0:t0 + p], Wa)
         else:

@@ -22,13 +22,21 @@ from exp_round5_masked import build_problem
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--k', type=int, default=128)
+    ap.add_argument('--sweeps', type=int, default=10)
+    ap.add_argument('--out', default='results_round5_fit.json')
+    args = ap.parse_args()
+
     import jax
 
     from rri_nmf_tpu.nmf import nmf
 
     assert jax.default_backend() == 'tpu', jax.default_backend()
-    n, d, k, nnz, sweeps = 100_000, 50_000, 128, 25_000_000, 10
-    out = Path(__file__).parent / 'results_round5_fit.json'
+    n, d, nnz = 100_000, 50_000, 25_000_000
+    k, sweeps = args.k, args.sweeps
+    out = Path(__file__).parent / args.out
     results = {'shape': [n, d], 'k': k, 'nnz': nnz, 'sweeps': sweeps}
 
     X, M = build_problem(n, d, nnz)

@@ -72,6 +72,32 @@ def main():
           % (jax.process_index(), oh[0], oh[-1],
              bool(np.all(np.diff(oh) <= 1e-12)), soln['W'].shape))
 
+    # ---- sparse corpora: each process contributes its slab as a COO
+    # plan passed DIRECTLY as X (the corpus never exists on one host).
+    # backend='mxu' builds the one-hot MXU chunk plans instead; masked
+    # observed sets go through distribute_masked_coo the same way.
+    import scipy.sparse as sp
+
+    from rri_nmf_tpu.parallel import (distribute_factors,
+        distribute_sparse_coo)
+    Xs_local = sp.csr_matrix(load_row_block(lo, hi)
+                             * (np.random.RandomState(1)
+                                .rand(hi - lo, D) < 0.2))
+    plan = distribute_sparse_coo(Xs_local, (N, D), mesh,
+                                 dtype=np.float32)
+    # plan inputs carry no host X: initialize from a shared seed
+    rng = np.random.RandomState(7)
+    W0 = np.abs(rng.rand(N, K)).astype(np.float32)
+    T0 = np.abs(rng.rand(K, D)).astype(np.float32)
+    Wg, Tg = distribute_factors(W0[lo:hi], T0, N, mesh)
+    soln_sp = nmf(plan, k=K, W_in=Wg, T_in=Tg, mesh=mesh, max_iter=6,
+                  random_state=0, compute_obj_each_iter=True,
+                  reg_t_l2=0.05, project_W_each_iter=True,
+                  w_row_sum=1.0, reset_topic_method=None)
+    oh = soln_sp['obj_history']
+    print('process %d: sparse-plan objective %.4f -> %.4f (nnz stays '
+          'per-process)' % (jax.process_index(), oh[0], oh[-1]))
+
 
 def spawn_cpu():
     """Self-spawn a 2-process CPU group (4 virtual devices each)."""

@@ -49,7 +49,10 @@ def main():
     results['fit_wall_s'] = round(time.perf_counter() - t0, 1)
     oh = [float(v) for v in soln['obj_history']]
     results['obj_history'] = oh
-    results['monotone'] = bool(np.all(np.diff(oh) <= 0))
+    # tolerate f32 accumulation jitter near a plateau (~1 ulp of the
+    # objective scale); strict <= 0 would flag true descent as broken
+    results['monotone'] = bool(np.all(
+        np.diff(oh) <= 1e-7 * abs(oh[0])))
     stamps = soln['iter_cputime']
     results['per_sweep_s'] = round(
         (stamps[-1] - stamps[0]) / max(len(stamps) - 1, 1), 3)

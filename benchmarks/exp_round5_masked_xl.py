@@ -21,10 +21,18 @@ from pathlib import Path
 
 import numpy as np
 
-from exp_round5_masked import build_problem, sync, time_sweeps
+from exp_round5_masked import build_problem, time_sweeps
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--retry-errors', action='store_true',
+                    help='re-attempt sections whose previous run '
+                         'recorded an error (default: skip them — an '
+                         'OOM retry can crash the TPU worker)')
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,13 +50,22 @@ def main():
             results.update(prev)
 
     key = jax.random.PRNGKey(0)
+    # per-section RNG streams: resumed runs would otherwise hand later
+    # sections different draws than fresh runs did
     rng = np.random.RandomState(7)
+    rng100 = np.random.RandomState(8)
 
     # ---- k = 256 --------------------------------------------------------
     def k256_attempt(tag, kn, kd, nnz):
-        if ('%s_s_per_sweep' % tag) in results or \
-                ('%s_error' % tag) in results:
-            return ('%s_s_per_sweep' % tag) in results
+        # a recorded error skips the section by default (an OOM retry
+        # can crash the TPU worker); pass --retry-errors after fixing
+        # the underlying bug to re-attempt
+        if ('%s_s_per_sweep' % tag) in results:
+            return True
+        if ('%s_error' % tag) in results:
+            if not args.retry_errors:
+                return False
+            results.pop('%s_error' % tag)
         kp = 256
         try:
             X, M = build_problem(kn, kd, nnz)
@@ -100,8 +117,8 @@ def main():
         plan = plan_masked_gram(X, M, np.float32, backend='mxu')
         results['nnz100m_plan_s'] = round(time.perf_counter() - t0, 1)
         sweep = make_masked_gram_sweep(cfg, backend='mxu')
-        W = jnp.asarray(rng.rand(n, k).astype(np.float32))
-        T = jnp.asarray(rng.rand(k, d).astype(np.float32))
+        W = jnp.asarray(rng100.rand(n, k).astype(np.float32))
+        T = jnp.asarray(rng100.rand(k, d).astype(np.float32))
         results['nnz100m_gram_s_per_sweep'] = round(
             time_sweeps(sweep, plan, W, T, key, reps=2,
                         sweeps_per_rep=1), 3)

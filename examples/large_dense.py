@@ -21,6 +21,15 @@ import sys
 import tempfile
 from pathlib import Path
 
+import os
+
+if os.environ.get('RRI_NMF_EXAMPLE_CPU'):
+    # the tunnel-hosted TPU pays ~ms dispatch latency per op; small
+    # eager demos crawl there. Set RRI_NMF_EXAMPLE_CPU=1 to force the
+    # host CPU backend (must happen before the library initializes jax).
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

@@ -150,6 +150,23 @@ def test_distribute_masked_coo_single_process():
     assert abs(oc.true_objective() - rg['obj_history'][-1]) < 1e-9
 
 
+def test_process_row_block_tiled():
+    """The tile-aware row quantum (`tile=128`, the MXU plan layout)
+    stays clamped and covering for any n — including n small enough
+    that later dp rows own EMPTY ranges (the multi-controller
+    empty-slab case the 2-process tests drive end-to-end)."""
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(8, mesh_shape=shape)
+        dp = shape[0]
+        for n in (64, 128, 129, 1024, 3, 1000):
+            lo, hi = process_row_block(n, mesh, tile=128)
+            # single process owns everything, clamped to n
+            assert (lo, hi) == (0, n), (shape, n, lo, hi)
+            # the quantum matches partition_mxu's TILE-rounded n_loc
+            per = -(-(-(-n // dp)) // 128) * 128
+            assert per % 128 == 0 and per * dp >= n
+
+
 def test_distribute_sparse_coo_single_process():
     """Single-process distribute_sparse_coo == partition_coo /
     partition_mxu value-wise, and the plan drives nmf() directly — the
